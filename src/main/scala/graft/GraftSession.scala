@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session construction + runtime tuning for the graft engine.
+  *
+  * Design target is a large multi-executor cluster (the local[32] master is
+  * only the test harness): AQE drives runtime re-planning (skew joins,
+  * partition coalescing, broadcast demotion/promotion), shuffle partitions
+  * default to the local core count rather than Spark's 200, and the session
+  * timezone is pinned UTC so zoneless (`TIMESTAMP_NTZ`) semantics — the
+  * equivalent of BigQuery's DATETIME used throughout the reference
+  * (/root/reference/models/datamart/schema.yml:10) — are stable across
+  * engines.
+  */
+object GraftSession {
+
+  /** Runtime confs every entry point applies, including when the caller hands
+    * us a session we did not build (the driver's Verify/Bench harness does
+    * exactly that). All of these are runtime-settable SQLConfs.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    // The driver-generated testdata stores timestamps as INT64
+    // TIMESTAMP(NANOS,false), which Spark refuses to read natively;
+    // read them as raw nanos and convert in Tables.load.
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.adaptive.enabled", "true")
+    // Map-side partial aggregation + skew handling at scale:
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+
+  /** Local session for tests and ad-hoc runs. */
+  def local(threads: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$threads]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune(spark)
+  }
+}
