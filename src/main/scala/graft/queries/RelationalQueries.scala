@@ -1,0 +1,364 @@
+package graft.queries
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Standard relational surface over the TPC-H-ish test tables (SURVEY.md §2.2:
+  * these operators are supplied by the underlying engine in the reference —
+  * BigQuery — and by Spark SQL here; the queries prove the engine exposes
+  * them with exact, oracle-matching semantics).
+  *
+  * Determinism policy (the driver hash-compares against DuckDB):
+  *   - Money/quantity sums go through `DECIMAL(18,2)` so aggregation is exact
+  *     and associative — the result is independent of partitioning/merge
+  *     order, which a parallel double-sum is not. Identical decimal scales on
+  *     both sides so the string forms match.
+  *   - Averages are expressed as integer cent arithmetic (`div`) rather than
+  *     double division of a parallel sum.
+  *   - Every top-k has a unique tiebreak column.
+  *
+  * Scale notes (100 TB target): dimension joins (`nation`, `region`,
+  * `customer`-sized) are explicit `broadcast()`; fact-fact joins shuffle on
+  * their equi-keys and carry range predicates as post-join filters (no
+  * cartesian/BNLJ anywhere); window queries partition by high-cardinality
+  * keys (`user_id`, `c_custkey`) so state per partition stays bounded; the
+  * as-of join is the union+window formulation (single shuffle, no self-join).
+  */
+object RelationalQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // O: group-by aggregation with map-side partial agg (TPC-H Q1 shape).
+    QueryDef(
+      "q1_pricing_summary",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.lineitem(spark, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(dec)).as("sum_qty"),
+            sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+            sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))).as("sum_disc_price"),
+            count(lit(1)).as("count_order"),
+            (sum((col("l_quantity").cast(dec) * 100).cast(LongType)) / count(lit(1))).cast(LongType).as("avg_qty_cents")
+          )
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             |       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+             |       COUNT(*) AS count_order,
+             |       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_qty_cents
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // O: 3-way join (dim filter + two fact tables) + agg + top-k (TPC-H Q3 shape).
+    // customer is the small side of customer⋈orders at any SF ratio where it
+    // fits the broadcast threshold; at 100 TB both joins shuffle on their keys.
+    QueryDef(
+      "q3_shipping_priority",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val cutoff = lit("1998-01-01").cast("timestamp_ntz")
+        val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+        val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+    ),
+
+    // O: snowflake dimension chain, both joins broadcast (nation: 25 rows,
+    // region: 5 rows — broadcast regardless of fact-side scale).
+    QueryDef(
+      "q5_customer_by_region",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.customer(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_customers"),
+               sum(col("c_acctbal").cast(dec)).as("sum_acctbal"))
+      },
+      Some("""SELECT r_name, COUNT(*) AS n_customers,
+             |       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin)
+    ),
+
+    // O: anti join (customers with no orders), semi join implicit via oracle
+    // NOT EXISTS. Anti side shuffles on the key; nation stays broadcast.
+    QueryDef(
+      "q_anti_join",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val c = Tables.customer(spark, dir)
+        val o = Tables.orders(spark, dir).select("o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_customers_no_orders"))
+      },
+      Some("""SELECT n_name, COUNT(*) AS n_customers_no_orders
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY n_name""".stripMargin)
+    ),
+
+    // O: semi join — customers that ordered URGENT at least once.
+    QueryDef(
+      "q_semi_join",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val c = Tables.customer(spark, dir)
+        val o = Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_urgent_customers"),
+               sum(col("c_acctbal").cast(dec)).as("sum_acctbal"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_urgent_customers,
+             |       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_mktsegment""".stripMargin)
+    ),
+
+    // O: window functions — rank / lag / running sum per customer.
+    // Partition key is the high-cardinality customer key: per-partition window
+    // state stays O(orders-per-customer) at any scale.
+    QueryDef(
+      "q_window_rank",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val ws = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(spark, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  col("o_totalprice").cast(dec).as("price"),
+                  row_number().over(w).as("rk"),
+                  lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+                  sum(col("o_totalprice").cast(dec)).over(ws).as("running_spend"))
+          .filter(col("rk") <= 3)
+      },
+      Some("""SELECT o_custkey, o_orderkey, price, rk, prev_orderkey, running_spend FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             |         ROW_NUMBER() OVER w AS rk,
+             |         LAG(o_orderkey, 1) OVER w AS prev_orderkey,
+             |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+             |) WHERE rk <= 3""".stripMargin)
+    ),
+
+    // O: global top-k with unique tiebreak. Spark plans this as TakeOrderedAndProject
+    // (per-partition heaps, no full sort/shuffle of the fact table).
+    QueryDef(
+      "q_topk_orders",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+                  col("o_totalprice").cast(dec).as("price"))
+          .orderBy(col("price").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+             |FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""".stripMargin)
+    ),
+
+    // O: set operations (INTERSECT / EXCEPT / UNION, all distinct forms).
+    QueryDef(
+      "q_setops_users",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val ev = Tables.events(spark, dir)
+        def users(t: String) = ev.filter(col("event_type") === t).select("user_id")
+        val both   = users("purchase").intersect(users("click"))
+          .agg(count(lit(1)).as("n")).select(lit("purchase_and_click").as("op"), col("n"))
+        val except = users("purchase").except(users("error"))
+          .agg(count(lit(1)).as("n")).select(lit("purchase_minus_error").as("op"), col("n"))
+        val union  = users("signup").union(users("view")).distinct()
+          .agg(count(lit(1)).as("n")).select(lit("signup_or_view").as("op"), col("n"))
+        both.union(except).union(union)
+      },
+      Some("""SELECT 'purchase_and_click' AS op, COUNT(*) AS n FROM (
+             |  SELECT DISTINCT user_id FROM events WHERE event_type='purchase'
+             |  INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type='click')
+             |UNION ALL
+             |SELECT 'purchase_minus_error', COUNT(*) FROM (
+             |  SELECT DISTINCT user_id FROM events WHERE event_type='purchase'
+             |  EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type='error')
+             |UNION ALL
+             |SELECT 'signup_or_view', COUNT(*) FROM (
+             |  SELECT user_id FROM events WHERE event_type='signup'
+             |  UNION SELECT user_id FROM events WHERE event_type='view')""".stripMargin)
+    ),
+
+    // O: ROLLUP grouping sets (partial-agg friendly; Expand + single shuffle).
+    QueryDef(
+      "q_rollup_orders",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.orders(spark, dir)
+          .rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(col("o_totalprice").cast(dec)).as("sum_price"))
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+             |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+             |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin)
+    ),
+
+    // O: exact distinct aggregation (two-phase shuffle on (flag, partkey)).
+    QueryDef(
+      "q_distinct_parts",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.lineitem(spark, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+               countDistinct(col("l_suppkey")).as("n_supps"),
+               count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    ),
+
+    // O: sessionization — gap-based session assignment via lag window.
+    // This is the batch twin of the streaming session operator
+    // (graft.streaming); same 30-minute gap rule.
+    QueryDef(
+      "q_sessionize",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+                  lag(col("ts"), 1).over(w).as("prev_ts"))
+          .select(col("user_id"),
+                  when(col("prev_ts").isNull ||
+                       col("ts") - col("prev_ts") > expr("INTERVAL '30' MINUTE"), 1)
+                    .otherwise(0).as("is_session_start"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("is_session_start")).cast(LongType).as("n_sessions"),
+               count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT user_id,
+             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
+             |       COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id,
+             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+             |              THEN 1 ELSE 0 END AS is_session_start
+             |  FROM (SELECT user_id, ts, event_id,
+             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |        FROM events))
+             |GROUP BY user_id""".stripMargin)
+    ),
+
+    // O: as-of join — for each purchase, the most recent click at-or-before it.
+    // Spark has no ASOF JOIN; the scalable formulation is union + one window
+    // pass (single shuffle on user_id, no self-join, no BNLJ). The oracle uses
+    // DuckDB's *native* ASOF JOIN, so the two engines reach the same answer by
+    // independent algorithms. Tie rule: a click at the same timestamp matches
+    // (ORDER BY ts, is_purchase puts clicks first).
+    QueryDef(
+      "q_asof_click_before_purchase",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val ev = Tables.events(spark, dir)
+        val tagged = ev.filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+                  (col("event_type") === "purchase").cast("int").as("is_purchase"),
+                  when(col("event_type") === "click", col("ts")).as("click_ts"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_purchase"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("is_purchase") === 1)
+          .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+                  col("last_click_ts"))
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS last_click_ts
+             |FROM (SELECT * FROM events WHERE event_type='purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin)
+    ),
+
+    // O: equi+range join — lineitems shipped within 30 days of their order.
+    // The equi key keeps this a hash join; the range predicate is a post-join
+    // filter, never a nested-loop join.
+    QueryDef(
+      "q_range_join_ship_lag",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val o = Tables.orders(spark, dir)
+        val l = Tables.lineitem(spark, dir)
+        l.join(o, col("l_orderkey") === col("o_orderkey") &&
+                  col("l_shipdate") >= col("o_orderdate") &&
+                  col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL '30' DAY"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_fast_ship"),
+               sum(col("l_extendedprice").cast(dec)).as("sum_price"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_fast_ship,
+             |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+             |FROM lineitem JOIN orders
+             |  ON l_orderkey = o_orderkey
+             | AND l_shipdate >= o_orderdate
+             | AND l_shipdate <= o_orderdate + INTERVAL '30 days'
+             |GROUP BY o_orderpriority""".stripMargin)
+    ),
+
+    // O: pivot / conditional aggregation — events per day per type as columns.
+    QueryDef(
+      "q_pivot_daily_events",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.events(spark, dir)
+          .select(to_date(col("ts")).as("day"), col("event_type"))
+          .groupBy(col("day"))
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+             |       COUNT(*) FILTER (event_type='click')    AS click,
+             |       COUNT(*) FILTER (event_type='view')     AS view,
+             |       COUNT(*) FILTER (event_type='purchase') AS purchase,
+             |       COUNT(*) FILTER (event_type='signup')   AS signup,
+             |       COUNT(*) FILTER (event_type='error')    AS error
+             |FROM events GROUP BY 1""".stripMargin)
+    )
+  )
+}
