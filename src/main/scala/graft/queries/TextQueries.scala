@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{GraftSession, Tables}
+import graft.text.TextAnalysis._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the `documents` corpus. Every query is a
+  * narrow per-row projection (no shuffle except final aggregation where
+  * noted) — at 100 TB these are pure map stages limited by scan bandwidth,
+  * so column pruning matters: each selects only `doc_id` + `text`.
+  */
+object TextQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // token counting: whitespace, BPE-ish subword, and distinct-token counts
+    QueryDef(
+      "text_token_counts",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+                  wsTokenCount(col("text")).cast("long").as("n_ws_tokens"),
+                  bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+                  size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct_tokens"))
+      },
+      Some(s"""SELECT doc_id,
+              |       CAST(${wsTokenCountSql("text")} AS BIGINT) AS n_ws_tokens,
+              |       CAST(${bpeTokenCountSql("text")} AS BIGINT) AS n_bpe_tokens,
+              |       CAST(len(list_distinct(${tokensSql("text")})) AS BIGINT) AS n_distinct_tokens
+              |FROM documents""".stripMargin)
+    ),
+
+    // quality scoring: ratios + fixed-weight composite
+    QueryDef(
+      "text_quality",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val sigs = qualitySignals(col("text")).map { case (n, c) => c.as(n) }
+        Tables.documents(spark, dir).select(col("doc_id") +: sigs: _*)
+      },
+      Some({
+        val sigs = qualitySignalsSql("text").map { case (n, e) => s"$e AS $n" }
+        s"""SELECT doc_id, ${sigs.mkString(",\n       ")}
+           |FROM documents""".stripMargin
+      })
+    ),
+
+    // language identification: per-language marker scores + argmax, compared
+    // against the generator's `lang` label (accuracy rollup by true label)
+    QueryDef(
+      "text_langid",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val scores = langScores(col("text")).map { case (n, c) => c.as(n) }
+        Tables.documents(spark, dir)
+          .select(Seq(col("doc_id"), col("lang"), langPredict(col("text")).as("lang_pred")) ++ scores: _*)
+      },
+      Some({
+        val scores = langScoresSql("text").map { case (n, e) => s"$e AS $n" }
+        s"""SELECT doc_id, lang, ${langPredictSql("text")} AS lang_pred,
+           |       ${scores.mkString(",\n       ")}
+           |FROM documents""".stripMargin
+      })
+    ),
+
+    // document fingerprinting: normalized-content md5 + min/max shingle hash
+    // (1-perm minhash) + shingle cardinality
+    QueryDef(
+      "text_fingerprint",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val sh = shingleHashes(col("text"), 3)
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+                  contentHash(col("text")).as("content_md5"),
+                  array_min(sh).as("min_shingle_h"),
+                  array_max(sh).as("max_shingle_h"),
+                  size(array_distinct(shingles(col("text"), 3))).cast("long").as("n_distinct_shingles"))
+      },
+      Some({
+        val sh = shingleHashesSql("text", 3)
+        s"""SELECT doc_id,
+           |       ${contentHashSql("text")} AS content_md5,
+           |       list_min($sh) AS min_shingle_h,
+           |       list_max($sh) AS max_shingle_h,
+           |       CAST(len(list_distinct(${shinglesSql("text", 3)})) AS BIGINT) AS n_distinct_shingles
+           |FROM documents""".stripMargin
+      })
+    ),
+
+    // corpus rollup: the aggregation consumers actually run — token budget +
+    // mean quality per (source, lang). Sums are exact integer/decimal.
+    QueryDef(
+      "text_corpus_stats",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.documents(spark, dir)
+          .select(col("source"), col("lang"),
+                  bpeTokenCount(col("text")).cast("long").as("toks"))
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("toks")).as("total_tokens"),
+               min(col("toks")).as("min_tokens"),
+               max(col("toks")).as("max_tokens"))
+      },
+      Some(s"""SELECT source, lang, COUNT(*) AS n_docs,
+              |       SUM(toks) AS total_tokens,
+              |       MIN(toks) AS min_tokens, MAX(toks) AS max_tokens
+              |FROM (SELECT source, lang, CAST(${bpeTokenCountSql("text")} AS BIGINT) AS toks FROM documents)
+              |GROUP BY source, lang""".stripMargin)
+    )
+  )
+}
