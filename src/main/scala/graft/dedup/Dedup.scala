@@ -1,0 +1,153 @@
+package graft.dedup
+
+import graft.functions.Hashing
+import graft.text.TextAnalysis
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection primitives for corpus-scale dedup: MinHash
+  * signatures, SimHash fingerprints, and the banding/blocking keys that turn
+  * an O(n²) pair problem into an equi-join.
+  *
+  * Everything is a pure `Column` expression over Spark built-ins with a
+  * DuckDB twin (`...Sql`), both deriving hashes from [[Hashing.h32]] so the
+  * two engines agree bit-for-bit. The scale story is the standard one:
+  *
+  *   - per-document signatures are a map-only stage (scan-bandwidth bound);
+  *   - candidate generation is an equi-join on (band index, band key) — a
+  *     hash-partitioned shuffle on a small projected table (ids + keys only,
+  *     never the text);
+  *   - exact verification joins signatures/shingle-sets back by id for just
+  *     the candidate pairs.
+  *
+  * At 100 TB none of these stages materializes the corpus more than once,
+  * and no stage carries document text through a shuffle.
+  */
+object Dedup {
+
+  import Hashing._
+
+  // ------------------------------------------------------------- minhash
+
+  /** Distinct 32-bit shingle hashes of a document (the set MinHash acts on). */
+  def shingleHashSet(text: Column, k: Int): Column =
+    array_distinct(TextAnalysis.shingleHashes(text, k))
+
+  def shingleHashSetSql(e: String, k: Int): String =
+    s"list_distinct(${TextAnalysis.shingleHashesSql(e, k)})"
+
+  /** Hot-path staged form of [[shingleHashSet]] over the documents table:
+    * `(doc_id, hs)` with every intermediate array (tokens → shingles →
+    * hashes) bound in its own projection so no lambda re-evaluates its
+    * upstream chain per element (see [[TextAnalysis.shinglesOf]]). Empty
+    * docs (< k tokens) are dropped.
+    */
+  def shingleHashSets(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      // the emptiness filter sits on the token stage, not the hash stage:
+      // pushdown rewrites the predicate through the projections, so filtering
+      // on `hs` would re-evaluate the whole shingle+hash chain inside the
+      // scan filter — size(toks) >= k is equivalent and only re-tokenizes
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), TextAnalysis.shinglesOf(col("toks"), k).as("shn"))
+      .select(col("doc_id"),
+              array_distinct(graft.expressions.SignatureExpressions.h32Array(col("shn"))).as("hs"))
+
+  /** MinHash signature: for each of the [[Hashing.NumPerms]] affine
+    * permutations, the minimum permuted shingle hash. NULL entries iff the
+    * document has no shingles (fewer than k tokens) — callers filter those.
+    * Backed by the one-pass custom expression
+    * ([[graft.expressions.SignatureExpressions.MinHashSignature]]); the
+    * equivalent built-in form is `array(array_min(transform(hs, perm_i)) …)`
+    * — same values, 16 interpreted passes instead of one primitive loop.
+    */
+  def minhashSignature(hashSet: Column): Column =
+    graft.expressions.SignatureExpressions.minhashSignature(hashSet)
+
+  def minhashSignatureSql(hs: String): String =
+    (0 until NumPerms)
+      .map(i => s"list_min(list_transform($hs, h -> ${permSql(i, "h")}))")
+      .mkString("[", ", ", "]")
+
+  /** LSH band keys over a signature: bands of `r` consecutive signature
+    * entries rendered as a string key. Two documents collide in band b iff
+    * their signatures agree on all r entries of that band — P = jaccard^r
+    * per band, so recall = 1-(1-j^r)^(numPerms/r).
+    */
+  def bandKeys(sig: Column, r: Int): Column =
+    array((0 until NumPerms / r).map { b =>
+      concat_ws(":", (0 until r).map(i => element_at(sig, b * r + i + 1)): _*)
+    }: _*)
+
+  def bandKeysSql(sig: String, r: Int): String =
+    (0 until NumPerms / r)
+      .map { b =>
+        (0 until r).map(i => s"CAST($sig[${b * r + i + 1}] AS VARCHAR)").mkString(" || ':' || ")
+      }
+      .mkString("[", ", ", "]")
+
+  /** Fraction of agreeing signature positions — the MinHash estimate of
+    * Jaccard similarity. Exact dyadic rational (n/NumPerms), so the double
+    * is bit-identical across engines.
+    */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(sequence(lit(1), lit(NumPerms)), i => element_at(sigA, i) === element_at(sigB, i)))
+      .cast("double") / lit(NumPerms.toDouble)
+
+  def estJaccardSql(sigA: String, sigB: String): String =
+    s"(CAST(len(list_filter(generate_series(1, $NumPerms), i -> $sigA[i] = $sigB[i])) AS DOUBLE)" +
+      s" / CAST($NumPerms AS DOUBLE))"
+
+  /** Exact Jaccard similarity of two pre-distinct arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  def jaccardSql(a: String, b: String): String =
+    s"(CAST(len(list_intersect($a, $b)) AS DOUBLE)" +
+      s" / CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE))"
+
+  // ------------------------------------------------------------- simhash
+
+  /** Number of bits in the SimHash fingerprint (32: derived from h32). */
+  val SimhashBits: Int = 32
+
+  /** SimHash over a document's distinct feature-hash set (pass the shingle
+    * hash set — unigram tokens don't discriminate in a small-vocabulary
+    * corpus): bit j of the fingerprint is set iff at least half the feature
+    * hashes have bit j set (the ±1-vote majority of the classic
+    * construction). Hamming-close fingerprints ⇒ similar feature sets.
+    * Callers filter empty docs (they'd hash to all-ones).
+    */
+  def simhash(hashSet: Column): Column =
+    graft.expressions.SignatureExpressions.simhash32(hashSet)
+
+  /** DuckDB twin of [[simhash]]. Pass a *bound column name* (bind the hash
+    * set in a CTE first) — the expression repeats `hs` 2×SimhashBits times.
+    */
+  def simhashSql(hs: String): String =
+    (0 until SimhashBits)
+      .map { j =>
+        val votes = s"len(list_filter($hs, h -> ((h >> $j) & 1) = 1))"
+        s"(CASE WHEN $votes * 2 >= len($hs) THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
+      }
+      .mkString("(", " + ", ")")
+
+  /** Byte-wise blocking keys for SimHash: 4 bands of 8 bits. Two fingerprints
+    * within Hamming distance d < 4 must agree on at least one whole byte
+    * (pigeonhole), so joining on any equal (band, byte) has perfect recall
+    * for d ≤ 3 and high recall beyond.
+    */
+  def simhashBands(sh: Column): Column =
+    array((0 until 4).map(b => shiftright(sh, 8 * b).bitwiseAND(lit(255L))): _*)
+
+  def simhashBandsSql(sh: String): String =
+    (0 until 4).map(b => s"(($sh >> ${8 * b}) & 255)").mkString("[", ", ", "]")
+
+  /** Hamming distance between two fingerprints. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  def hammingSql(a: String, b: String): String =
+    s"CAST(bit_count(xor($a, $b)) AS BIGINT)"
+}

@@ -1,0 +1,159 @@
+package graft.expressions
+
+import graft.functions.Hashing
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Custom Catalyst expressions for the dedup signature hot path.
+  *
+  * The `Column`-combinator formulations (16 × `transform`+`array_min` for
+  * MinHash, 64 × `filter`/`size` for SimHash) are semantically right but
+  * evaluate through interpreted higher-order-function lambdas — one boxed
+  * call tree per element per permutation. These expressions compute the
+  * identical values in a single primitive pass per row (measured ~10x on
+  * the signature stage at sf0.1). Same preference order as SURVEY §7:
+  * compose built-ins first, drop to a custom `Expression` where the
+  * built-ins can't express the computation efficiently.
+  *
+  * All three are deterministic, null-safe, eval-only (`CodegenFallback`):
+  * one virtual call per row into a tight JVM loop dominates the cost, so
+  * codegen would buy little. Values are bit-identical to the combinator
+  * forms and to the DuckDB oracle SQL (`Hashing.h32Sql`,
+  * `Dedup.minhashSignatureSql`, `Dedup.simhashSql`).
+  */
+object SignatureExpressions {
+
+  /** `array<string>` → `array<long>`: [[Hashing.h32]] of every element in
+    * one pass (md5 via MessageDigest, first 8 hex chars as unsigned 32-bit).
+    */
+  case class H32Array(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "h32_array"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Any](n)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          md.reset()
+          val bytes = md.digest(arr.getUTF8String(i).getBytes)
+          // first 8 hex chars == first 4 bytes, read big-endian, unsigned
+          out(i) = ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
+            ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): H32Array =
+      copy(child = newChild)
+  }
+
+  /** `array<long>` → `array<long>`: the [[Hashing.NumPerms]]-entry MinHash
+    * signature — min over the array of `(a_p*h + b_p) mod P` for each
+    * permutation p — in one pass.
+
+    * Empty input yields an all-NULL signature (matching
+    * `array_min(empty) = NULL`); callers filter empty docs.
+    */
+  case class MinHashSignature(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "minhash_signature"
+
+    private val permA = Hashing.PermA.toArray
+    private val permB = Hashing.PermB.toArray
+    private val numPerms = Hashing.NumPerms
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = Array.fill[Long](numPerms)(Long.MaxValue)
+      var any = false
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          any = true
+          val h = arr.getLong(i)
+          var p = 0
+          while (p < numPerms) {
+            // h ∈ [0,2^32), a < 2^30 ⇒ a*h+b < 2^63: exact; operands
+            // non-negative ⇒ % == pmod
+            val v = (permA(p) * h + permB(p)) % Hashing.P
+            if (v < mins(p)) mins(p) = v
+            p += 1
+          }
+        }
+        i += 1
+      }
+      if (!any) new GenericArrayData(new Array[Any](numPerms))
+      else new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+      copy(child = newChild)
+  }
+
+  /** `array<long>` → `long`: 32-bit SimHash — bit j set iff at least half
+    * the hashes have bit j set — in one pass.
+    */
+  case class SimHash32(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash32"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](32)
+      var total = 0
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          total += 1
+          val h = arr.getLong(i)
+          var j = 0
+          while (j < 32) {
+            counts(j) += ((h >> j) & 1L).toInt
+            j += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 32) {
+        if (2 * counts(j) >= total) out |= (1L << j)
+        j += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+      copy(child = newChild)
+  }
+
+  // ------------------------------------------------------- Column wrappers
+
+  def h32Array(c: Column): Column =
+    ColumnBridge.column(H32Array(ColumnBridge.expression(c)))
+
+  def minhashSignature(c: Column): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c)))
+
+  def simhash32(c: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(c)))
+}

@@ -36,12 +36,16 @@ object Hashing {
     */
   val P: Long = 2305843009213693951L
 
-  /** Fixed affine permutation constants (odd multipliers < 2^30). Derived
-    * from small primes; any fixed values work, they just must match the
-    * oracle side ([[permSql]]).
+  /** Fixed affine permutation constants (prime multipliers < 2^30, so
+    * `a*h` stays < 2^62 for 32-bit `h`). Derived from small primes; any
+    * fixed values work, they just must match the oracle side ([[permSql]]).
     */
-  val PermA: Seq[Long] = Seq(98317L, 196613L, 393241L, 786433L, 1572869L, 3145739L, 6291469L, 12582917L)
-  val PermB: Seq[Long] = Seq(53L, 97L, 193L, 389L, 769L, 1543L, 3079L, 6151L)
+  val PermA: Seq[Long] = Seq(
+    98317L, 196613L, 393241L, 786433L, 1572869L, 3145739L, 6291469L, 12582917L,
+    25165843L, 50331653L, 100663319L, 201326611L, 402653189L, 805306457L, 268435399L, 536870909L)
+  val PermB: Seq[Long] = Seq(
+    53L, 97L, 193L, 389L, 769L, 1543L, 3079L, 6151L,
+    12289L, 24593L, 49157L, 98317L, 196613L, 393241L, 786433L, 1572869L)
   val NumPerms: Int = PermA.size
 
   /** Affine permutation `perm(i, h) = (a_i * h + b_i) mod P` of a hash. */

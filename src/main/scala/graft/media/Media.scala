@@ -1,0 +1,133 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal asset: an opaque payload plus typed metadata. At 100 TB
+  * the payload column dominates storage — every operator here is designed
+  * so that metadata-only queries never deserialize payload bytes (column
+  * pruning reaches the parquet scan) and payload passes through at most one
+  * map stage, never a shuffle.
+  */
+final case class MediaRecord(
+    doc_id: Long,
+    media_type: String,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    payload: Array[Byte]
+)
+
+/** Decoded per-asset features (the output shape of the stubbed decoder). */
+final case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    mean_byte: Double,
+    first_byte: Int,
+    frame_count: Int
+)
+
+/** Multimodal plumbing: image/audio/video as opaque `binary` columns with
+  * typed metadata, frame slicing/sampling as Column expressions, and a
+  * typed `mapPartitions` decode stage.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic stub ([[Media.decodeStub]]) — the Spark
+  * side (schema, partition-iterator batch shape, typed Dataset plumbing)
+  * is real and tested; swapping the stub for a JNI/codec call changes no
+  * plan shape.
+  */
+object Media {
+
+  /** Frame stride in bytes for the fake fixed-size frame layout. */
+  val FrameBytes: Int = 32
+
+  /** Derive the media table from `documents`: payload = utf-8 bytes of the
+    * text (an opaque stand-in for real image/audio bytes), media_type and
+    * dimensions deterministic functions of doc_id. This is the *plumbing*
+    * fixture — in production this DataFrame comes straight off parquet with
+    * the same schema.
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      (lit(64) + pmod(col("doc_id") * 7, lit(64)) * 4).cast("int").as("width"),
+      (lit(64) + pmod(col("doc_id") * 13, lit(64)) * 4).cast("int").as("height"),
+      (lit(1) + pmod(col("doc_id"), lit(8))).cast("int").as("n_frames"),
+      encode(col("text"), "utf-8").as("payload")
+    )
+
+  /** DuckDB twin of [[mediaTable]] as a FROM-able subquery. The oracle keeps
+    * payload as VARCHAR: the corpus is pure ASCII (verified), so char slices
+    * == byte slices and md5(text) == md5(utf8 bytes).
+    */
+  val mediaTableSql: String =
+    """(SELECT doc_id,
+      |        (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+      |        CAST(64 + (doc_id * 7 % 64) * 4 AS INT) AS width,
+      |        CAST(64 + (doc_id * 13 % 64) * 4 AS INT) AS height,
+      |        CAST(1 + doc_id % 8 AS INT) AS n_frames,
+      |        text AS payload
+      | FROM documents)""".stripMargin
+
+  /** md5 of each fixed-stride frame slice of the payload (frames past the
+    * end of payload hash the empty slice — both engines agree).
+    */
+  def frameHashes(payload: org.apache.spark.sql.Column, nFrames: org.apache.spark.sql.Column) =
+    transform(sequence(lit(0), nFrames - 1),
+              f => md5(substr(payload, f * FrameBytes + 1, lit(FrameBytes))))
+
+  def frameHashesSql(payload: String, nFrames: String): String =
+    s"list_transform(generate_series(0, $nFrames - 1), " +
+      s"f -> md5(substring($payload, f * $FrameBytes + 1, $FrameBytes)))"
+
+  /** Every 2nd frame hash (positions 1, 3, 5, … 1-based) — frame sampling. */
+  def sampleFrames(hashes: org.apache.spark.sql.Column) =
+    transform(sequence(lit(1), size(hashes), lit(2)), i => element_at(hashes, i))
+
+  def sampleFramesSql(hashes: String): String =
+    s"list_transform(generate_series(1, len($hashes), 2), i -> $hashes[i])"
+
+  /** The stubbed decoder: deterministic features from raw bytes. Replace the
+    * body with a real codec (JPEG decode, PCM resample, …) — the signature
+    * and batch shape are what production code keeps. Runs per-partition so a
+    * real decoder amortizes its init cost across the partition's records.
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val bytes = r.payload
+    val n = bytes.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
+    MediaFeatures(
+      doc_id = r.doc_id,
+      media_type = r.media_type,
+      n_bytes = n.toLong,
+      mean_byte = if (n == 0) 0.0 else sum.toDouble / n.toDouble,
+      first_byte = if (n == 0) -1 else bytes(0) & 0xff,
+      frame_count = r.n_frames
+    )
+  }
+
+  /** Typed decode pipeline: Dataset[MediaRecord] → mapPartitions(decoder).
+    * Partition-iterator shape (not per-row `map`) so heavyweight decoder
+    * state is created once per partition — the real-codec access pattern.
+    */
+  def decodeAll(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (real codecs are stateful)
+      it.map(decodeStub)
+    }
+  }
+
+  /** End-to-end typed path from the documents table. */
+  def decodedFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    decodeAll(mediaTable(docs).as[MediaRecord])
+  }
+}

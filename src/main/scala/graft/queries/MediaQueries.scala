@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.{GraftSession, Tables}
+import graft.media.Media
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries: opaque binary payloads + typed metadata over
+  * the documents corpus (media payloads are a deterministic stand-in — see
+  * [[graft.media.Media]]). Both queries are map-only: payload never crosses
+  * a shuffle, and the metadata columns prune independently of it.
+  */
+object MediaQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // binary plumbing as Column expressions: sizes, content hash, fixed-
+    // stride frame hashes, every-2nd-frame sampling
+    QueryDef(
+      "media_features",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val m = Media.mediaTable(Tables.documents(spark, dir))
+        m.withColumn("frame_hashes", Media.frameHashes(col("payload"), col("n_frames")))
+          .select(
+            col("doc_id"), col("media_type"), col("width"), col("height"), col("n_frames"),
+            octet_length(col("payload")).cast("long").as("payload_bytes"),
+            md5(col("payload")).as("payload_md5"),
+            col("frame_hashes"),
+            Media.sampleFrames(col("frame_hashes")).as("sampled_hashes"))
+      },
+      Some {
+        val fh = Media.frameHashesSql("payload", "n_frames")
+        s"""SELECT doc_id, media_type, width, height, n_frames,
+           |       CAST(octet_length(encode(payload)) AS BIGINT) AS payload_bytes,
+           |       md5(payload) AS payload_md5,
+           |       frame_hashes,
+           |       ${Media.sampleFramesSql("frame_hashes")} AS sampled_hashes
+           |FROM (SELECT *, $fh AS frame_hashes FROM ${Media.mediaTableSql} m)""".stripMargin
+      }
+    ),
+
+    // typed mapPartitions decode path (stubbed codec): the oracle reproduces
+    // the stub arithmetic, proving the partition-iterator plumbing is exact
+    QueryDef(
+      "media_decode",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Media.decodedFeatures(spark, Tables.documents(spark, dir)).toDF()
+      },
+      Some {
+        val bytes = "list_transform(generate_series(1, length(payload)), i -> ascii(substring(payload, i, 1)))"
+        s"""SELECT doc_id, media_type,
+           |       CAST(length(payload) AS BIGINT) AS n_bytes,
+           |       (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), $bytes), (a, x) -> a + x) AS DOUBLE)
+           |          / CAST(length(payload) AS DOUBLE)) AS mean_byte,
+           |       CAST(ascii(substring(payload, 1, 1)) AS INT) AS first_byte,
+           |       n_frames AS frame_count
+           |FROM ${Media.mediaTableSql} m""".stripMargin
+      }
+    )
+  )
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.{GraftSession, Tables}
+import graft.similarity.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exact baseline, sign-LSH bucketing as
+  * the scale path, kNN classification, and embedding-cosine near-dup.
+  *
+  * Scale shape: the query set is tiny and explicitly `broadcast` — the
+  * corpus is scanned exactly once, map-side, with no shuffle except the
+  * final per-query top-k (k rows per query per partition after the window's
+  * partial rank). The brute-force *pair* query (`dedup_embedding_cosine`)
+  * is the one deliberate O(n²) baseline; `ann_lsh_topk` demonstrates the
+  * banding that replaces it at scale.
+  */
+object SimilarityQueries {
+
+  private val NumQueries = 10
+  private val K = 10
+
+  /** vectors with precomputed norms — norms are computed once per row so
+    * the pair stage divides by already-materialized doubles (identical
+    * arithmetic on the oracle side).
+    */
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+
+  private val normedSql =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, label, v, ${Vectors.normSql("v")} AS nrm FROM e)""".stripMargin
+
+  private def topkSpark(spark: SparkSession, dir: String): DataFrame = {
+    val n = normed(spark, dir)
+    val q = n.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = n.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+              (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= K)
+  }
+
+  private val topkSql =
+    s"""WITH $normedSql,
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+       |s AS (
+       |  SELECT query_id, n.vec_id, n.label,
+       |         (${Vectors.dotSql("qv", "v")} / (qn * nrm)) AS cosine
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id
+       |), r AS (
+       |  SELECT query_id, vec_id, label, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM s
+       |)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // exact brute-force cosine top-k for 10 broadcast query vectors
+    QueryDef(
+      "ann_bruteforce_topk",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        topkSpark(spark, dir).select("query_id", "vec_id", "rank", "cosine")
+      },
+      Some(s"""$topkSql
+              |SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= $K""".stripMargin)
+    ),
+
+    // approximate variant: sign-LSH banding prunes the corpus to bucket
+    // collisions before scoring — the 100-TB path (corpus scanned once to
+    // signatures; candidates via equi-join on (band, value))
+    QueryDef(
+      "ann_lsh_topk",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        // persist: the signed-projection signature (16 interpreted plane
+        // dots per vector) feeds the band explode and two score join-backs
+        val n = normed(spark, dir).withColumn("sig", Vectors.lshSignature(col("v"))).persist()
+        n.count() // eager: bands + two score join-backs share the cache
+        val bands = n.select(col("vec_id"),
+                             posexplode(Vectors.lshBands(col("sig"))).as(Seq("band", "bval")))
+        val qb = bands.where(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("band"), col("bval"))
+        val cand = bands.join(broadcast(qb), Seq("band", "bval"))
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"))
+          .distinct()
+        val scored = cand
+          .join(n.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
+          .join(n.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+          .select(col("query_id"), col("vec_id"),
+                  (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= K)
+          .select("query_id", "vec_id", "rank", "cosine")
+      },
+      Some {
+        s"""WITH $normedSql,
+           |sg AS (SELECT vec_id, v, nrm, ${Vectors.lshSignatureSql("v")} AS sig FROM n),
+           |bands AS (
+           |  SELECT vec_id, b, (${Vectors.lshBandsSql("sig")})[b + 1] AS bval
+           |  FROM sg CROSS JOIN (SELECT unnest(range(0, ${Vectors.NumPlanes / Vectors.BandBits})) AS b) bs
+           |),
+           |qb AS (SELECT vec_id AS query_id, b, bval FROM bands WHERE vec_id < $NumQueries),
+           |cand AS (
+           |  SELECT DISTINCT qb.query_id, bands.vec_id
+           |  FROM bands JOIN qb ON bands.b = qb.b AND bands.bval = qb.bval
+           |  WHERE bands.vec_id <> qb.query_id
+           |),
+           |s AS (
+           |  SELECT c.query_id, c.vec_id,
+           |         (${Vectors.dotSql("a.v", "t.v")} / (a.nrm * t.nrm)) AS cosine
+           |  FROM cand c JOIN sg a ON a.vec_id = c.query_id JOIN sg t ON t.vec_id = c.vec_id
+           |),
+           |r AS (
+           |  SELECT query_id, vec_id, cosine,
+           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+           |  FROM s
+           |)
+           |SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= $K""".stripMargin
+      }
+    ),
+
+    // kNN classification: majority label among the exact top-k
+    QueryDef(
+      "knn_classify",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val votes = topkSpark(spark, dir)
+          .groupBy(col("query_id"), col("label"))
+          .agg(count(lit(1)).as("votes"))
+        val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("label").asc)
+        votes.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+      },
+      Some(s"""$topkSql,
+              |v AS (
+              |  SELECT query_id, label, COUNT(*) AS votes FROM r WHERE rank <= $K
+              |  GROUP BY query_id, label
+              |)
+              |SELECT query_id, label AS pred_label, votes FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn FROM v
+              |) WHERE rn = 1""".stripMargin)
+    ),
+
+    // embedding-cosine near-duplicate pairs (brute-force exact baseline;
+    // the LSH query above is the scale path for the same computation)
+    QueryDef(
+      "dedup_embedding_cosine",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val n = normed(spark, dir).persist() // both sides of the pair join
+        n.count()
+        n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+                  (Vectors.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+          .where(col("cosine") >= lit(0.4))
+      },
+      Some(s"""WITH $normedSql
+              |SELECT vec_a, vec_b, cosine FROM (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |         (${Vectors.dotSql("a.v", "b.v")} / (a.nrm * b.nrm)) AS cosine
+              |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+              |) WHERE cosine >= CAST(0.4 AS DOUBLE)""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` stream: watermarked
+  * tumbling-window aggregation and custom sessionization state.
+  *
+  * The reference itself is batch-only (SURVEY.md §2.2), so this is the
+  * engine's forward-looking stream path: the same event schema processed
+  * incrementally. Design points for scale:
+  *
+  *   - event-time windows + watermark bound state (late data beyond the
+  *     watermark is dropped, state is evicted) — without the watermark a
+  *     100 TB/day stream grows state without bound;
+  *   - sessionization uses `flatMapGroupsWithState` with a processing-time
+  *     timeout so sessions close even for users that go silent;
+  *   - aggregations are keyed (`groupBy` window+type / `groupByKey` user) —
+  *     state is hash-partitioned across executors, no global state.
+  */
+object Streaming {
+
+  /** One input event (mirrors events.parquet). */
+  final case class Event(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double
+  )
+
+  /** One closed (or flushed) session. */
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      total_value: Double
+  )
+
+  /** In-flight session state (public: the state Encoder's generated
+    * serializer must see the constructor — Janino cannot instantiate a
+    * private nested case class).
+    */
+  final case class SessionState(
+      start: Long,
+      last: Long,
+      n: Long,
+      total: Double
+  )
+
+  /** Watermarked tumbling-window counts per event type: the canonical
+    * incremental aggregation. 10-minute windows, 30-minute watermark.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+
+  /** Session gap: events from the same user separated by more than this are
+    * different sessions (matches the batch `q_sessionize` query's gap).
+    */
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Custom stateful sessionization: emits a [[Session]] whenever a user's
+    * gap exceeds [[SessionGapMs]]; with `flushOnTimeout` (production
+    * setting) open sessions also flush after a processing-time timeout so
+    * silent users' sessions close. Tests pass `flushOnTimeout = false`:
+    * with a timeout registered, `AvailableNow`+`processAllAvailable` keeps
+    * scheduling wake-up batches and never quiesces.
+    */
+  def sessionize(events: Dataset[Event], flushOnTimeout: Boolean = true): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (flushOnTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= SessionGapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                if (flushOnTimeout) state.setTimeoutDuration(SessionGapMs)
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch-read the events table with the stream's schema (for parity tests
+    * and for replaying history through the same code path).
+    */
+  def eventsBatch(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.Hashing
+import org.apache.spark.sql.functions._
+
+/** Semantic unit tests for the dedup primitives on crafted documents —
+  * the DuckDB oracle checks cross-engine equality; these check the math
+  * means what it claims.
+  */
+class DedupSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val near1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val near2 = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+  private val far = "completely different content about spark query engines and shuffles"
+
+  private def docs = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "text")
+
+  test("minhash signature has NumPerms entries and is permutation-stable") {
+    val sig = docs
+      .select(Dedup.minhashSignature(Dedup.shingleHashSet(col("text"), 3)).as("sig"))
+      .head().getSeq[Long](0)
+    assert(sig.length == Hashing.NumPerms)
+    assert(sig.forall(h => h >= 0L && h < Hashing.P))
+  }
+
+  test("near-duplicate docs agree on most minhash positions; unrelated docs on none") {
+    val sigs = docs
+      .select(col("doc_id"), Dedup.minhashSignature(Dedup.shingleHashSet(col("text"), 3)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Long, b: Long) = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+    assert(agree(1L, 2L) >= Hashing.NumPerms / 2, "near-dups should collide on >= half the perms")
+    assert(agree(1L, 3L) <= 2, "unrelated docs should almost never collide")
+  }
+
+  test("estimated jaccard is the fraction of agreeing positions") {
+    val est = docs.as("a").crossJoin(docs.as("b"))
+      .where(col("a.doc_id") === 1 && col("b.doc_id") === 1)
+      .select(Dedup.estJaccard(
+        Dedup.minhashSignature(Dedup.shingleHashSet(col("a.text"), 3)),
+        Dedup.minhashSignature(Dedup.shingleHashSet(col("b.text"), 3))).as("e"))
+      .head().getDouble(0)
+    assert(est == 1.0, "identical docs estimate jaccard 1.0")
+  }
+
+  test("simhash: identical docs have hamming 0, near-dups small, far docs large") {
+    val fp = docs
+      .select(col("doc_id"), Dedup.simhash(Dedup.shingleHashSet(col("text"), 3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(ham(1L, 1L) == 0)
+    assert(ham(1L, 2L) < ham(1L, 3L), "near-dup hamming below unrelated hamming")
+    fp.values.foreach(v => assert(v >= 0L && v < (1L << 32)))
+  }
+
+  test("simhash byte-banding has perfect recall at hamming <= 3") {
+    // any two 32-bit values within hamming 3 share at least one untouched byte
+    val r = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val base = r.nextLong() & 0xffffffffL
+      val flipped = (0 until 3).foldLeft(base)((v, _) => v ^ (1L << r.nextInt(32)))
+      val bandsA = (0 until 4).map(b => (base >> (8 * b)) & 255L)
+      val bandsB = (0 until 4).map(b => (flipped >> (8 * b)) & 255L)
+      assert(bandsA.zip(bandsB).exists { case (x, y) => x == y })
+    }
+  }
+
+  test("exact jaccard of identical sets is 1.0 and of disjoint sets is 0.0") {
+    val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"), Seq("x y z", "z z y")))
+      .toDF("s1", "s2", "s3")
+    val row = df.select(
+      Dedup.jaccard(col("s1"), col("s2")).as("same"),
+      Dedup.jaccard(col("s1"), col("s3")).as("disj")).head()
+    assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 0.0)
+  }
+
+  test("dedup queries run end-to-end on the corpus and find the planted near-dups") {
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+    val ngram = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
+    assert(lsh.count() > 0, "corpus has planted near-duplicates")
+    assert(ngram.count() > 0)
+    // every reported pair estimates above threshold
+    assert(lsh.where(col("est_jaccard") < 0.5).count() == 0)
+    assert(ngram.where(col("jaccard") < 0.3).count() == 0)
+  }
+}

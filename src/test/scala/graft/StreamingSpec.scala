@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1704067200000L + minute * 60000L)
+
+  test("windowed counts over a memory stream match the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(5), 11, "click", 2.0),
+      Event(3, ts(12), 10, "purchase", 5.0),
+      Event(4, ts(14), 12, "click", 3.0),
+      Event(5, ts(25), 10, "click", 7.0)
+    )
+    input.addData(events: _*)
+
+    // complete mode emits every window's current aggregate each batch —
+    // the final table state must equal the batch aggregation
+    val q = Streaming.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination()
+
+    val streamed = spark.table("wc")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = Streaming.windowedCounts(events.toDF())
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sessionize splits on gap and aggregates within sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 1: two sessions (gap 40min > 30min); user 2: one session
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(50), 1, "click", 4.0),
+      Event(4, ts(0), 2, "click", 8.0))
+
+    val q = Streaming.sessionize(input.toDS(), flushOnTimeout = false)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination()
+
+    // only user 1's FIRST session is closed (by the in-batch gap); open
+    // sessions are held in state until timeout
+    val closed = spark.table("sess").as[Streaming.Session].collect()
+    assert(closed.length == 1)
+    val s = closed.head
+    assert(s.user_id == 1L && s.n_events == 2L && s.total_value == 3.0)
+    assert(s.session_start == ts(0) && s.session_end == ts(10))
+  }
+
+  test("batch replay through eventsBatch has the stream schema") {
+    val ds = Streaming.eventsBatch(spark, sf)
+    assert(ds.count() > 0)
+    val w = Streaming.windowedCounts(ds.toDF())
+    assert(w.columns.toSeq == Seq("window_start", "event_type", "n_events", "total_value"))
+    assert(w.count() > 0)
+  }
+}

@@ -62,8 +62,6 @@ def main():
             continue
         tbl = pq.read_table(pdir)
         spark_cols = tbl.column_names
-        spark_rows = [tuple(col[i] for col in tbl.to_pydict().values())
-                      for i in range(tbl.num_rows)]
         spark_rows = [tuple(r) for r in zip(*[tbl.to_pydict()[c] for c in spark_cols])] if tbl.num_rows else []
         try:
             rel = con.sql(sql)
