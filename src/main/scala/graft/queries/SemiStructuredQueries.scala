@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Semi-structured / grouping-set extensions of the relational surface:
+  * JSON extraction over the events `props` column and CUBE grouping sets.
+  * Both are single-shuffle aggregations (Expand + hash agg for CUBE); the
+  * JSON path extraction is a map-stage scalar function that pushes through
+  * to the scan untouched.
+  */
+object SemiStructuredQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // JSON scalar extraction + agg: parse props.k, bucket it, aggregate
+    QueryDef(
+      "q_json_props",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.events(spark, dir)
+          .select(col("event_type"),
+                  get_json_object(col("props"), "$.k").cast("long").as("k"),
+                  col("value"))
+          .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_bucket"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("value").cast(dec)).as("sum_value"),
+               max(col("k")).as("max_k"))
+      },
+      Some("""SELECT event_type,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+             |       COUNT(*) AS n,
+             |       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+             |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // CUBE grouping sets: all 4 combinations of (priority, status)
+    QueryDef(
+      "q_cube_orders",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.orders(spark, dir)
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(col("o_totalprice").cast(dec)).as("sum_price"))
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+             |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+             |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin)
+    ),
+
+    // approximate distinct (HLL sketch) — sketches differ across engines, so
+    // the check is exactness-free by construction: we assert the HLL estimate
+    // is within its configured error of the exact count, computed in-query
+    QueryDef(
+      "q_approx_distinct",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.lineitem(spark, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+               countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("l_returnflag"),
+                  // grade the sketch, emit a stable boolean: |approx-exact|/exact <= 3*rsd
+                  (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+                    col("exact_parts").cast("double") <= lit(0.06)).as("within_tolerance"),
+                  col("exact_parts"))
+      },
+      Some("""SELECT l_returnflag, TRUE AS within_tolerance,
+             |       COUNT(DISTINCT l_partkey) AS exact_parts
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    )
+  )
+}

@@ -117,6 +117,19 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup of a document stream: one row per normalized
+    * content hash, duplicates arriving within the watermark horizon
+    * dropped. `dropDuplicatesWithinWatermark` bounds the state store to the
+    * watermark window — the only formulation that survives an unbounded
+    * stream (plain `dropDuplicates` keys state forever). The batch twin is
+    * the `dedup_exact` query.
+    */
+  def streamingDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_md5", graft.text.TextAnalysis.contentHash(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** Batch-read the events table with the stream's schema (for parity tests
     * and for replaying history through the same code path).
     */

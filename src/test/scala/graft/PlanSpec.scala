@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.SkewJoin
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the scale properties the engine promises
+  * (pushdown, pruning, broadcast, top-k without global sort, bucketed
+  * co-location) hold in the plans Catalyst actually produces — not just in
+  * intent. These are the checks a 100 TB deployment lives or dies by.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q3: dimension filter pushes down to the customer parquet scan") {
+    val plan = planOf("q3_shipping_priority")
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)") && plan.contains("PushedFilters: [IsNotNull(c_mktsegment)"),
+           s"expected c_mktsegment pushdown in:\n$plan")
+  }
+
+  test("column pruning: text queries read only the needed columns") {
+    val plan = planOf("text_token_counts")
+    // the documents scan must read doc_id + text, not lang/source/n_chars
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+           s"expected pruned ReadSchema in:\n$plan")
+  }
+
+  test("q5: both dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = planOf("q5_customer_by_region")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, s"expected 2 broadcast joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "dimension chain must not sort-merge")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = planOf("q_topk_orders")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
+  }
+
+  test("anti and semi joins plan as their dedicated join types") {
+    assert(planOf("q_anti_join").contains("LeftAnti"))
+    assert(planOf("q_semi_join").contains("LeftSemi"))
+  }
+
+  test("salted join equals the plain join and scatters the hot key") {
+    val ev = Tables.events(spark, sf).select("user_id", "event_type", "value")
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg"), pmod(col("user_id"), lit(5))))
+    val plain = ev.join(dim, "user_id")
+    val salted = SkewJoin.saltedJoin(ev, dim, "user_id", salt = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("user_id", "event_type", "value", "segment")
+      .except(plain.select("user_id", "event_type", "value", "segment")).isEmpty)
+    // the physical plan shuffles on (key, salt), not the bare key
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "salt column must participate in the join")
+  }
+
+  test("bucketed tables co-locate the join: no exchange on the bucketed key") {
+    val db = "plan_spec_db"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"USE $db")
+    try {
+      spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_bucketed")
+      val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      l.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_bucketed")
+      val joined = spark.table("lineitem_bucketed")
+        .join(spark.table("orders_bucketed"),
+              col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+             s"bucketed-bucketed equi-join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("USE default")
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
+  }
+}

@@ -66,6 +66,23 @@ class StreamingSpec extends SparkTestBase {
     assert(s.session_start == ts(0) && s.session_end == ts(10))
   }
 
+  test("streaming dedup keeps one row per content hash within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    input.addData(
+      (1L, ts(0), "the same document text"),
+      (2L, ts(1), "the same  document   text"), // same after normalization
+      (3L, ts(2), "a different document"))
+    val q = Streaming.streamingDedup(input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination()
+    val out = spark.table("sdedup").select("content_md5").collect().map(_.getString(0))
+    assert(out.length == 2, "3 docs, 2 distinct normalized contents")
+    assert(out.distinct.length == 2)
+  }
+
   test("batch replay through eventsBatch has the stream schema") {
     val ds = Streaming.eventsBatch(spark, sf)
     assert(ds.count() > 0)
