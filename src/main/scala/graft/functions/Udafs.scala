@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed user-defined aggregators (the UDAF surface — SURVEY.md §2.3 maps
+  * the reference's empty UDAF row to `Aggregator[IN, BUF, OUT]`).
+  *
+  * Aggregators run as partial (map-side) + merge (reduce-side) aggregation
+  * like built-ins — the `merge` associativity contract is what makes them
+  * safe at any partitioning, so buffers here are order-insensitive sums.
+  */
+object Udafs {
+
+  /** Weighted mean: Σ(w·x) / Σ(w). Buffer is a pair of sums, so partial
+    * aggregation and AQE partition coalescing can't change the result
+    * beyond double-sum reorder (callers needing bit-stability aggregate
+    * decimals instead).
+    */
+  final case class WeightedMeanBuf(sum: Double, weight: Double)
+
+  object WeightedMean extends Aggregator[(Double, Double), WeightedMeanBuf, Double] {
+    override def zero: WeightedMeanBuf = WeightedMeanBuf(0.0, 0.0)
+    override def reduce(b: WeightedMeanBuf, in: (Double, Double)): WeightedMeanBuf =
+      WeightedMeanBuf(b.sum + in._1 * in._2, b.weight + in._2)
+    override def merge(a: WeightedMeanBuf, b: WeightedMeanBuf): WeightedMeanBuf =
+      WeightedMeanBuf(a.sum + b.sum, a.weight + b.weight)
+    override def finish(b: WeightedMeanBuf): Double =
+      if (b.weight == 0.0) Double.NaN else b.sum / b.weight
+    override def bufferEncoder: Encoder[WeightedMeanBuf] = Encoders.product
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Exact long-sum of the minimum element per group — a tiny example of a
+    * custom order-insensitive aggregate (used by specs to pin Aggregator
+    * registration + SQL call paths).
+    */
+  object LongMin extends Aggregator[Long, Long, Long] {
+    override def zero: Long = Long.MaxValue
+    override def reduce(b: Long, a: Long): Long = math.min(b, a)
+    override def merge(a: Long, b: Long): Long = math.min(a, b)
+    override def finish(r: Long): Long = r
+    override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftSession, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -74,6 +75,35 @@ object SemiStructuredQueries {
       Some("""SELECT l_returnflag, TRUE AS within_tolerance,
              |       COUNT(DISTINCT l_partkey) AS exact_parts
              |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+
+    // time-series rolling aggregation: daily revenue + 7-day trailing sum
+    // via a RANGE window over day numbers (decimal-exact, so the window
+    // merge order can't perturb results)
+    QueryDef(
+      "q_rolling_revenue",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val daily = Tables.orders(spark, dir)
+          .groupBy(to_date(col("o_orderdate")).as("day"), col("o_orderpriority"))
+          .agg(sum(col("o_totalprice").cast(dec)).as("day_rev"))
+          .withColumn("day_num", datediff(col("day"), lit("2024-01-01").cast("date")))
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day_num"))
+          .rangeBetween(-6, Window.currentRow)
+        daily
+          .select(col("day"), col("o_orderpriority"), col("day_rev"),
+                  sum(col("day_rev")).over(w).as("rolling_7d_rev"))
+      },
+      Some("""SELECT day, o_orderpriority, day_rev,
+             |       SUM(day_rev) OVER (
+             |         PARTITION BY o_orderpriority ORDER BY day_num
+             |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_7d_rev
+             |FROM (
+             |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+             |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev,
+             |         date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS day_num
+             |  FROM orders GROUP BY 1, 2, 4
+             |)""".stripMargin)
     )
   )
 }

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips: every format a pipeline consumer realistically
+  * feeds the engine (parquet is the native format; csv/json/orc prove the
+  * reader/writer surface). Values must survive the round-trip exactly.
+  */
+class SourcesSpec extends SparkTestBase {
+
+  private lazy val base = Files.createTempDirectory("graft_sources").toString
+
+  private def sample = Tables.orders(spark, sf)
+    .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate").cast("timestamp").as("o_orderdate"))
+    .limit(500)
+
+  private def roundTrip(fmt: String, opts: Map[String, String] = Map.empty): Unit = {
+    val path = s"$base/$fmt"
+    val df = sample
+    df.write.mode("overwrite").options(opts).format(fmt).save(path)
+    val back = spark.read.options(opts).format(fmt)
+      .schema(df.schema) // csv/json need the schema pinned; harmless for others
+      .load(path)
+    assert(back.count() == df.count(), s"$fmt rowcount")
+    assert(back.except(df).isEmpty && df.except(back).isEmpty, s"$fmt values")
+  }
+
+  test("parquet round-trip is exact")(roundTrip("parquet"))
+  test("orc round-trip is exact")(roundTrip("orc"))
+  test("json round-trip is exact")(roundTrip("json"))
+  test("csv round-trip is exact")(
+    roundTrip("csv", Map("header" -> "true", "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+
+  test("partitioned parquet sink prunes partitions on read") {
+    val path = s"$base/partitioned"
+    Tables.orders(spark, sf)
+      .withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(path)
+    val pruned = spark.read.parquet(path).where(col("status") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(status"),
+           s"expected partition pruning in:\n$plan")
+    assert(pruned.count() ==
+      Tables.orders(spark, sf).where(col("o_orderstatus") === "F").count())
+  }
+}

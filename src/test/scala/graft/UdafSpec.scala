@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.Udafs
+import org.apache.spark.sql.functions._
+
+class UdafSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("weighted mean matches hand arithmetic and is partition-insensitive") {
+    val data = Seq((1.0, 1.0), (3.0, 3.0), (10.0, 0.0))
+    val expected = (1.0 * 1.0 + 3.0 * 3.0 + 10.0 * 0.0) / (1.0 + 3.0 + 0.0)
+    val wm = udaf(Udafs.WeightedMean)
+    for (parts <- Seq(1, 4)) {
+      val df = data.toDF("x", "w").repartition(parts)
+      val got = df.select(wm(col("x"), col("w")).as("m")).head().getDouble(0)
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("weighted mean over zero total weight yields NaN") {
+    val wm = udaf(Udafs.WeightedMean)
+    val got = Seq((5.0, 0.0)).toDF("x", "w")
+      .select(wm(col("x"), col("w"))).head().getDouble(0)
+    assert(got.isNaN)
+  }
+
+  test("aggregators register into SQL and group correctly") {
+    spark.udf.register("wmean", udaf(Udafs.WeightedMean))
+    Tables.events(spark, sf).createOrReplaceTempView("udaf_events")
+    val rows = spark.sql(
+      """SELECT event_type, wmean(value, CAST(1.0 AS DOUBLE)) AS m, AVG(value) AS a
+        |FROM udaf_events GROUP BY event_type""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-9,
+             "unit-weight weighted mean == AVG")
+    }
+  }
+
+  test("typed aggregation on Dataset with LongMin") {
+    val ds = spark.range(100).map(i => (i % 3, i + 7)).toDF("k", "v").as[(Long, Long)]
+    val got = ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(Udafs.LongMin.toColumn.name("minv"))
+      .collect().toMap
+    // mapped before aggregation: min of (i+7) per residue class
+    assert(got == Map(0L -> 7L, 1L -> 8L, 2L -> 9L))
+  }
+}
