@@ -113,6 +113,28 @@ object Media {
     )
   }
 
+  /** Stubbed resize: halves each dimension until both fit `maxDim`, and
+    * subsamples the payload by the same factor (every `factor`-th byte) —
+    * the deterministic stand-in for a real scaler. Metadata stays exact:
+    * downstream partition planning reads width/height without touching
+    * payload bytes.
+    */
+  def resizeStub(r: MediaRecord, maxDim: Int): MediaRecord = {
+    var factor = 1
+    while ((r.width / factor) > maxDim || (r.height / factor) > maxDim) factor *= 2
+    if (factor == 1) r
+    else {
+      val sampled = Array.tabulate(r.payload.length / factor)(i => r.payload(i * factor))
+      r.copy(width = r.width / factor, height = r.height / factor, payload = sampled)
+    }
+  }
+
+  /** Typed resize pipeline (same partition-iterator shape as [[decodeAll]]). */
+  def resizeAll(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(resizeStub(_, maxDim)))
+  }
+
   /** Typed decode pipeline: Dataset[MediaRecord] → mapPartitions(decoder).
     * Partition-iterator shape (not per-row `map`) so heavyweight decoder
     * state is created once per partition — the real-codec access pattern.

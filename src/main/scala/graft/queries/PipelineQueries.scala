@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.{GraftSession, Tables}
+import graft.functions.Hashing
+import graft.text.TextAnalysis
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond cleaning/dedup: deterministic
+  * source mixing (down/up-weighting corpora to a target recipe) and
+  * token-budget sequence packing (grouping documents into fixed-budget
+  * training chunks). Both are single-shuffle and fully deterministic —
+  * selection comes from content-independent hashes, not RNG, so the same
+  * recipe reproduces byte-identical datasets on any cluster size.
+  */
+object PipelineQueries {
+
+  /** Keep-quota per source in permille; unlisted sources fall back to 100‰.
+    * (A real recipe comes from config; fixed here so the oracle can mirror.)
+    */
+  val MixPermille: Seq[(String, Int)] =
+    Seq("src0" -> 1000, "src1" -> 800, "src2" -> 500, "src3" -> 250, "src4" -> 125)
+  val MixDefault = 100
+
+  /** Token budget per packed training chunk. */
+  val PackBudget = 2048
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // deterministic data mixing: doc selected iff h32("mix:"+doc_id) mod
+    // 1000 < source quota. Per-source keep counts verify the recipe.
+    QueryDef(
+      "q_data_mix",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val quota = MixPermille.foldRight(lit(MixDefault)) { case ((s, q), acc) =>
+          when(col("source") === s, lit(q)).otherwise(acc)
+        }
+        Tables.documents(spark, dir)
+          .select(col("source"),
+                  (pmod(Hashing.h32(concat(lit("mix:"), col("doc_id"))), lit(1000L)) < quota)
+                    .as("keep"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+               sum(col("keep").cast("long")).as("n_kept"))
+      },
+      Some {
+        val quota = MixPermille.foldRight(MixDefault.toString) { case ((s, q), acc) =>
+          s"(CASE WHEN source = '$s' THEN $q ELSE $acc END)"
+        }
+        s"""SELECT source, COUNT(*) AS n_total,
+           |       SUM(CASE WHEN ${Hashing.h32Sql("concat('mix:', doc_id)")} % 1000 < $quota
+           |                THEN 1 ELSE 0 END) AS n_kept
+           |FROM documents GROUP BY source""".stripMargin
+      }
+    ),
+
+    // token-budget packing: greedy contiguous packing by running token
+    // total per source; chunk id = (cumulative_before_doc) div budget.
+    // Per-chunk stats verify the assignment.
+    QueryDef(
+      "q_pack_sequences",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        Tables.documents(spark, dir)
+          .select(col("source"), col("doc_id"),
+                  TextAnalysis.bpeTokenCount(col("text")).cast("long").as("toks"))
+          .withColumn("cum", sum(col("toks")).over(w))
+          // integer division on both engines (Spark `div`, DuckDB `//`):
+          // float division + cast would round vs truncate differently
+          .select(col("source"),
+                  expr(s"(cum - toks) div $PackBudget").as("chunk"),
+                  col("toks"))
+          .groupBy(col("source"), col("chunk"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("chunk_tokens"))
+      },
+      Some(s"""SELECT source, CAST((cum - toks) // $PackBudget AS BIGINT) AS chunk,
+              |       COUNT(*) AS n_docs, SUM(toks) AS chunk_tokens
+              |FROM (
+              |  SELECT source, doc_id,
+              |         CAST(${TextAnalysis.bpeTokenCountSql("text")} AS BIGINT) AS toks,
+              |         SUM(CAST(${TextAnalysis.bpeTokenCountSql("text")} AS BIGINT)) OVER (
+              |           PARTITION BY source ORDER BY doc_id) AS cum
+              |  FROM documents
+              |)
+              |GROUP BY 1, 2""".stripMargin)
+    )
+  )
+}

@@ -129,6 +129,81 @@ object SimilarityQueries {
       }
     ),
 
+    // IVF-style ANN: partition the corpus into cells around seed centroids
+    // (deterministic seed sample — a k-means iteration would refine them
+    // without changing the plan shape), probe the query's nearest cells
+    // only. At 100 TB the cell assignment is a materialized table and each
+    // query touches nprobe/ncells of the corpus.
+    QueryDef(
+      "ann_ivf_topk",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val nCells = 16
+        val nProbe = 4
+        val n = normed(spark, dir).persist()
+        n.count()
+        val cents = n.where(col("vec_id") < nCells)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        // L2² distance to each centroid: (v·v - 2 v·c) + c·c — identical
+        // association order on the oracle side
+        val dist = (Vectors.dot(col("v"), col("v")) - lit(2.0) * Vectors.dot(col("v"), col("cv"))) +
+          Vectors.dot(col("cv"), col("cv"))
+        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)
+        val assigned = n.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
+          .withColumn("rk", row_number().over(wAssign))
+        val corpusCells = assigned.where(col("rk") === 1)
+          .select(col("vec_id"), col("cid").as("cell"))
+        val queryCells = assigned.where(col("vec_id") < NumQueries && col("rk") <= nProbe)
+          .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+        val cand = corpusCells.join(broadcast(queryCells), "cell")
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"))
+          .distinct()
+        val scored = cand
+          .join(n.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
+          .join(n.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+          .select(col("query_id"), col("vec_id"),
+                  (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= K)
+          .select("query_id", "vec_id", "rank", "cosine")
+      },
+      Some {
+        val nCells = 16
+        val nProbe = 4
+        val dist = s"((${Vectors.dotSql("v", "v")} - 2.0 * ${Vectors.dotSql("v", "cv")}) + ${Vectors.dotSql("cv", "cv")})"
+        s"""WITH $normedSql,
+           |cents AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $nCells),
+           |assigned AS (
+           |  SELECT n.vec_id, n.v, n.nrm, cents.cid, $dist AS dist,
+           |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $dist ASC, cents.cid ASC) AS rk
+           |  FROM n CROSS JOIN cents
+           |),
+           |corpus_cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE rk = 1),
+           |query_cells AS (
+           |  SELECT vec_id AS query_id, cid AS cell FROM assigned
+           |  WHERE vec_id < $NumQueries AND rk <= $nProbe
+           |),
+           |cand AS (
+           |  SELECT DISTINCT q.query_id, c.vec_id
+           |  FROM corpus_cells c JOIN query_cells q ON c.cell = q.cell
+           |  WHERE c.vec_id <> q.query_id
+           |),
+           |s AS (
+           |  SELECT cand.query_id, cand.vec_id,
+           |         (${Vectors.dotSql("a.v", "t.v")} / (a.nrm * t.nrm)) AS cosine
+           |  FROM cand JOIN n a ON a.vec_id = cand.query_id JOIN n t ON t.vec_id = cand.vec_id
+           |),
+           |r AS (
+           |  SELECT query_id, vec_id, cosine,
+           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+           |  FROM s
+           |)
+           |SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= $K""".stripMargin
+      }
+    ),
+
     // kNN classification: majority label among the exact top-k
     QueryDef(
       "knn_classify",

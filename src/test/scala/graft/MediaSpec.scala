@@ -32,6 +32,22 @@ class MediaSpec extends SparkTestBase {
     assert(feats.filter(f => f.n_bytes <= 0).count() == 0)
   }
 
+  test("resize halves dimensions to fit and subsamples payload by the same factor") {
+    val rec = MediaRecord(1L, "image", 256, 128, 1, Array.tabulate(64)(_.toByte))
+    val out = Media.resizeStub(rec, maxDim = 64)
+    assert(out.width == 64 && out.height == 32)
+    assert(out.payload.length == 16)
+    assert(out.payload.toSeq == Seq.tabulate(16)(i => (i * 4).toByte))
+    // already-fitting records pass through untouched
+    val same = Media.resizeStub(rec.copy(width = 32, height = 32), maxDim = 64)
+    assert(same.payload eq rec.payload)
+    // distributed path covers every row
+    val ds = Media.resizeAll(
+      Media.mediaTable(Tables.documents(spark, sf)).as[MediaRecord](
+        org.apache.spark.sql.Encoders.product[MediaRecord]), maxDim = 128)
+    assert(ds.filter(r => r.width > 128 || r.height > 128).count() == 0)
+  }
+
   test("frame hashing: n_frames hashes, sampling takes odd positions") {
     val m = Media.mediaTable(Tables.documents(spark, sf))
       .withColumn("fh", Media.frameHashes(col("payload"), col("n_frames")))
