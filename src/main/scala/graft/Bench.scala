@@ -13,6 +13,9 @@ object Bench {
     // warm up codegen/JIT and the parquet reader path once so the first
     // timed query doesn't absorb session startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.range(10000L)
+      .selectExpr("md5(regexp_replace(lower(concat('x ', id)), '\\\\s+', ' ')) AS h")
+      .selectExpr("count(distinct h)").collect()
     Tables.load(spark, sfDir, "region").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
