@@ -89,6 +89,25 @@ object TextQueries {
       })
     ),
 
+    // explode/Generate: flatten the token stream and aggregate term
+    // frequencies — the inverted-index/vocabulary build shape. Top-20 with
+    // unique tiebreak for determinism.
+    QueryDef(
+      "text_term_frequency",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.documents(spark, dir)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token"))
+          .limit(20)
+      },
+      Some(s"""SELECT token, COUNT(*) AS tf
+              |FROM (SELECT unnest(${tokensSql("text")}) AS token FROM documents)
+              |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin)
+    ),
+
     // corpus rollup: the aggregation consumers actually run — token budget +
     // mean quality per (source, lang). Sums are exact integer/decimal.
     QueryDef(

@@ -83,6 +83,23 @@ class StreamingSpec extends SparkTestBase {
     assert(out.distinct.length == 2)
   }
 
+  test("stream-static join enriches events against a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(1), 11, "click", 2.0),
+      Event(3, ts(2), 99, "click", 4.0)) // no dimension row -> dropped by inner join
+    val dim = Seq((10L, "gold"), (11L, "silver")).toDF("user_id", "tier")
+    val q = input.toDF().join(dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination()
+    val rows = spark.table("enriched").select("user_id", "tier").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(10L -> "gold", 11L -> "silver"))
+  }
+
   test("batch replay through eventsBatch has the stream schema") {
     val ds = Streaming.eventsBatch(spark, sf)
     assert(ds.count() > 0)
