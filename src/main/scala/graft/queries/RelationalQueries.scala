@@ -296,18 +296,16 @@ object RelationalQueries {
       (spark, dir) => {
         GraftSession.tune(spark)
         val ev = Tables.events(spark, dir)
-        val tagged = ev.filter(col("event_type").isin("click", "purchase"))
-          .select(col("user_id"), col("ts"), col("event_id"),
-                  (col("event_type") === "purchase").cast("int").as("is_purchase"),
-                  when(col("event_type") === "click", col("ts")).as("click_ts"))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("is_purchase"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        tagged
-          .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
-          .filter(col("is_purchase") === 1)
-          .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
-                  col("last_click_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+                  col("ts").as("last_click_ts"))
+        graft.operators.AsOfJoin.backward(
+          purchases, clicks,
+          key = "user_id", leftTime = "purchase_ts", rightTime = "click_ts",
+          rightValues = Seq("last_click_ts"))
+          .select(col("event_id"), col("user_id"), col("purchase_ts"), col("last_click_ts"))
       },
       Some("""SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS last_click_ts
              |FROM (SELECT * FROM events WHERE event_type='purchase') p
