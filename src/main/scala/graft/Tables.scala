@@ -37,11 +37,51 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    loadRanged(spark, sfDir, table)
+
+  /** [[load]] plus an optional coarse event-time range on one timestamp
+    * column, applied to the RAW column *before* any conversion.
+    *
+    * Why this exists: nano-encoded columns go through a computed
+    * nanos→TIMESTAMP_NTZ projection, so a filter on the converted column
+    * can never reach the parquet scan — at 100 TB that forfeits
+    * row-group/page pruning on the fact table's time axis, the single most
+    * important pushdown there is. For those columns the raw-space long
+    * bounds here are padded by one second to a strict superset (truncation
+    * can't produce false negatives) and push down as ordinary long-column
+    * filters; natively-typed timestamp columns get direct (inclusive,
+    * still-superset) bounds, which Spark pushes as-is. Either way the
+    * caller keeps its exact predicate for semantics.
+    */
+  def loadRanged(
+      spark: SparkSession,
+      sfDir: String,
+      table: String,
+      rangeCol: Option[String] = None,
+      notBefore: Option[java.time.LocalDateTime] = None,
+      notAfter: Option[java.time.LocalDateTime] = None
+  ): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/$table.parquet")
     val nanoCols = nanoTimestampCols.getOrElse(table, Nil).toSet
-    val cols = raw.schema.fields.map { f =>
+    def nanosOf(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + t.getNano
+    val ranged = rangeCol match {
+      case Some(c) if raw.schema(c).dataType == LongType && nanoCols.contains(c) =>
+        val padNanos = 1000000000L // 1 s superset padding
+        val lo = notBefore.map(t => col(c) >= lit(nanosOf(t) - padNanos))
+        val hi = notAfter.map(t => col(c) <= lit(nanosOf(t) + padNanos))
+        (lo.toSeq ++ hi.toSeq).foldLeft(raw)(_ filter _)
+      case Some(c) if raw.schema(c).dataType == TimestampNTZType ||
+          raw.schema(c).dataType == TimestampType =>
+        val target = raw.schema(c).dataType
+        val lo = notBefore.map(t => col(c) >= lit(t).cast(target))
+        val hi = notAfter.map(t => col(c) <= lit(t).cast(target))
+        (lo.toSeq ++ hi.toSeq).foldLeft(raw)(_ filter _)
+      case _ => raw
+    }
+    val cols = ranged.schema.fields.map { f =>
       if (nanoCols.contains(f.name) && f.dataType == LongType)
         // integer nanos -> integer micros (truncating div, not double div:
         // a double round-trip would lose precision above 2^53 nanos)
@@ -51,7 +91,7 @@ object Tables {
         col(f.name).cast(TimestampNTZType).as(f.name)
       else col(f.name)
     }
-    raw.select(cols.toIndexedSeq: _*)
+    ranged.select(cols.toIndexedSeq: _*)
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

@@ -38,7 +38,10 @@ object RelationalQueries {
       "q1_pricing_summary",
       (spark, dir) => {
         GraftSession.tune(spark)
-        Tables.lineitem(spark, dir)
+        // raw-nanos superset range pushes to the scan (row-group pruning at
+        // scale); the exact NTZ predicate below keeps the semantics
+        Tables.loadRanged(spark, dir, "lineitem", Some("l_shipdate"),
+                          notAfter = Some(java.time.LocalDateTime.of(1998, 9, 1, 0, 0)))
           .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
@@ -68,9 +71,12 @@ object RelationalQueries {
       (spark, dir) => {
         GraftSession.tune(spark)
         val cutoff = lit("1998-01-01").cast("timestamp_ntz")
+        val cutoffLdt = java.time.LocalDateTime.of(1998, 1, 1, 0, 0)
         val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
-        val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
-        val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+        val o = Tables.loadRanged(spark, dir, "orders", Some("o_orderdate"), notAfter = Some(cutoffLdt))
+          .filter(col("o_orderdate") < cutoff)
+        val l = Tables.loadRanged(spark, dir, "lineitem", Some("l_shipdate"), notBefore = Some(cutoffLdt))
+          .filter(col("l_shipdate") > cutoff)
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))

@@ -19,6 +19,12 @@ class PlanSpec extends SparkTestBase {
            s"expected c_mktsegment pushdown in:\n$plan")
   }
 
+  test("q1: the date-range superset filter reaches the lineitem parquet scan") {
+    val plan = planOf("q1_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate,"),
+           s"expected l_shipdate range pushdown in:\n$plan")
+  }
+
   test("column pruning: text queries read only the needed columns") {
     val plan = planOf("text_token_counts")
     // the documents scan must read doc_id + text, not lang/source/n_chars
