@@ -39,6 +39,7 @@ object DedupQueries {
       "dedup_minhash_lsh",
       (spark, dir) => {
         GraftSession.tune(spark)
+        spark.catalog.clearCache() // queries run sequentially; drop stale persists
         val docs = Tables.documents(spark, dir)
         // Staged projections, then persist. The stages matter: each binds an
         // intermediate array ONCE per row before the next stage's lambdas
@@ -100,6 +101,7 @@ object DedupQueries {
       "dedup_simhash",
       (spark, dir) => {
         GraftSession.tune(spark)
+        spark.catalog.clearCache() // queries run sequentially; drop stale persists
         val docs = Tables.documents(spark, dir)
         val fps = Dedup.shingleHashSets(docs, ShingleK)
           .select(col("doc_id"), Dedup.simhash(col("hs")).as("sh"))
@@ -142,6 +144,7 @@ object DedupQueries {
       "dedup_ngram_jaccard",
       (spark, dir) => {
         GraftSession.tune(spark)
+        spark.catalog.clearCache() // queries run sequentially; drop stale persists
         val docs = Tables.documents(spark, dir)
         // persist both stages: `sigs` feeds the band self-join (2 refs) and
         // `sh` the exact-jaccard join-backs (2 refs) — shingling + hashing

@@ -81,6 +81,7 @@ object SimilarityQueries {
       "ann_lsh_topk",
       (spark, dir) => {
         GraftSession.tune(spark)
+        spark.catalog.clearCache() // sequential query contract; drop stale persists
         // persist: the signed-projection signature (16 interpreted plane
         // dots per vector) feeds the band explode and two score join-backs
         val n = normed(spark, dir).withColumn("sig", Vectors.lshSignature(col("v"))).persist()
@@ -138,6 +139,7 @@ object SimilarityQueries {
       "ann_ivf_topk",
       (spark, dir) => {
         GraftSession.tune(spark)
+        spark.catalog.clearCache()
         val nCells = 16
         val nProbe = 4
         val n = normed(spark, dir).persist()
@@ -232,6 +234,7 @@ object SimilarityQueries {
       "dedup_embedding_cosine",
       (spark, dir) => {
         GraftSession.tune(spark)
+        spark.catalog.clearCache()
         val n = normed(spark, dir).persist() // both sides of the pair join
         n.count()
         n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
