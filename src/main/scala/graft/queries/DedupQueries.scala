@@ -138,6 +138,32 @@ object DedupQueries {
       }
     ),
 
+    // fuzzy (edit-distance) matching: brand-blocked part-name pairs within
+    // levenshtein 3, rolled up as a distance histogram. The block key turns
+    // the O(n²) comparison into per-brand groups — the schema-matching /
+    // entity-resolution shape.
+    QueryDef(
+      "dedup_fuzzy_names",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
+        p.as("a")
+          .join(p.as("b"),
+                col("a.p_brand") === col("b.p_brand") && col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_brand").as("p_brand"),
+                  levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("distance"))
+          .where(col("distance") <= 3)
+          .groupBy(col("p_brand"), col("distance"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""SELECT a.p_brand, CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance,
+             |       COUNT(*) AS n_pairs
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 3
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
     // blocked exact n-gram Jaccard: 16 single-row LSH bands for candidates
     // (recall 1-(1-j)^16), then exact set jaccard >= 0.3 on shingle sets
     QueryDef(
