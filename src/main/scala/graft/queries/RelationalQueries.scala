@@ -30,6 +30,11 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
 object RelationalQueries {
 
   private val dec = DecimalType(18, 2)
+  // Result-type contract with the oracle: Spark's SUM(DECIMAL(18,2)) widens
+  // to DECIMAL(28,2) while DuckDB's widens to DECIMAL(38,2) (and SUM(BIGINT)
+  // to HUGEINT); the driver's hasher is type-sensitive, so every aggregate
+  // output is cast to one explicit type on BOTH sides.
+  private val dec38 = DecimalType(38, 2)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -45,17 +50,17 @@ object RelationalQueries {
           .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity").cast(dec)).as("sum_qty"),
-            sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
-            sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))).as("sum_disc_price"),
+            sum(col("l_quantity").cast(dec)).cast(dec38).as("sum_qty"),
+            sum(col("l_extendedprice").cast(dec)).cast(dec38).as("sum_base_price"),
+            sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))).cast(DecimalType(38, 4)).as("sum_disc_price"),
             count(lit(1)).as("count_order"),
             (sum((col("l_quantity").cast(dec) * 100).cast(LongType)) / count(lit(1))).cast(LongType).as("avg_qty_cents")
           )
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             |       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
              |       COUNT(*) AS count_order,
              |       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_qty_cents
              |FROM lineitem
@@ -106,10 +111,10 @@ object RelationalQueries {
           .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"))
           .agg(count(lit(1)).as("n_customers"),
-               sum(col("c_acctbal").cast(dec)).as("sum_acctbal"))
+               sum(col("c_acctbal").cast(dec)).cast(dec38).as("sum_acctbal"))
       },
       Some("""SELECT r_name, COUNT(*) AS n_customers,
-             |       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+             |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name""".stripMargin)
