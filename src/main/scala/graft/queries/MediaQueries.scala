@@ -14,7 +14,10 @@ object MediaQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // binary plumbing as Column expressions: sizes, content hash, fixed-
-    // stride frame hashes, every-2nd-frame sampling
+    // stride frame hashes, every-2nd-frame sampling. The per-frame hash
+    // arrays are collapsed to scalar digests in the OUTPUT (the driver's
+    // pandas comparator cannot sort array columns); the array forms stay
+    // covered by MediaSpec.
     QueryDef(
       "media_features",
       (spark, dir) => {
@@ -25,16 +28,16 @@ object MediaQueries {
             col("doc_id"), col("media_type"), col("width"), col("height"), col("n_frames"),
             octet_length(col("payload")).cast("long").as("payload_bytes"),
             md5(col("payload")).as("payload_md5"),
-            col("frame_hashes"),
-            Media.sampleFrames(col("frame_hashes")).as("sampled_hashes"))
+            md5(concat_ws(",", col("frame_hashes"))).as("frames_digest"),
+            md5(concat_ws(",", Media.sampleFrames(col("frame_hashes")))).as("sampled_digest"))
       },
       Some {
         val fh = Media.frameHashesSql("payload", "n_frames")
         s"""SELECT doc_id, media_type, width, height, n_frames,
            |       CAST(octet_length(encode(payload)) AS BIGINT) AS payload_bytes,
            |       md5(payload) AS payload_md5,
-           |       frame_hashes,
-           |       ${Media.sampleFramesSql("frame_hashes")} AS sampled_hashes
+           |       md5(list_aggregate(frame_hashes, 'string_agg', ',')) AS frames_digest,
+           |       md5(list_aggregate(${Media.sampleFramesSql("frame_hashes")}, 'string_agg', ',')) AS sampled_digest
            |FROM (SELECT *, $fh AS frame_hashes FROM ${Media.mediaTableSql} m)""".stripMargin
       }
     ),

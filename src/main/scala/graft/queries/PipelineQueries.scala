@@ -42,15 +42,17 @@ object PipelineQueries {
                     .as("keep"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_total"),
-               sum(col("keep").cast("long")).as("n_kept"))
+               sum(col("keep").cast("long")).cast("long").as("n_kept"))
       },
       Some {
         val quota = MixPermille.foldRight(MixDefault.toString) { case ((s, q), acc) =>
           s"(CASE WHEN source = '$s' THEN $q ELSE $acc END)"
         }
+        // CAST(SUM AS BIGINT): DuckDB widens SUM(BIGINT) to HUGEINT, which the
+        // driver's pandas path renders as float64 — never let it reach output
         s"""SELECT source, COUNT(*) AS n_total,
-           |       SUM(CASE WHEN ${Hashing.h32Sql("concat('mix:', doc_id)")} % 1000 < $quota
-           |                THEN 1 ELSE 0 END) AS n_kept
+           |       CAST(SUM(CASE WHEN ${Hashing.h32Sql("concat('mix:', doc_id)")} % 1000 < $quota
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
            |FROM documents GROUP BY source""".stripMargin
       }
     ),
@@ -73,10 +75,10 @@ object PipelineQueries {
                   expr(s"(cum - toks) div $PackBudget").as("chunk"),
                   col("toks"))
           .groupBy(col("source"), col("chunk"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("chunk_tokens"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("chunk_tokens"))
       },
       Some(s"""SELECT source, CAST((cum - toks) // $PackBudget AS BIGINT) AS chunk,
-              |       COUNT(*) AS n_docs, SUM(toks) AS chunk_tokens
+              |       COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS chunk_tokens
               |FROM (
               |  SELECT source, doc_id,
               |         CAST(${TextAnalysis.bpeTokenCountSql("text")} AS BIGINT) AS toks,

@@ -1,23 +1,27 @@
 package graft.queries
 
 import graft.{GraftSession, Tables}
+import graft.functions.Money
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Standard relational surface over the TPC-H-ish test tables (SURVEY.md §2.2:
   * these operators are supplied by the underlying engine in the reference —
   * BigQuery — and by Spark SQL here; the queries prove the engine exposes
   * them with exact, oracle-matching semantics).
   *
-  * Determinism policy (the driver hash-compares against DuckDB):
-  *   - Money/quantity sums go through `DECIMAL(18,2)` so aggregation is exact
-  *     and associative — the result is independent of partitioning/merge
-  *     order, which a parallel double-sum is not. Identical decimal scales on
-  *     both sides so the string forms match.
-  *   - Averages are expressed as integer cent arithmetic (`div`) rather than
-  *     double division of a parallel sum.
+  * Determinism policy (the driver hash-compares against DuckDB through a
+  * pandas canonicalization that renders decimals and HUGEINTs as float64):
+  *   - **No DECIMAL and no un-cast SUM in any output column** — money is
+  *     integer cents ([[Money.cents]]) from the first projection, aggregated
+  *     as LongType; the oracle mirrors with `CAST(SUM(…) AS BIGINT)`.
+  *     Integer sums are exact and associative — independent of
+  *     partitioning/merge order, which a parallel double-sum is not.
+  *   - Raw double columns pass through *unconverted* (both engines read the
+  *     identical parquet float64 bits), and averages are integer division
+  *     of cent sums.
   *   - Every top-k has a unique tiebreak column.
   *
   * Scale notes (100 TB target): dimension joins (`nation`, `region`,
@@ -29,16 +33,11 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   */
 object RelationalQueries {
 
-  private val dec = DecimalType(18, 2)
-  // Result-type contract with the oracle: Spark's SUM(DECIMAL(18,2)) widens
-  // to DECIMAL(28,2) while DuckDB's widens to DECIMAL(38,2) (and SUM(BIGINT)
-  // to HUGEINT); the driver's hasher is type-sensitive, so every aggregate
-  // output is cast to one explicit type on BOTH sides.
-  private val dec38 = DecimalType(38, 2)
-
   val defs: Seq[QueryDef] = Seq(
 
     // O: group-by aggregation with map-side partial agg (TPC-H Q1 shape).
+    // All money flows as integer cents; disc_price is cents × (100 - disc
+    // cents) = an exact ×10^4 fixed-point value.
     QueryDef(
       "q1_pricing_summary",
       (spark, dir) => {
@@ -48,29 +47,37 @@ object RelationalQueries {
         Tables.loadRanged(spark, dir, "lineitem", Some("l_shipdate"),
                           notAfter = Some(java.time.LocalDateTime.of(1998, 9, 1, 0, 0)))
           .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+                  Money.cents(col("l_quantity")).as("qc"),
+                  Money.cents(col("l_extendedprice")).as("pc"),
+                  Money.cents(col("l_discount")).as("dc"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity").cast(dec)).cast(dec38).as("sum_qty"),
-            sum(col("l_extendedprice").cast(dec)).cast(dec38).as("sum_base_price"),
-            sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))).cast(DecimalType(38, 4)).as("sum_disc_price"),
-            count(lit(1)).as("count_order"),
-            (sum((col("l_quantity").cast(dec) * 100).cast(LongType)) / count(lit(1))).cast(LongType).as("avg_qty_cents")
-          )
+            Money.lsum(col("qc")).as("sum_qty_cents"),
+            Money.lsum(col("pc")).as("sum_base_price_cents"),
+            Money.lsum(col("pc") * (lit(100L) - col("dc"))).as("sum_disc_price_e4"),
+            count(lit(1)).as("count_order"))
+          .withColumn("avg_qty_cents", expr("sum_qty_cents div count_order"))
       },
-      Some("""SELECT l_returnflag, l_linestatus,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |       ${Money.lsumSql("qc")} AS sum_qty_cents,
+             |       ${Money.lsumSql("pc")} AS sum_base_price_cents,
+             |       ${Money.lsumSql("pc * (100 - dc)")} AS sum_disc_price_e4,
              |       COUNT(*) AS count_order,
-             |       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) // COUNT(*) AS BIGINT) AS avg_qty_cents
-             |FROM lineitem
-             |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |       CAST(SUM(qc) // COUNT(*) AS BIGINT) AS avg_qty_cents
+             |FROM (SELECT l_returnflag, l_linestatus,
+             |             ${Money.centsSql("l_quantity")} AS qc,
+             |             ${Money.centsSql("l_extendedprice")} AS pc,
+             |             ${Money.centsSql("l_discount")} AS dc
+             |      FROM lineitem
+             |      WHERE l_shipdate <= TIMESTAMP '1998-09-01')
              |GROUP BY l_returnflag, l_linestatus""".stripMargin)
     ),
 
     // O: 3-way join (dim filter + two fact tables) + agg + top-k (TPC-H Q3 shape).
     // customer is the small side of customer⋈orders at any SF ratio where it
     // fits the broadcast threshold; at 100 TB both joins shuffle on their keys.
+    // Revenue is exact fixed-point: cents × (100 - discount cents).
     QueryDef(
       "q3_shipping_priority",
       (spark, dir) => {
@@ -85,19 +92,20 @@ object RelationalQueries {
         l.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-          .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("revenue"))
-          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .agg(Money.lsum(Money.cents(col("l_extendedprice")) *
+                 (lit(100L) - Money.cents(col("l_discount")))).as("revenue_e4"))
+          .orderBy(col("revenue_e4").desc, col("l_orderkey"))
           .limit(10)
       },
-      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
-             |       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |       ${Money.lsumSql(s"${Money.centsSql("l_extendedprice")} * (100 - ${Money.centsSql("l_discount")})")} AS revenue_e4
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |WHERE c_mktsegment = 'BUILDING'
              |  AND o_orderdate < TIMESTAMP '1998-01-01'
              |  AND l_shipdate  > TIMESTAMP '1998-01-01'
              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+             |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin)
     ),
 
     // O: snowflake dimension chain, both joins broadcast (nation: 25 rows,
@@ -111,10 +119,10 @@ object RelationalQueries {
           .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"))
           .agg(count(lit(1)).as("n_customers"),
-               sum(col("c_acctbal").cast(dec)).cast(dec38).as("sum_acctbal"))
+               Money.lsum(Money.cents(col("c_acctbal"))).as("sum_acctbal_cents"))
       },
-      Some("""SELECT r_name, COUNT(*) AS n_customers,
-             |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+      Some(s"""SELECT r_name, COUNT(*) AS n_customers,
+             |       ${Money.lsumSql(Money.centsSql("c_acctbal"))} AS sum_acctbal_cents
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name""".stripMargin)
@@ -150,10 +158,10 @@ object RelationalQueries {
         c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
           .groupBy(col("c_mktsegment"))
           .agg(count(lit(1)).as("n_urgent_customers"),
-               sum(col("c_acctbal").cast(dec)).as("sum_acctbal"))
+               Money.lsum(Money.cents(col("c_acctbal"))).as("sum_acctbal_cents"))
       },
-      Some("""SELECT c_mktsegment, COUNT(*) AS n_urgent_customers,
-             |       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_urgent_customers,
+             |       ${Money.lsumSql(Money.centsSql("c_acctbal"))} AS sum_acctbal_cents
              |FROM customer
              |WHERE EXISTS (SELECT 1 FROM orders
              |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
@@ -162,7 +170,8 @@ object RelationalQueries {
 
     // O: window functions — rank / lag / running sum per customer.
     // Partition key is the high-cardinality customer key: per-partition window
-    // state stays O(orders-per-customer) at any scale.
+    // state stays O(orders-per-customer) at any scale. `price` passes through
+    // as the raw parquet double; the running sum is exact integer cents.
     QueryDef(
       "q_window_rank",
       (spark, dir) => {
@@ -172,18 +181,18 @@ object RelationalQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.orders(spark, dir)
           .select(col("o_custkey"), col("o_orderkey"),
-                  col("o_totalprice").cast(dec).as("price"),
+                  col("o_totalprice").as("price"),
                   row_number().over(w).as("rk"),
                   lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
-                  sum(col("o_totalprice").cast(dec)).over(ws).as("running_spend"))
+                  sum(Money.cents(col("o_totalprice"))).over(ws).cast(LongType).as("running_spend_cents"))
           .filter(col("rk") <= 3)
       },
-      Some("""SELECT o_custkey, o_orderkey, price, rk, prev_orderkey, running_spend FROM (
+      Some(s"""SELECT o_custkey, o_orderkey, price, rk, prev_orderkey, running_spend_cents FROM (
              |  SELECT o_custkey, o_orderkey,
-             |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             |         o_totalprice AS price,
              |         ROW_NUMBER() OVER w AS rk,
              |         LAG(o_orderkey, 1) OVER w AS prev_orderkey,
-             |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+             |         CAST(SUM(${Money.centsSql("o_totalprice")}) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_spend_cents
              |  FROM orders
              |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
              |) WHERE rk <= 3""".stripMargin)
@@ -197,11 +206,11 @@ object RelationalQueries {
         GraftSession.tune(spark)
         Tables.orders(spark, dir)
           .select(col("o_orderkey"), col("o_custkey"),
-                  col("o_totalprice").cast(dec).as("price"))
+                  col("o_totalprice").as("price"))
           .orderBy(col("price").desc, col("o_orderkey"))
           .limit(20)
       },
-      Some("""SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice AS price
              |FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""".stripMargin)
     ),
 
@@ -241,10 +250,10 @@ object RelationalQueries {
         Tables.orders(spark, dir)
           .rollup(col("o_orderpriority"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n_orders"),
-               sum(col("o_totalprice").cast(dec)).as("sum_price"))
+               Money.lsum(Money.cents(col("o_totalprice"))).as("sum_price_cents"))
       },
-      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-             |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+      Some(s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+             |       ${Money.lsumSql(Money.centsSql("o_totalprice"))} AS sum_price_cents
              |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin)
     ),
 
@@ -338,10 +347,10 @@ object RelationalQueries {
                   col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL '30' DAY"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_fast_ship"),
-               sum(col("l_extendedprice").cast(dec)).as("sum_price"))
+               Money.lsum(Money.cents(col("l_extendedprice"))).as("sum_price_cents"))
       },
-      Some("""SELECT o_orderpriority, COUNT(*) AS n_fast_ship,
-             |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_fast_ship,
+             |       ${Money.lsumSql(Money.centsSql("l_extendedprice"))} AS sum_price_cents
              |FROM lineitem JOIN orders
              |  ON l_orderkey = o_orderkey
              | AND l_shipdate >= o_orderdate

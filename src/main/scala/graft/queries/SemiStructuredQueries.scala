@@ -1,19 +1,19 @@
 package graft.queries
 
 import graft.{GraftSession, Tables}
+import graft.functions.Money
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.LongType
 
 /** Semi-structured / grouping-set extensions of the relational surface:
   * JSON extraction over the events `props` column and CUBE grouping sets.
   * Both are single-shuffle aggregations (Expand + hash agg for CUBE); the
   * JSON path extraction is a map-stage scalar function that pushes through
-  * to the scan untouched.
+  * to the scan untouched. Output typing follows the [[Money]] contract —
+  * integer cents, no DECIMAL / un-cast SUM in any output column.
   */
 object SemiStructuredQueries {
-
-  private val dec = DecimalType(18, 2)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -28,14 +28,14 @@ object SemiStructuredQueries {
                   col("value"))
           .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_bucket"))
           .agg(count(lit(1)).as("n"),
-               sum(col("value").cast(dec)).as("sum_value"),
+               Money.lsum(Money.cents(col("value"))).as("sum_value_cents"),
                max(col("k")).as("max_k"))
       },
-      Some("""SELECT event_type,
-             |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      Some(s"""SELECT event_type,
+             |       CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS k_bucket,
              |       COUNT(*) AS n,
-             |       SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
-             |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |       ${Money.lsumSql(Money.centsSql("value"))} AS sum_value_cents,
+             |       MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
              |FROM events
              |GROUP BY 1, 2""".stripMargin)
     ),
@@ -48,10 +48,10 @@ object SemiStructuredQueries {
         Tables.orders(spark, dir)
           .cube(col("o_orderpriority"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n_orders"),
-               sum(col("o_totalprice").cast(dec)).as("sum_price"))
+               Money.lsum(Money.cents(col("o_totalprice"))).as("sum_price_cents"))
       },
-      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-             |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+      Some(s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+             |       ${Money.lsumSql(Money.centsSql("o_totalprice"))} AS sum_price_cents
              |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin)
     ),
 
@@ -78,29 +78,29 @@ object SemiStructuredQueries {
     ),
 
     // time-series rolling aggregation: daily revenue + 7-day trailing sum
-    // via a RANGE window over day numbers (decimal-exact, so the window
-    // merge order can't perturb results)
+    // via a RANGE window over day numbers. Integer-cent sums: exact,
+    // merge-order independent, and the window sum stays BIGINT on both sides.
     QueryDef(
       "q_rolling_revenue",
       (spark, dir) => {
         GraftSession.tune(spark)
         val daily = Tables.orders(spark, dir)
           .groupBy(to_date(col("o_orderdate")).as("day"), col("o_orderpriority"))
-          .agg(sum(col("o_totalprice").cast(dec)).as("day_rev"))
+          .agg(Money.lsum(Money.cents(col("o_totalprice"))).as("day_rev_cents"))
           .withColumn("day_num", datediff(col("day"), lit("2024-01-01").cast("date")))
         val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day_num"))
           .rangeBetween(-6, Window.currentRow)
         daily
-          .select(col("day"), col("o_orderpriority"), col("day_rev"),
-                  sum(col("day_rev")).over(w).as("rolling_7d_rev"))
+          .select(col("day"), col("o_orderpriority"), col("day_rev_cents"),
+                  sum(col("day_rev_cents")).over(w).cast(LongType).as("rolling_7d_cents"))
       },
-      Some("""SELECT day, o_orderpriority, day_rev,
-             |       SUM(day_rev) OVER (
+      Some(s"""SELECT day, o_orderpriority, day_rev_cents,
+             |       CAST(SUM(day_rev_cents) OVER (
              |         PARTITION BY o_orderpriority ORDER BY day_num
-             |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_7d_rev
+             |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_7d_cents
              |FROM (
              |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
-             |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev,
+             |         ${Money.lsumSql(Money.centsSql("o_totalprice"))} AS day_rev_cents,
              |         date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS day_num
              |  FROM orders GROUP BY 1, 2, 4
              |)""".stripMargin)

@@ -119,12 +119,14 @@ object TextQueries {
                   bpeTokenCount(col("text")).cast("long").as("toks"))
           .groupBy(col("source"), col("lang"))
           .agg(count(lit(1)).as("n_docs"),
-               sum(col("toks")).as("total_tokens"),
+               sum(col("toks")).cast("long").as("total_tokens"),
                min(col("toks")).as("min_tokens"),
                max(col("toks")).as("max_tokens"))
       },
+      // CAST(SUM AS BIGINT): DuckDB SUM(BIGINT) widens to HUGEINT → float64
+      // through the driver's pandas path; int64 on both sides hash-matches
       Some(s"""SELECT source, lang, COUNT(*) AS n_docs,
-              |       SUM(toks) AS total_tokens,
+              |       CAST(SUM(toks) AS BIGINT) AS total_tokens,
               |       MIN(toks) AS min_tokens, MAX(toks) AS max_tokens
               |FROM (SELECT source, lang, CAST(${bpeTokenCountSql("text")} AS BIGINT) AS toks FROM documents)
               |GROUP BY source, lang""".stripMargin)
