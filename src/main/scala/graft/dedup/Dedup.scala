@@ -133,6 +133,61 @@ object Dedup {
       }
       .mkString("(", " + ", ")")
 
+  // --- 64-bit SimHash (the corpus-scale configuration: Manku et al.'s
+  // 64-bit fingerprint with 4×16-bit bands). The fingerprint flows as two
+  // 32-bit halves (`lo`, `hi`) — a single signed BIGINT would overflow
+  // DuckDB's strict arithmetic when bit 63 is set, and banding/hamming only
+  // ever need the halves. The high half hashes the same feature set through
+  // an independent affine remix of each feature hash, so its bit votes are
+  // decorrelated from the low half's.
+
+  /** Odd affine constants for the high-half feature remix (multiplier
+    * < 2^30 keeps `a*h + b` below 2^63 for 32-bit `h`; oddness makes the
+    * map a bijection mod 2^32).
+    */
+  val Hi64A: Long = 1013904223L
+  val Hi64B: Long = 1779033703L
+  private val M32: Long = 1L << 32
+
+  /** Low 32 bits of the 64-bit SimHash — identical to [[simhash]]. */
+  def simhashLo(hashSet: Column): Column = simhash(hashSet)
+
+  /** High 32 bits: SimHash of the affinely-remixed feature hashes. */
+  def simhashHi(hashSet: Column): Column =
+    graft.expressions.SignatureExpressions.simhash32(
+      transform(hashSet, h => pmod(h * lit(Hi64A) + lit(Hi64B), lit(M32))))
+
+  /** DuckDB twin of the remixed feature list (bind it in a CTE, then apply
+    * [[simhashSql]] to the bound name — the simhash expression repeats its
+    * input 2×32 times).
+    */
+  def hiFeaturesSql(hs: String): String =
+    s"list_transform($hs, h -> ((h * $Hi64A + $Hi64B) % $M32))"
+
+  /** 4×16-bit blocking keys over the (lo, hi) fingerprint pair. Two 64-bit
+    * fingerprints within Hamming distance d < 4 must agree on at least one
+    * whole 16-bit band (pigeonhole) — perfect recall for d ≤ 3 — and each
+    * band has 2^16 buckets, so expected bucket size stays ~n/65536 per band
+    * (vs 256 buckets for byte-banding a 32-bit fingerprint, which goes
+    * quadratic by construction).
+    */
+  def simhash64Bands(lo: Column, hi: Column): Column =
+    array(
+      lo.bitwiseAND(lit(65535L)),
+      shiftright(lo, 16).bitwiseAND(lit(65535L)),
+      hi.bitwiseAND(lit(65535L)),
+      shiftright(hi, 16).bitwiseAND(lit(65535L)))
+
+  def simhash64BandsSql(lo: String, hi: String): String =
+    s"[($lo & 65535), (($lo >> 16) & 65535), ($hi & 65535), (($hi >> 16) & 65535)]"
+
+  /** Hamming distance over the 64-bit fingerprint = sum over the halves. */
+  def hamming64(loA: Column, hiA: Column, loB: Column, hiB: Column): Column =
+    (bit_count(loA.bitwiseXOR(loB)) + bit_count(hiA.bitwiseXOR(hiB))).cast("long")
+
+  def hamming64Sql(loA: String, hiA: String, loB: String, hiB: String): String =
+    s"CAST(bit_count(xor($loA, $loB)) + bit_count(xor($hiA, $hiB)) AS BIGINT)"
+
   /** Byte-wise blocking keys for SimHash: 4 bands of 8 bits. Two fingerprints
     * within Hamming distance d < 4 must agree on at least one whole byte
     * (pigeonhole), so joining on any equal (band, byte) has perfect recall

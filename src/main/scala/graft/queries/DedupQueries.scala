@@ -94,9 +94,12 @@ object DedupQueries {
       }
     ),
 
-    // SimHash: 32-bit majority fingerprint over shingle hashes; byte-banded
-    // blocking (perfect recall for hamming <= 3 by pigeonhole); pairs within
-    // hamming distance 3
+    // SimHash: 64-bit fingerprint (two 32-bit halves) over shingle hashes,
+    // 4×16-bit bands (2^16 buckets/band — bucket volume scales ~n/65536, vs
+    // the quadratic-by-construction 256-bucket byte bands of a 32-bit
+    // fingerprint); perfect recall for hamming <= 3 by pigeonhole. Pair ids
+    // are dedup'd BEFORE fingerprints join back, so the band shuffle ships
+    // ids+keys only.
     QueryDef(
       "dedup_simhash",
       (spark, dir) => {
@@ -104,90 +107,13 @@ object DedupQueries {
         spark.catalog.clearCache() // queries run sequentially; drop stale persists
         val docs = Tables.documents(spark, dir)
         val fps = Dedup.shingleHashSets(docs, ShingleK)
-          .select(col("doc_id"), Dedup.simhash(col("hs")).as("sh"))
-          .persist() // referenced by both sides of the band self-join
+          .select(col("doc_id"),
+                  Dedup.simhashLo(col("hs")).as("lo"),
+                  Dedup.simhashHi(col("hs")).as("hi"))
+          .persist() // band self-join sides + two verification join-backs
         fps.count() // eager (see dedup_minhash_lsh)
-        val bands = fps.select(col("doc_id"), col("sh"),
-                               posexplode(Dedup.simhashBands(col("sh"))).as(Seq("band", "bval")))
-        bands.as("a")
-          .join(bands.as("b"),
-                col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-                  col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                  col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-          .distinct()
-          .select(col("doc_a"), col("doc_b"), Dedup.hamming(col("sh_a"), col("sh_b")).as("hamming"))
-          .where(col("hamming") <= 3)
-      },
-      Some {
-        s"""WITH hset AS (
-           |  SELECT doc_id, ${Dedup.shingleHashSetSql("text", ShingleK)} AS hs FROM documents
-           |), fp AS (
-           |  SELECT doc_id, ${Dedup.simhashSql("hs")} AS sh FROM hset WHERE len(hs) > 0
-           |), bands AS (
-           |  SELECT doc_id, sh, b, (${Dedup.simhashBandsSql("sh")})[b + 1] AS bval
-           |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs
-           |), pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
-           |  FROM bands a JOIN bands b
-           |    ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
-           |)
-           |SELECT doc_a, doc_b, hamming FROM (
-           |  SELECT doc_a, doc_b, ${Dedup.hammingSql("sh_a", "sh_b")} AS hamming FROM pairs
-           |) WHERE hamming <= 3""".stripMargin
-      }
-    ),
-
-    // fuzzy (edit-distance) matching: brand-blocked part-name pairs within
-    // levenshtein 3, rolled up as a distance histogram. The block key turns
-    // the O(n²) comparison into per-brand groups — the schema-matching /
-    // entity-resolution shape.
-    QueryDef(
-      "dedup_fuzzy_names",
-      (spark, dir) => {
-        GraftSession.tune(spark)
-        val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_name"))
-        p.as("a")
-          .join(p.as("b"),
-                col("a.p_brand") === col("b.p_brand") && col("a.p_partkey") < col("b.p_partkey"))
-          .select(col("a.p_brand").as("p_brand"),
-                  levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("distance"))
-          .where(col("distance") <= 3)
-          .groupBy(col("p_brand"), col("distance"))
-          .agg(count(lit(1)).as("n_pairs"))
-      },
-      Some("""SELECT a.p_brand, CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance,
-             |       COUNT(*) AS n_pairs
-             |FROM part a JOIN part b
-             |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-             |WHERE levenshtein(a.p_name, b.p_name) <= 3
-             |GROUP BY 1, 2""".stripMargin)
-    ),
-
-    // blocked exact n-gram Jaccard: 16 single-row LSH bands for candidates
-    // (recall 1-(1-j)^16), then exact set jaccard >= 0.3 on shingle sets
-    QueryDef(
-      "dedup_ngram_jaccard",
-      (spark, dir) => {
-        GraftSession.tune(spark)
-        spark.catalog.clearCache() // queries run sequentially; drop stale persists
-        val docs = Tables.documents(spark, dir)
-        // persist both stages: `sigs` feeds the band self-join (2 refs) and
-        // `sh` the exact-jaccard join-backs (2 refs) — shingling + hashing
-        // must run once, not four times
-        // staged binding (tokens → shingles → hashes → signature); `sh`
-        // persists for the exact-jaccard join-backs, `sigs` for the bands
-        val sh = docs
-          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-          .where(size(col("toks")) >= ShingleK) // pre-projection filter: see Dedup.shingleHashSets
-          .select(col("doc_id"), array_distinct(TextAnalysis.shinglesOf(col("toks"), ShingleK)).as("sh"))
-          .persist()
-        val sigs = sh
-          .select(col("doc_id"), array_distinct(transform(col("sh"), s => Hashing.h32(s))).as("hs"))
-          .select(col("doc_id"), Dedup.minhashSignature(col("hs")).as("sig"))
-          .persist()
-        sigs.count() // eager: materializes sh too (see dedup_minhash_lsh)
-        val bands = sigs.select(col("doc_id"), posexplode(col("sig")).as(Seq("band", "bval")))
+        val bands = fps.select(col("doc_id"),
+                               posexplode(Dedup.simhash64Bands(col("lo"), col("hi"))).as(Seq("band", "bval")))
         val pairs = bands.as("a")
           .join(bands.as("b"),
                 col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
@@ -195,33 +121,137 @@ object DedupQueries {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         pairs
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"), Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-          .where(col("jaccard") >= lit(0.3))
+          .join(fps.select(col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a")), "doc_a")
+          .join(fps.select(col("doc_id").as("doc_b"), col("lo").as("lo_b"), col("hi").as("hi_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+                  Dedup.hamming64(col("lo_a"), col("hi_a"), col("lo_b"), col("hi_b")).as("hamming"))
+          .where(col("hamming") <= 3)
       },
       Some {
-        s"""WITH sh AS (
-           |  SELECT doc_id, list_distinct(${TextAnalysis.shinglesSql("text", ShingleK)}) AS sh
-           |  FROM documents
-           |), sh2 AS (
-           |  SELECT doc_id, sh, list_distinct(list_transform(sh, s -> ${Hashing.h32Sql("s")})) AS hs
-           |  FROM sh WHERE len(sh) > 0
-           |), sigs AS (
-           |  SELECT doc_id, sh, ${Dedup.minhashSignatureSql("hs")} AS sig FROM sh2
+        s"""WITH hset AS (
+           |  SELECT doc_id, ${Dedup.shingleHashSetSql("text", ShingleK)} AS hs FROM documents
+           |), hs2 AS (
+           |  SELECT doc_id, hs, ${Dedup.hiFeaturesSql("hs")} AS hp FROM hset WHERE len(hs) > 0
+           |), fp AS (
+           |  SELECT doc_id, ${Dedup.simhashSql("hs")} AS lo, ${Dedup.simhashSql("hp")} AS hi FROM hs2
            |), bands AS (
-           |  SELECT doc_id, b, sig[b + 1] AS bval
-           |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${Hashing.NumPerms})) AS b) bs
+           |  SELECT doc_id, b, (${Dedup.simhash64BandsSql("lo", "hi")})[b + 1] AS bval
+           |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs
            |), pairs AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b
            |    ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
            |)
-           |SELECT doc_a, doc_b, jaccard FROM (
-           |  SELECT p.doc_a, p.doc_b, ${Dedup.jaccardSql("sa.sh", "sb.sh")} AS jaccard
+           |SELECT doc_a, doc_b, hamming FROM (
+           |  SELECT p.doc_a, p.doc_b,
+           |         ${Dedup.hamming64Sql("fa.lo", "fa.hi", "fb.lo", "fb.hi")} AS hamming
            |  FROM pairs p
-           |  JOIN sigs sa ON sa.doc_id = p.doc_a
-           |  JOIN sigs sb ON sb.doc_id = p.doc_b
+           |  JOIN fp fa ON fa.doc_id = p.doc_a
+           |  JOIN fp fb ON fb.doc_id = p.doc_b
+           |) WHERE hamming <= 3""".stripMargin
+      }
+    ),
+
+    // fuzzy (edit-distance) matching: part-name pairs within levenshtein 3,
+    // rolled up as a distance histogram — the schema-matching /
+    // entity-resolution shape. Composite block key (p_brand, length band):
+    // a fixed 25-value brand block alone grows O(n²) per block with data
+    // volume; adding a name-length band of width 7 keeps full recall
+    // (edit distance ≤ 3 ⇒ |len diff| ≤ 3 < 7 ⇒ bands differ by ≤ 1, and
+    // the b-side expands to its neighbor bands) while block sizes scale
+    // ~n/(brands × bands). Each unordered pair matches exactly once: a's
+    // single band equals exactly one of b's three distinct emitted bands.
+    QueryDef(
+      "dedup_fuzzy_names",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val p = Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_name"),
+                  expr("length(p_name) div 7").as("lb"))
+        val a = p
+        val b = p.select(col("p_partkey"), col("p_brand"), col("p_name"), col("lb"),
+                         explode(array(lit(-1L), lit(0L), lit(1L))).as("o"))
+          .select(col("p_partkey"), col("p_brand"), col("p_name"),
+                  (col("lb") + col("o")).as("lb"))
+        a.as("a")
+          .join(b.as("b"),
+                col("a.p_brand") === col("b.p_brand") && col("a.lb") === col("b.lb") &&
+                  col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_brand").as("p_brand"),
+                  levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("distance"))
+          .where(col("distance") <= 3)
+          .groupBy(col("p_brand"), col("distance"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""WITH p AS (
+             |  SELECT p_partkey, p_brand, p_name, length(p_name) // 7 AS lb FROM part
+             |), b AS (
+             |  SELECT p_partkey, p_brand, p_name, lb + o.o AS lb2
+             |  FROM p CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) o
+             |)
+             |SELECT a.p_brand, CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance,
+             |       COUNT(*) AS n_pairs
+             |FROM p a JOIN b
+             |  ON a.p_brand = b.p_brand AND a.lb = b.lb2 AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 3
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // blocked exact n-gram Jaccard: r=2 LSH bands (8 bands of 2; collision
+    // P = j² per band, so candidate volume scales with similarity instead of
+    // exploding as n²), then exact set jaccard >= 0.3 over the HASHED
+    // shingle sets. Nothing document-sized crosses a shuffle: the band join
+    // ships (band, key, id), and verification joins back `hs` (array<long>,
+    // ~4 bytes/shingle) — never the string shingles, per the Dedup contract.
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache() // queries run sequentially; drop stale persists
+        val docs = Tables.documents(spark, dir)
+        // persist both stages: `sigs` feeds the band self-join (2 refs) and
+        // `hs` the exact-jaccard join-backs (2 refs) — shingling + hashing
+        // must run once, not four times
+        val hs = Dedup.shingleHashSets(docs, ShingleK).persist()
+        val sigs = hs
+          .select(col("doc_id"), Dedup.minhashSignature(col("hs")).as("sig"))
+          .persist()
+        sigs.count() // eager: materializes hs too (see dedup_minhash_lsh)
+        val bands = sigs.select(col("doc_id"),
+                                posexplode(Dedup.bandKeys(col("sig"), 2)).as(Seq("band", "bkey")))
+        val pairs = bands.as("a")
+          .join(bands.as("b"),
+                col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+                  col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        pairs
+          .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+          .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), Dedup.jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
+          .where(col("jaccard") >= lit(0.3))
+      },
+      Some {
+        s"""WITH hs AS (
+           |  SELECT doc_id, ${Dedup.shingleHashSetSql("text", ShingleK)} AS hs
+           |  FROM documents
+           |), hs2 AS (
+           |  SELECT doc_id, hs FROM hs WHERE len(hs) > 0
+           |), sigs AS (
+           |  SELECT doc_id, ${Dedup.minhashSignatureSql("hs")} AS sig FROM hs2
+           |), bands AS (
+           |  SELECT doc_id, b, (${Dedup.bandKeysSql("sig", 2)})[b + 1] AS bkey
+           |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${Hashing.NumPerms / 2})) AS b) bs
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |)
+           |SELECT doc_a, doc_b, jaccard FROM (
+           |  SELECT p.doc_a, p.doc_b, ${Dedup.jaccardSql("ha.hs", "hb.hs")} AS jaccard
+           |  FROM pairs p
+           |  JOIN hs2 ha ON ha.doc_id = p.doc_a
+           |  JOIN hs2 hb ON hb.doc_id = p.doc_b
            |) WHERE jaccard >= CAST(0.3 AS DOUBLE)""".stripMargin
       }
     )
