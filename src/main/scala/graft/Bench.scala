@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query seconds at
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology (each query, each repetition):
+  *   - caches cleared BEFORE (queries persist intermediates internally) and
+  *     AFTER (so query N's leftover cache/GC pressure can't bleed into
+  *     query N+1) — the r1/r2 numbers swung up to 60× on identical code
+  *     from exactly that interference;
+  *   - forced evaluation is `count + sum(xxhash64(struct(*)))` over ALL
+  *     output columns — a bare `.count()` lets Spark prune every projection
+  *     the count doesn't need, timing a different (cheaper) plan;
+  *   - `reps` repetitions (default 3), reporting the MIN — the
+  *     least-interfered observation of a deterministic computation.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,14 +33,33 @@ object Bench {
       .selectExpr("md5(regexp_replace(lower(concat('x ', id)), '\\\\s+', ' ')) AS h")
       .selectExpr("count(distinct h)").collect()
     Tables.load(spark, sfDir, "region").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t =
+        try {
+          val df = fn(spark, sfDir)
+          df.select(org.apache.spark.sql.functions.struct(
+              df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*).as("s"))
+            .selectExpr("count(*) AS n", "bit_xor(xxhash64(s)) AS h")
+            .collect()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] query failed: ${e.getMessage}")
+          -1.0
+        }
+      spark.catalog.clearCache()
+      t
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map(_ => once(fn))
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed user-defined aggregators (the UDAF surface — SURVEY.md §2.3 maps
@@ -29,6 +30,37 @@ object Udafs {
       if (b.weight == 0.0) Double.NaN else b.sum / b.weight
     override def bufferEncoder: Encoder[WeightedMeanBuf] = Encoders.product
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** One scored candidate inside a top-k buffer. */
+  final case class ScoredHit(vec_id: Long, label: String, cosine: Double)
+
+  /** One scored (query, candidate) input row. */
+  final case class QueryHit(query_id: Long, vec_id: Long, label: String, cosine: Double)
+
+  /** Bounded per-group top-k under the total order (cosine DESC, vec_id
+    * ASC). Because the order is total (vec_id is unique), reduce/merge are
+    * exactly associative — the k survivors are the same for any partitioning
+    * or merge order, and identical to `row_number() OVER (ORDER BY cosine
+    * DESC, vec_id)` ≤ k.
+    *
+    * This is the scale fix for per-query exact top-k: as a typed Aggregator
+    * it runs as map-side partial aggregation with an O(k) buffer, so the
+    * shuffle ships ≤ queries × partitions × k tiny rows instead of the full
+    * scored corpus into one task per query (the global-window formulation's
+    * straggler at 100 TB).
+    */
+  final case class TopKByScore(k: Int) extends Aggregator[QueryHit, Seq[ScoredHit], Seq[ScoredHit]] {
+    private val ord: Ordering[ScoredHit] =
+      Ordering.by((s: ScoredHit) => (-s.cosine, s.vec_id))
+    private def trim(s: Seq[ScoredHit]): Seq[ScoredHit] = s.sorted(ord).take(k)
+    override def zero: Seq[ScoredHit] = Nil
+    override def reduce(b: Seq[ScoredHit], a: QueryHit): Seq[ScoredHit] =
+      trim(ScoredHit(a.vec_id, a.label, a.cosine) +: b)
+    override def merge(a: Seq[ScoredHit], b: Seq[ScoredHit]): Seq[ScoredHit] = trim(a ++ b)
+    override def finish(b: Seq[ScoredHit]): Seq[ScoredHit] = b.sorted(ord)
+    override def bufferEncoder: Encoder[Seq[ScoredHit]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[ScoredHit]] = ExpressionEncoder()
   }
 
   /** Exact long-sum of the minimum element per group — a tiny example of a

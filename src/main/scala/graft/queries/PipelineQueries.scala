@@ -60,15 +60,35 @@ object PipelineQueries {
     // token-budget packing: greedy contiguous packing by running token
     // total per source; chunk id = (cumulative_before_doc) div budget.
     // Per-chunk stats verify the assignment.
+    //
+    // The running total is a TWO-LEVEL PREFIX SUM, not one serial window:
+    // a `PARTITION BY source ORDER BY doc_id` window puts each source's
+    // whole corpus on a single task. Instead (1) docs bucket by
+    // `doc_id div B` — the intra-bucket window partitions by
+    // (source, bucket), ≤ B rows per partition, fully parallel; (2) bucket
+    // totals (n/B rows — 4096× smaller; recurse the same trick if that
+    // ever saturates) prefix-sum per source and broadcast-join back as
+    // offsets. cum = intra-bucket running + preceding-bucket offset, exactly
+    // the serial window's value (bucket index is monotonic in doc_id).
     QueryDef(
       "q_pack_sequences",
       (spark, dir) => {
         GraftSession.tune(spark)
-        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        Tables.documents(spark, dir)
+        val B = 4096
+        val toks = Tables.documents(spark, dir)
           .select(col("source"), col("doc_id"),
                   TextAnalysis.bpeTokenCount(col("text")).cast("long").as("toks"))
-          .withColumn("cum", sum(col("toks")).over(w))
+          .withColumn("bucket", expr(s"doc_id div $B"))
+        val wIn = Window.partitionBy(col("source"), col("bucket")).orderBy(col("doc_id"))
+        val intra = toks.withColumn("cum_in", sum(col("toks")).over(wIn))
+        val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = toks.groupBy(col("source"), col("bucket"))
+          .agg(sum(col("toks")).as("btot"))
+          .select(col("source"), col("bucket"),
+                  coalesce(sum(col("btot")).over(wOff), lit(0L)).as("off"))
+        intra.join(broadcast(offsets), Seq("source", "bucket"))
+          .withColumn("cum", col("cum_in") + col("off"))
           // integer division on both engines (Spark `div`, DuckDB `//`):
           // float division + cast would round vs truncate differently
           .select(col("source"),

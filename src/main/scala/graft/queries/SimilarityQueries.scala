@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftSession, Tables}
+import graft.functions.Udafs
 import graft.similarity.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
@@ -36,6 +37,31 @@ object SimilarityQueries {
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, label, v, ${Vectors.normSql("v")} AS nrm FROM e)""".stripMargin
 
+  /** Exact per-query top-k of a scored (query_id, vec_id, label, cosine)
+    * set via the bounded [[Udafs.TopKByScore]] aggregator: map-side partial
+    * top-k per partition (O(k) state), then a shuffle of ≤ queries ×
+    * partitions × k rows — never the full scored set into one task per
+    * query. Output and rank semantics are identical to `row_number() OVER
+    * (PARTITION BY query_id ORDER BY cosine DESC, vec_id)` ≤ k, which is
+    * what the DuckDB oracles still use — the two engines reach the same
+    * rows by independent algorithms.
+    */
+  private def perQueryTopK(spark: SparkSession, scored: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    scored
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+              col("label"), col("cosine"))
+      .as[Udafs.QueryHit]
+      .groupByKey(_.query_id)
+      .agg(Udafs.TopKByScore(k).toColumn.name("tops"))
+      .flatMap { case (qid, tops) =>
+        tops.iterator.zipWithIndex.map { case (t, i) =>
+          (qid, t.vec_id, t.label, (i + 1).toLong, t.cosine)
+        }
+      }
+      .toDF("query_id", "vec_id", "label", "rank", "cosine")
+  }
+
   private def topkSpark(spark: SparkSession, dir: String): DataFrame = {
     val n = normed(spark, dir)
     val q = n.where(col("vec_id") < NumQueries)
@@ -44,8 +70,7 @@ object SimilarityQueries {
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("label"),
               (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= K)
+    perQueryTopK(spark, scored, K)
   }
 
   private val topkSql =
@@ -97,10 +122,9 @@ object SimilarityQueries {
         val scored = cand
           .join(n.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
           .join(n.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
-          .select(col("query_id"), col("vec_id"),
+          .select(col("query_id"), col("vec_id"), lit("").as("label"),
                   (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
-        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-        scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= K)
+        perQueryTopK(spark, scored, K)
           .select("query_id", "vec_id", "rank", "cosine")
       },
       Some {
@@ -165,10 +189,9 @@ object SimilarityQueries {
         val scored = cand
           .join(n.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
           .join(n.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
-          .select(col("query_id"), col("vec_id"),
+          .select(col("query_id"), col("vec_id"), lit("").as("label"),
                   (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
-        val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-        scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= K)
+        perQueryTopK(spark, scored, K)
           .select("query_id", "vec_id", "rank", "cosine")
       },
       Some {
