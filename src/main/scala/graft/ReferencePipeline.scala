@@ -108,4 +108,22 @@ object ReferencePipeline {
          |ORDER BY column1""".stripMargin
     )
   }
+
+  /** The datamart as a managed Table model with persisted docs — the full
+    * `+persist_docs: {relation: true, columns: true}` path of the reference
+    * (dbt_project.yml:41-43 applied to models/datamart/schema.yml:4-10):
+    * materializing through [[ModelRunner]] writes the table AND its
+    * relation/column comments into the catalog, so `DESCRIBE` shows them.
+    */
+  def datamartModel(sfDir: String, id: String = "13"): Model = Model(
+    name = "test_datamart",
+    refs = Nil,
+    build = s => datamart(s, sfDir, id),
+    materialization = Materialization.Table,
+    docs = ModelDocs(
+      description = Some("Datamart table for testing (reference schema.yml: '測試用的 datamart 表')."),
+      columns = Map(
+        "column1"  -> "INT64 id column cast from the source (schema.yml type INT64)",
+        "datetime" -> "parsed civil datetime, no timezone (schema.yml type DATETIME)"))
+  )
 }

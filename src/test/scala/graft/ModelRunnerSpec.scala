@@ -1,6 +1,6 @@
 package graft
 
-import graft.udf.{Materialization, Model, ModelRunner}
+import graft.udf.{Materialization, Model, ModelDocs, ModelRunner}
 import org.apache.spark.sql.functions._
 
 class ModelRunnerSpec extends SparkTestBase {
@@ -65,5 +65,45 @@ class ModelRunnerSpec extends SparkTestBase {
     assert(spark.catalog.tableExists("mr_tbl"))
     assert(spark.table("mr_tbl").count() == 5)
     spark.sql("DROP TABLE mr_tbl")
+  }
+
+  test("persist_docs: table + column comments survive materialization (DESCRIBE shows them)") {
+    val runner = new ModelRunner(Seq(
+      Model("mr_doc_tbl", Nil,
+            s => s.range(3).toDF("n").withColumn("twice", col("n") * 2),
+            Materialization.Table,
+            docs = ModelDocs(
+              description = Some("it's a documented table"),
+              columns = Map("n" -> "the id", "twice" -> "id doubled")))
+    ))
+    runner.run(spark)
+    val desc = spark.sql("DESCRIBE TABLE mr_doc_tbl").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc("n") == "the id")
+    assert(desc("twice") == "id doubled")
+    val tblComment = spark.sql("DESCRIBE TABLE EXTENDED mr_doc_tbl").collect()
+      .find(_.getString(0) == "Comment").map(_.getString(1))
+    assert(tblComment.contains("it's a documented table"))
+    spark.sql("DROP TABLE mr_doc_tbl")
+  }
+
+  test("selectChanged rebuilds changed models plus transitive dependents only") {
+    def models(sigB: String) = Seq(
+      Model("ch_a", Nil, _.range(1).toDF(), signature = "a-v1"),
+      Model("ch_b", Seq("ch_a"), s => s.table("ch_a"), signature = sigB),
+      Model("ch_c", Seq("ch_b"), s => s.table("ch_b"), signature = "c-v1"),
+      Model("ch_d", Nil, _.range(1).toDF(), signature = "d-v1")
+    )
+    val prev = new ModelRunner(models("b-v1")).fingerprints
+    // nothing changed -> nothing selected
+    val same = new ModelRunner(models("b-v1")).selectChanged(prev)
+    assert(models("b-v1").count(same) == 0)
+    // b changed -> b and its dependent c, but not a (upstream) or d (unrelated)
+    val sel = new ModelRunner(models("b-v2")).selectChanged(prev)
+    assert(models("b-v2").filter(sel).map(_.name).toSet == Set("ch_b", "ch_c"))
+    // a brand-new model (absent from prev) counts as changed
+    val withNew = models("b-v1") :+ Model("ch_e", Nil, _.range(1).toDF(), signature = "e-v1")
+    val selNew = new ModelRunner(withNew).selectChanged(prev)
+    assert(withNew.filter(selNew).map(_.name).toSet == Set("ch_e"))
   }
 }

@@ -21,6 +21,19 @@ class ReferencePipelineSpec extends SparkTestBase {
     assert(a.nonEmpty && b.nonEmpty && a.intersect(b).isEmpty)
   }
 
+  test("datamart model persists docs: DESCRIBE shows reference schema.yml comments") {
+    new graft.udf.ModelRunner(Seq(ReferencePipeline.datamartModel(sf)))
+      .run(spark)
+    val desc = spark.sql("DESCRIBE TABLE test_datamart").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc("column1").contains("INT64"))
+    assert(desc("datetime").contains("civil datetime"))
+    val tbl = spark.sql("DESCRIBE TABLE EXTENDED test_datamart").collect()
+      .find(_.getString(0) == "Comment").map(_.getString(1))
+    assert(tbl.exists(_.contains("datamart")))
+    spark.sql("DROP TABLE test_datamart")
+  }
+
   test("type-conflict guard: existing view with the function's name raises") {
     import spark.implicits._
     Seq(1).toDF("x").createOrReplaceTempView("conflicted_name")
