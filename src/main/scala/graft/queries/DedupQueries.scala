@@ -156,18 +156,28 @@ object DedupQueries {
     // rolled up as a distance histogram — the schema-matching /
     // entity-resolution shape. Composite block key (p_brand, length band):
     // a fixed 25-value brand block alone grows O(n²) per block with data
-    // volume; adding a name-length band of width 7 keeps full recall
-    // (edit distance ≤ 3 ⇒ |len diff| ≤ 3 < 7 ⇒ bands differ by ≤ 1, and
+    // volume; adding a name-length band of width 4 keeps full recall
+    // (edit distance ≤ 3 ⇒ |len diff| ≤ 3 < 4 ⇒ bands differ by ≤ 1, and
     // the b-side expands to its neighbor bands) while block sizes scale
     // ~n/(brands × bands). Each unordered pair matches exactly once: a's
     // single band equals exactly one of b's three distinct emitted bands.
+    // The Spark side uses the THRESHOLDED levenshtein (bounded-diagonal DP,
+    // O(len×threshold) per pair instead of O(len²); distances > 3 return -1
+    // and the between-filter drops them) — the oracle's plain levenshtein
+    // agrees exactly on every surviving pair. The exploded block side stays
+    // broadcast (3n rows of key columns), so candidate generation is
+    // map-side. Caveat: on very short names the length band saturates (few
+    // distinct bands) — the next escalation at scale is PassJoin-style
+    // segment keys (split each name into threshold+1 segments; any ED≤3
+    // pair shares one segment exactly), which sharpens blocking without
+    // losing recall.
     QueryDef(
       "dedup_fuzzy_names",
       (spark, dir) => {
         GraftSession.tune(spark)
         val p = Tables.part(spark, dir)
           .select(col("p_partkey"), col("p_brand"), col("p_name"),
-                  expr("length(p_name) div 7").as("lb"))
+                  expr("length(p_name) div 4").as("lb"))
         val a = p
         val b = p.select(col("p_partkey"), col("p_brand"), col("p_name"), col("lb"),
                          explode(array(lit(-1L), lit(0L), lit(1L))).as("o"))
@@ -178,13 +188,13 @@ object DedupQueries {
                 col("a.p_brand") === col("b.p_brand") && col("a.lb") === col("b.lb") &&
                   col("a.p_partkey") < col("b.p_partkey"))
           .select(col("a.p_brand").as("p_brand"),
-                  levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("distance"))
-          .where(col("distance") <= 3)
+                  levenshtein(col("a.p_name"), col("b.p_name"), 3).cast("long").as("distance"))
+          .where(col("distance").between(0, 3))
           .groupBy(col("p_brand"), col("distance"))
           .agg(count(lit(1)).as("n_pairs"))
       },
       Some("""WITH p AS (
-             |  SELECT p_partkey, p_brand, p_name, length(p_name) // 7 AS lb FROM part
+             |  SELECT p_partkey, p_brand, p_name, length(p_name) // 4 AS lb FROM part
              |), b AS (
              |  SELECT p_partkey, p_brand, p_name, lb + o.o AS lb2
              |  FROM p CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) o

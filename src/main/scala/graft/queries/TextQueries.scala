@@ -65,18 +65,25 @@ object TextQueries {
     ),
 
     // document fingerprinting: normalized-content md5 + min/max shingle hash
-    // (1-perm minhash) + shingle cardinality
+    // (1-perm minhash) + shingle cardinality. Staged projections bind each
+    // intermediate array (tokens → shingles → hashes) ONCE — inlining the
+    // chain re-evaluates it per consuming expression (tokenize ×4 per row;
+    // measured 7s → sub-second at sf0.1), and CollapseProject keeps the
+    // stages because the bound arrays are non-cheap and multiply referenced.
     QueryDef(
       "text_fingerprint",
       (spark, dir) => {
         GraftSession.tune(spark)
-        val sh = shingleHashes(col("text"), 3)
         Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("text"), shinglesOf(col("toks"), 3).as("shn"))
+          .select(col("doc_id"), col("text"), col("shn"),
+                  graft.expressions.SignatureExpressions.h32Array(col("shn")).as("hs"))
           .select(col("doc_id"),
                   contentHash(col("text")).as("content_md5"),
-                  array_min(sh).as("min_shingle_h"),
-                  array_max(sh).as("max_shingle_h"),
-                  size(array_distinct(shingles(col("text"), 3))).cast("long").as("n_distinct_shingles"))
+                  array_min(col("hs")).as("min_shingle_h"),
+                  array_max(col("hs")).as("max_shingle_h"),
+                  size(array_distinct(col("shn"))).cast("long").as("n_distinct_shingles"))
       },
       Some({
         val sh = shingleHashesSql("text", 3)

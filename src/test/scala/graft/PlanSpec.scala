@@ -48,6 +48,32 @@ class PlanSpec extends SparkTestBase {
     assert(planOf("q_semi_join").contains("LeftSemi"))
   }
 
+  test("ngram-jaccard verification joins hashed sets, not string shingle arrays") {
+    val plan = planOf("dedup_ngram_jaccard")
+    assert(plan.contains("hs_a") && plan.contains("hs_b"),
+           s"verification must join back the hashed shingle sets:\n$plan")
+    assert(!plan.contains("sh_a") && !plan.contains("sh_b"),
+           "no string shingle array may flow through the candidate verification join")
+  }
+
+  test("brute-force top-k aggregates map-side (no global per-query window sort)") {
+    val plan = planOf("ann_bruteforce_topk")
+    assert(!plan.contains("Window"),
+           s"per-query top-k must not be a global window over the scored set:\n$plan")
+    assert(plan.contains("Aggregate"), s"expected partial top-k aggregation in:\n$plan")
+  }
+
+  test("pack_sequences windows partition by (source, bucket), never source alone") {
+    val plan = SparkEntry.queries("q_pack_sequences")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected window specs in:\n$plan")
+    val sourceOnly = specs.filter(s => s.contains("source") && !s.contains("bucket"))
+    assert(sourceOnly.isEmpty,
+           s"found serial per-source window spec(s): $sourceOnly")
+  }
+
   test("salted join equals the plain join and scatters the hot key") {
     val ev = Tables.events(spark, sf).select("user_id", "event_type", "value")
     val dim = ev.select(col("user_id")).distinct()

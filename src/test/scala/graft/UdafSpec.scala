@@ -38,6 +38,37 @@ class UdafSpec extends SparkTestBase {
     }
   }
 
+  test("TopKByScore equals the window top-k formulation and is partition-insensitive") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic scored set with duplicate cosines (exercises the
+    // vec_id tiebreak) across 3 query groups
+    val scored = spark.range(300).select(
+      (col("id") % 3).as("query_id"),
+      col("id").as("vec_id"),
+      concat(lit("l"), col("id") % 5).as("label"),
+      ((col("id") * 37 % 11) / lit(10.0)).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    val viaWindow = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 7)
+      .select("query_id", "vec_id", "label", "rank", "cosine")
+      .collect().map(_.toSeq).toSet
+    for (parts <- Seq(1, 8)) {
+      val viaAgg = scored.repartition(parts)
+        .as[Udafs.QueryHit]
+        .groupByKey(_.query_id)
+        .agg(Udafs.TopKByScore(7).toColumn.name("tops"))
+        .flatMap { case (qid, tops) =>
+          tops.iterator.zipWithIndex.map { case (t, i) =>
+            (qid, t.vec_id, t.label, (i + 1).toLong, t.cosine)
+          }
+        }
+        .toDF("query_id", "vec_id", "label", "rank", "cosine")
+        .collect().map(_.toSeq).toSet
+      assert(viaAgg == viaWindow, s"parts=$parts")
+    }
+  }
+
   test("typed aggregation on Dataset with LongMin") {
     val ds = spark.range(100).map(i => (i % 3, i + 7)).toDF("k", "v").as[(Long, Long)]
     val got = ds.groupByKey(_._1)
