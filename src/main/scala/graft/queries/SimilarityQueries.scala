@@ -154,11 +154,16 @@ object SimilarityQueries {
       }
     ),
 
-    // IVF-style ANN: partition the corpus into cells around seed centroids
-    // (deterministic seed sample — a k-means iteration would refine them
-    // without changing the plan shape), probe the query's nearest cells
-    // only. At 100 TB the cell assignment is a materialized table and each
-    // query touches nprobe/ncells of the corpus.
+    // IVF-style ANN: seed centroids (deterministic sample) refined by ONE
+    // distributed Lloyd/k-means iteration — assign every vector to its
+    // nearest seed, recompute each cell's centroid as the element-wise
+    // mean, re-assign against the refined centroids — then probe the
+    // query's nprobe nearest cells only. Centroid coordinate sums go
+    // through fixed-point longs (floor(x·2^20)): exact, associative, so
+    // the mean is independent of partitioning/merge order and bit-equal on
+    // the oracle side (counts stay < 2^53). At 100 TB the cell assignment
+    // is a materialized table and each query touches nprobe/ncells of the
+    // corpus; the mean recompute is one posexplode + two-level hash agg.
     QueryDef(
       "ann_ivf_topk",
       (spark, dir) => {
@@ -166,15 +171,30 @@ object SimilarityQueries {
         spark.catalog.clearCache()
         val nCells = 16
         val nProbe = 4
+        val Fx = 1L << 20
         val n = normed(spark, dir).persist()
         n.count()
-        val cents = n.where(col("vec_id") < nCells)
+        val seeds = n.where(col("vec_id") < nCells)
           .select(col("vec_id").as("cid"), col("v").as("cv"))
         // L2² distance to each centroid: (v·v - 2 v·c) + c·c — identical
         // association order on the oracle side
         val dist = (Vectors.dot(col("v"), col("v")) - lit(2.0) * Vectors.dot(col("v"), col("cv"))) +
           Vectors.dot(col("cv"), col("cv"))
         val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)
+        val cell0 = n.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("v"), col("cid"), dist.as("dist"))
+          .withColumn("rk", row_number().over(wAssign))
+          .where(col("rk") === 1)
+          .select(col("vec_id"), col("v"), col("cid"))
+        val cents = cell0
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(floor(col("x") * Fx).cast("long")).as("sx"), count(lit(1)).as("cnt"))
+          .select(col("cid"), col("pos"),
+                  (col("sx").cast("double") / col("cnt").cast("double") / lit(Fx.toDouble)).as("cx"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+                         s => s.getField("cx")).as("cv"))
         val assigned = n.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
           .withColumn("rk", row_number().over(wAssign))
@@ -197,9 +217,24 @@ object SimilarityQueries {
       Some {
         val nCells = 16
         val nProbe = 4
+        val Fx = 1L << 20
         val dist = s"((${Vectors.dotSql("v", "v")} - 2.0 * ${Vectors.dotSql("v", "cv")}) + ${Vectors.dotSql("cv", "cv")})"
         s"""WITH $normedSql,
-           |cents AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $nCells),
+           |seeds AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $nCells),
+           |a0 AS (
+           |  SELECT n.vec_id, n.v, seeds.cid, $dist AS dist,
+           |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $dist ASC, seeds.cid ASC) AS rk
+           |  FROM n CROSS JOIN seeds
+           |),
+           |cell0 AS (SELECT vec_id, v, cid FROM a0 WHERE rk = 1),
+           |cx AS (
+           |  SELECT cid, i AS pos,
+           |         CAST(SUM(CAST(floor(v[i] * $Fx) AS BIGINT)) AS DOUBLE)
+           |           / COUNT(*) / CAST($Fx AS DOUBLE) AS cx
+           |  FROM cell0 CROSS JOIN (SELECT unnest(range(1, ${Vectors.Dim + 1})) AS i) ps
+           |  GROUP BY cid, i
+           |),
+           |cents AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cx GROUP BY cid),
            |assigned AS (
            |  SELECT n.vec_id, n.v, n.nrm, cents.cid, $dist AS dist,
            |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $dist ASC, cents.cid ASC) AS rk
