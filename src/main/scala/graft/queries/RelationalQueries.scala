@@ -358,6 +358,99 @@ object RelationalQueries {
              |GROUP BY o_orderpriority""".stripMargin)
     ),
 
+    // O: exact per-group order statistics (p50/p90/max of order price)
+    // WITHOUT a per-group global sort. A `PARTITION BY grp ORDER BY price`
+    // window puts each group's whole corpus on one task; instead this is
+    // the two-phase distributed-quantile shape: (1) histogram counts per
+    // (grp, value-bucket) — one hash agg; (2) tiny per-grp prefix sums over
+    // ~1000 buckets locate each quantile's bucket + intra-bucket offset;
+    // (3) rank only the rows of the hit buckets (bounded refinement) and
+    // pick the offset-th. All arithmetic is integer (cents, counts), so
+    // both engines select the identical element; quantile indices are
+    // percentile_disc semantics: idx_q = ceil(q*n) via integer div.
+    QueryDef(
+      "q_order_stats",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val W = 1L << 16
+        val base = Tables.orders(spark, dir)
+          .select(col("o_orderpriority").as("grp"),
+                  Money.cents(col("o_totalprice")).as("cents"), col("o_orderkey"))
+          .withColumn("bucket", expr(s"cents div $W"))
+        val hist = base.groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
+        val wB = Window.partitionBy("grp").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum("cnt").over(wB).cast(LongType))
+        val idx = hist.groupBy("grp").agg(sum("cnt").cast(LongType).as("n"))
+          .select(col("grp"), col("n"),
+                  expr("(n + 1) div 2").as("idx50"),
+                  expr("(9 * n + 9) div 10").as("idx90"))
+        def target(idxCol: String, tag: String) =
+          cum.join(broadcast(idx), "grp")
+            .where(col("cum") >= col(idxCol) && (col("cum") - col("cnt")) < col(idxCol))
+            .select(col("grp"), lit(tag).as("q"), col("bucket"),
+                    (col(idxCol) - (col("cum") - col("cnt"))).as("offs"))
+        val targets = target("idx50", "p50").unionByName(target("idx90", "p90"))
+        val wIn = Window.partitionBy("grp", "bucket").orderBy(col("cents"), col("o_orderkey"))
+        val ranked = base
+          .join(broadcast(targets.select("grp", "bucket").distinct()), Seq("grp", "bucket"))
+          .withColumn("rn", row_number().over(wIn).cast(LongType))
+        val quants = ranked.join(broadcast(targets), Seq("grp", "bucket"))
+          .where(col("rn") === col("offs"))
+          .groupBy("grp")
+          .agg(max(when(col("q") === "p50", col("cents"))).as("p50_cents"),
+               max(when(col("q") === "p90", col("cents"))).as("p90_cents"))
+        base.groupBy("grp")
+          .agg(count(lit(1)).as("n_orders"), max("cents").as("max_cents"))
+          .join(quants, "grp")
+          .select("grp", "n_orders", "p50_cents", "p90_cents", "max_cents")
+      },
+      Some(s"""WITH base AS (
+             |  SELECT o_orderpriority AS grp, ${Money.centsSql("o_totalprice")} AS cents, o_orderkey
+             |  FROM orders
+             |), b2 AS (
+             |  SELECT grp, cents, o_orderkey, cents // ${1L << 16} AS bucket FROM base
+             |), hist AS (
+             |  SELECT grp, bucket, COUNT(*) AS cnt FROM b2 GROUP BY 1, 2
+             |), cum AS (
+             |  SELECT grp, bucket, cnt,
+             |         CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM hist
+             |), idx AS (
+             |  SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n,
+             |         (CAST(SUM(cnt) AS BIGINT) + 1) // 2 AS idx50,
+             |         (9 * CAST(SUM(cnt) AS BIGINT) + 9) // 10 AS idx90
+             |  FROM hist GROUP BY grp
+             |), targets AS (
+             |  SELECT c.grp, 'p50' AS q, c.bucket, i.idx50 - (c.cum - c.cnt) AS offs
+             |  FROM cum c JOIN idx i ON c.grp = i.grp
+             |  WHERE c.cum >= i.idx50 AND c.cum - c.cnt < i.idx50
+             |  UNION ALL
+             |  SELECT c.grp, 'p90', c.bucket, i.idx90 - (c.cum - c.cnt)
+             |  FROM cum c JOIN idx i ON c.grp = i.grp
+             |  WHERE c.cum >= i.idx90 AND c.cum - c.cnt < i.idx90
+             |), ranked AS (
+             |  SELECT b2.grp, b2.bucket, b2.cents,
+             |         CAST(row_number() OVER (PARTITION BY b2.grp, b2.bucket
+             |              ORDER BY b2.cents, b2.o_orderkey) AS BIGINT) AS rn
+             |  FROM b2 JOIN (SELECT DISTINCT grp, bucket FROM targets) t
+             |    ON b2.grp = t.grp AND b2.bucket = t.bucket
+             |), quants AS (
+             |  SELECT r.grp,
+             |         MAX(CASE WHEN t.q = 'p50' THEN r.cents END) AS p50_cents,
+             |         MAX(CASE WHEN t.q = 'p90' THEN r.cents END) AS p90_cents
+             |  FROM ranked r JOIN targets t
+             |    ON r.grp = t.grp AND r.bucket = t.bucket AND r.rn = t.offs
+             |  GROUP BY r.grp
+             |), maxes AS (
+             |  SELECT grp, COUNT(*) AS n_orders, CAST(MAX(cents) AS BIGINT) AS max_cents
+             |  FROM b2 GROUP BY grp
+             |)
+             |SELECT m.grp, m.n_orders, q.p50_cents, q.p90_cents, m.max_cents
+             |FROM maxes m JOIN quants q ON m.grp = q.grp""".stripMargin)
+    ),
+
     // O: pivot / conditional aggregation — events per day per type as columns.
     QueryDef(
       "q_pivot_daily_events",

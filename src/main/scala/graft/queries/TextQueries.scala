@@ -115,6 +115,41 @@ object TextQueries {
               |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin)
     ),
 
+    // within-document repetition: duplicate 3-gram fraction — the standard
+    // LLM-corpus repetition quality gate (degenerate/looping text has a
+    // high ratio). Map-only; ratio is an exact-int division so the double
+    // is bit-identical across engines.
+    QueryDef(
+      "text_repetition",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), shinglesOf(col("toks"), 3).as("shn"))
+          .select(col("doc_id"),
+                  size(col("shn")).cast("long").as("n_shingles"),
+                  size(array_distinct(col("shn"))).cast("long").as("n_distinct"))
+          .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+                  when(col("n_shingles") > 0,
+                       lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
+                    .otherwise(lit(0.0)).as("rep_ratio"))
+          .withColumn("flagged", col("rep_ratio") > 0.2)
+      },
+      Some(s"""SELECT doc_id, n_shingles, n_distinct, rep_ratio, rep_ratio > CAST(0.2 AS DOUBLE) AS flagged
+              |FROM (
+              |  SELECT doc_id, n_shingles, n_distinct,
+              |         CASE WHEN n_shingles > 0
+              |              THEN CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+              |              ELSE CAST(0 AS DOUBLE) END AS rep_ratio
+              |  FROM (
+              |    SELECT doc_id,
+              |           CAST(len(sh) AS BIGINT) AS n_shingles,
+              |           CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct
+              |    FROM (SELECT doc_id, ${shinglesSql("text", 3)} AS sh FROM documents)
+              |  )
+              |)""".stripMargin)
+    ),
+
     // corpus rollup: the aggregation consumers actually run — token budget +
     // mean quality per (source, lang). Sums are exact integer/decimal.
     QueryDef(
