@@ -174,18 +174,25 @@ object SimilarityQueries {
         val Fx = 1L << 20
         val n = normed(spark, dir).persist()
         n.count()
-        val seeds = n.where(col("vec_id") < nCells)
-          .select(col("vec_id").as("cid"), col("v").as("cv"))
-        // L2² distance to each centroid: (v·v - 2 v·c) + c·c — identical
-        // association order on the oracle side
-        val dist = (Vectors.dot(col("v"), col("v")) - lit(2.0) * Vectors.dot(col("v"), col("cv"))) +
-          Vectors.dot(col("cv"), col("cv"))
+        // stage v·v once per vector and c·c once per centroid — the dist
+        // expression reads the bound columns with the oracle's association
+        // order ((v·v - 2 v·c) + c·c), so values stay bit-identical while
+        // the per-pair work drops to one dot product
+        val n2 = n.select(col("vec_id"), col("v"), Vectors.dot(col("v"), col("v")).as("vv"))
+        val seeds = n2.where(col("vec_id") < nCells)
+          .select(col("vec_id").as("cid"), col("v").as("cv"), col("vv").as("cvv"))
+        val dist = (col("vv") - lit(2.0) * Vectors.dot(col("v"), col("cv"))) + col("cvv")
         val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)
-        val cell0 = n.crossJoin(broadcast(seeds))
-          .select(col("vec_id"), col("v"), col("cid"), dist.as("dist"))
-          .withColumn("rk", row_number().over(wAssign))
-          .where(col("rk") === 1)
-          .select(col("vec_id"), col("v"), col("cid"))
+        // nearest cells, TRIMMED to (vec_id, cid, rk): the window shuffle
+        // ships ids+distances only, never the vectors
+        def nearest(cents: DataFrame, keep: Int): DataFrame =
+          n2.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("cid"), dist.as("dist"))
+            .withColumn("rk", row_number().over(wAssign))
+            .where(col("rk") <= keep)
+            .select(col("vec_id"), col("cid"), col("rk"))
+        val cell0 = nearest(seeds, 1)
+          .join(n.select(col("vec_id"), col("v")), "vec_id")
         val cents = cell0
           .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("cid"), col("pos"))
@@ -195,12 +202,17 @@ object SimilarityQueries {
           .groupBy(col("cid"))
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
                          s => s.getField("cx")).as("cv"))
-        val assigned = n.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("v"), col("nrm"), col("cid"), dist.as("dist"))
-          .withColumn("rk", row_number().over(wAssign))
+          .withColumn("cvv", Vectors.dot(col("cv"), col("cv")))
+        // persist + eager count: corpusCells and queryCells both read the
+        // refined assignment — without the persist the whole Lloyd subplan
+        // runs twice, and without the eager count the two consumers race
+        // the cache. (At 100 TB this is the materialized cell-assignment
+        // table.)
+        val assigned = nearest(cents, nProbe).persist()
+        assigned.count()
         val corpusCells = assigned.where(col("rk") === 1)
           .select(col("vec_id"), col("cid").as("cell"))
-        val queryCells = assigned.where(col("vec_id") < NumQueries && col("rk") <= nProbe)
+        val queryCells = assigned.where(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("cid").as("cell"))
         val cand = corpusCells.join(broadcast(queryCells), "cell")
           .where(col("vec_id") =!= col("query_id"))
