@@ -67,6 +67,37 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("simhash64 16-bit banding has perfect recall at hamming <= 3") {
+    // any two 64-bit fingerprints (carried as lo/hi halves) within hamming 3
+    // share at least one untouched 16-bit band (pigeonhole over 4 bands)
+    val r = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val baseLo = r.nextLong() & 0xffffffffL
+      val baseHi = r.nextLong() & 0xffffffffL
+      var (lo, hi) = (baseLo, baseHi)
+      (0 until 3).foreach { _ =>
+        val bit = r.nextInt(64)
+        if (bit < 32) lo ^= (1L << bit) else hi ^= (1L << (bit - 32))
+      }
+      def bands(l: Long, h: Long) =
+        Seq(l & 65535L, (l >> 16) & 65535L, h & 65535L, (h >> 16) & 65535L)
+      assert(bands(baseLo, baseHi).zip(bands(lo, hi)).exists { case (x, y) => x == y })
+    }
+  }
+
+  test("simhash64 halves decorrelate: hi differs for sets whose lo collides rarely") {
+    val fps = docs
+      .select(col("doc_id"),
+              Dedup.simhashLo(Dedup.shingleHashSet(col("text"), 3)).as("lo"),
+              Dedup.simhashHi(Dedup.shingleHashSet(col("text"), 3)).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    fps.foreach { case (lo, hi) =>
+      assert(lo >= 0L && lo < (1L << 32) && hi >= 0L && hi < (1L << 32))
+    }
+    // the affine remix must actually change the voted bits
+    assert(fps.count { case (lo, hi) => lo == hi } == 0)
+  }
+
   test("exact jaccard of identical sets is 1.0 and of disjoint sets is 0.0") {
     val df = Seq((Seq("a b c", "b c d"), Seq("a b c", "b c d"), Seq("x y z", "z z y")))
       .toDF("s1", "s2", "s3")
