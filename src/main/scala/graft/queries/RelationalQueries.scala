@@ -451,6 +451,29 @@ object RelationalQueries {
              |FROM maxes m JOIN quants q ON m.grp = q.grp""".stripMargin)
     ),
 
+    // O: salted skew join, oracle-checked — the hot-key scatter produces
+    // exactly the rows of the plain equi-join (the spec pins the plan; this
+    // query pins the values against DuckDB's plain join). user_id counts in
+    // events are skewed enough to make the routing meaningful; the salt is
+    // a deterministic row hash so results are identical across runs.
+    QueryDef(
+      "q_skew_join",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("value"))
+        val dim = ev.select(col("user_id")).distinct()
+          .withColumn("segment", concat(lit("seg"), pmod(col("user_id"), lit(5))))
+        graft.operators.SkewJoin.saltedJoin(ev, dim, "user_id", salt = 8)
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_events"),
+               Money.lsum(Money.cents(col("value"))).as("sum_value_cents"))
+      },
+      Some(s"""SELECT concat('seg', user_id % 5) AS segment, COUNT(*) AS n_events,
+             |       ${Money.lsumSql(Money.centsSql("value"))} AS sum_value_cents
+             |FROM events
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // O: pivot / conditional aggregation — events per day per type as columns.
     QueryDef(
       "q_pivot_daily_events",
