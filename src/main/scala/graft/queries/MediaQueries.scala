@@ -42,6 +42,39 @@ object MediaQueries {
       }
     ),
 
+    // typed resize path (stubbed scaler): halve dims until both fit maxDim,
+    // subsample payload by the same power-of-2 factor. The oracle rebuilds
+    // the byte subsample with list arithmetic and matches the md5 — proving
+    // the typed mapPartitions resize plumbing byte-exact.
+    QueryDef(
+      "media_resize",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val m = Media.mediaTable(Tables.documents(spark, dir)).as[graft.media.MediaRecord]
+        Media.resizeAll(m, maxDim = 128).toDF()
+          .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+                  octet_length(col("payload")).cast("long").as("n_bytes"),
+                  md5(col("payload")).as("payload_md5"))
+      },
+      Some {
+        val sampled = "list_aggregate(list_transform(generate_series(0, length(payload) // fac - 1), " +
+          "i -> substring(payload, i * fac + 1, 1)), 'string_agg', '')"
+        s"""SELECT doc_id, media_type,
+           |       CAST(width // fac AS INT) AS width,
+           |       CAST(height // fac AS INT) AS height,
+           |       CAST(length(payload) // fac AS BIGINT) AS n_bytes,
+           |       md5(CASE WHEN fac = 1 THEN payload ELSE coalesce($sampled, '') END) AS payload_md5
+           |FROM (
+           |  SELECT *, CASE WHEN greatest(width, height) // 1 <= 128 THEN 1
+           |                 WHEN greatest(width, height) // 2 <= 128 THEN 2
+           |                 WHEN greatest(width, height) // 4 <= 128 THEN 4
+           |                 ELSE 8 END AS fac
+           |  FROM ${Media.mediaTableSql} m
+           |)""".stripMargin
+      }
+    ),
+
     // typed mapPartitions decode path (stubbed codec): the oracle reproduces
     // the stub arithmetic, proving the partition-iterator plumbing is exact
     QueryDef(
