@@ -55,8 +55,14 @@ object Udafs {
       Ordering.by((s: ScoredHit) => (-s.cosine, s.vec_id))
     private def trim(s: Seq[ScoredHit]): Seq[ScoredHit] = s.sorted(ord).take(k)
     override def zero: Seq[ScoredHit] = Nil
-    override def reduce(b: Seq[ScoredHit], a: QueryHit): Seq[ScoredHit] =
-      trim(ScoredHit(a.vec_id, a.label, a.cosine) +: b)
+    override def reduce(b: Seq[ScoredHit], a: QueryHit): Seq[ScoredHit] = {
+      val hit = ScoredHit(a.vec_id, a.label, a.cosine)
+      // fast path: buffer full (kept sorted by trim) and the new hit is no
+      // better than the current worst — skip the O(k log k) re-sort, which
+      // is almost every row once the heap warms up
+      if (b.length >= k && ord.gteq(hit, b.last)) b
+      else trim(hit +: b)
+    }
     override def merge(a: Seq[ScoredHit], b: Seq[ScoredHit]): Seq[ScoredHit] = trim(a ++ b)
     override def finish(b: Seq[ScoredHit]): Seq[ScoredHit] = b.sorted(ord)
     override def bufferEncoder: Encoder[Seq[ScoredHit]] = ExpressionEncoder()

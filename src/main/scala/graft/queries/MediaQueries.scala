@@ -36,8 +36,8 @@ object MediaQueries {
         s"""SELECT doc_id, media_type, width, height, n_frames,
            |       CAST(octet_length(encode(payload)) AS BIGINT) AS payload_bytes,
            |       md5(payload) AS payload_md5,
-           |       md5(list_aggregate(frame_hashes, 'string_agg', ',')) AS frames_digest,
-           |       md5(list_aggregate(${Media.sampleFramesSql("frame_hashes")}, 'string_agg', ',')) AS sampled_digest
+           |       md5(coalesce(list_aggregate(frame_hashes, 'string_agg', ','), '')) AS frames_digest,
+           |       md5(coalesce(list_aggregate(${Media.sampleFramesSql("frame_hashes")}, 'string_agg', ','), '')) AS sampled_digest
            |FROM (SELECT *, $fh AS frame_hashes FROM ${Media.mediaTableSql} m)""".stripMargin
       }
     ),
@@ -52,12 +52,19 @@ object MediaQueries {
         GraftSession.tune(spark)
         import spark.implicits._
         val m = Media.mediaTable(Tables.documents(spark, dir)).as[graft.media.MediaRecord]
-        Media.resizeAll(m, maxDim = 128).toDF()
+        Media.resizeAll(m, Media.ResizeMaxDim).toDF()
           .select(col("doc_id"), col("media_type"), col("width"), col("height"),
                   octet_length(col("payload")).cast("long").as("n_bytes"),
                   md5(col("payload")).as("payload_md5"))
       },
       Some {
+        val maxDim = Media.ResizeMaxDim
+        // generated CASE over enough powers of 2 to cover ANY 31-bit
+        // dimension (2^31 / 2^24 < maxDim), so the oracle can never fall
+        // behind resizeStub's unbounded halving loop
+        val fac = (0 to 24).map(p => 1L << p)
+          .map(f => s"WHEN greatest(width, height) // $f <= $maxDim THEN $f")
+          .mkString("CASE ", " ", s" ELSE ${1L << 25} END")
         val sampled = "list_aggregate(list_transform(generate_series(0, length(payload) // fac - 1), " +
           "i -> substring(payload, i * fac + 1, 1)), 'string_agg', '')"
         s"""SELECT doc_id, media_type,
@@ -66,10 +73,7 @@ object MediaQueries {
            |       CAST(length(payload) // fac AS BIGINT) AS n_bytes,
            |       md5(CASE WHEN fac = 1 THEN payload ELSE coalesce($sampled, '') END) AS payload_md5
            |FROM (
-           |  SELECT *, CASE WHEN greatest(width, height) // 1 <= 128 THEN 1
-           |                 WHEN greatest(width, height) // 2 <= 128 THEN 2
-           |                 WHEN greatest(width, height) // 4 <= 128 THEN 4
-           |                 ELSE 8 END AS fac
+           |  SELECT *, $fac AS fac
            |  FROM ${Media.mediaTableSql} m
            |)""".stripMargin
       }

@@ -75,10 +75,16 @@ object PipelineQueries {
       (spark, dir) => {
         GraftSession.tune(spark)
         val B = 4096
+        spark.catalog.clearCache() // queries run sequentially; drop stale persists
+        // persist + eager count: the intra-bucket window and the offsets
+        // aggregation both consume this — without it the documents scan and
+        // the tokenizer regex run twice
         val toks = Tables.documents(spark, dir)
           .select(col("source"), col("doc_id"),
                   TextAnalysis.bpeTokenCount(col("text")).cast("long").as("toks"))
           .withColumn("bucket", expr(s"doc_id div $B"))
+          .persist()
+        toks.count()
         val wIn = Window.partitionBy(col("source"), col("bucket")).orderBy(col("doc_id"))
         val intra = toks.withColumn("cum_in", sum(col("toks")).over(wIn))
         val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))

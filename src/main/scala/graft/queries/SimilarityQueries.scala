@@ -24,6 +24,12 @@ object SimilarityQueries {
   private val NumQueries = 10
   private val K = 10
 
+  // IVF parameters, shared by the Spark build and the oracle SQL so the
+  // two sides cannot drift independently
+  private val IvfCells = 16
+  private val IvfProbe = 4
+  private val IvfFx = 1L << 20
+
   /** vectors with precomputed norms — norms are computed once per row so
     * the pair stage divides by already-materialized doubles (identical
     * arithmetic on the oracle side).
@@ -169,9 +175,9 @@ object SimilarityQueries {
       (spark, dir) => {
         GraftSession.tune(spark)
         spark.catalog.clearCache()
-        val nCells = 16
-        val nProbe = 4
-        val Fx = 1L << 20
+        val nCells = IvfCells
+        val nProbe = IvfProbe
+        val Fx = IvfFx
         val n = normed(spark, dir).persist()
         n.count()
         // stage v·v once per vector and c·c once per centroid — the dist
@@ -227,9 +233,9 @@ object SimilarityQueries {
           .select("query_id", "vec_id", "rank", "cosine")
       },
       Some {
-        val nCells = 16
-        val nProbe = 4
-        val Fx = 1L << 20
+        val nCells = IvfCells
+        val nProbe = IvfProbe
+        val Fx = IvfFx
         val dist = s"((${Vectors.dotSql("v", "v")} - 2.0 * ${Vectors.dotSql("v", "cv")}) + ${Vectors.dotSql("cv", "cv")})"
         s"""WITH $normedSql,
            |seeds AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $nCells),

@@ -138,8 +138,10 @@ final class ModelRunner(models: Seq[Model]) {
     * needs them.
     */
   def selectChanged(previous: Map[String, String]): Model => Boolean = {
+    // an empty signature means "no fingerprint declared" — such models must
+    // always rebuild (otherwise "" == recorded "" silently skips real edits)
     val changed = models
-      .filter(m => !previous.get(m.name).contains(m.signature))
+      .filter(m => m.signature.isEmpty || !previous.get(m.name).contains(m.signature))
       .map(_.name).to(scala.collection.mutable.Set)
     val dependents = models.flatMap(m => m.refs.map(_ -> m.name))
       .groupMap(_._1)(_._2)

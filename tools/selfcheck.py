@@ -69,9 +69,10 @@ def array_cols(df):
     oracle-checked output."""
     bad = []
     for c in df.columns:
-        if df[c].dtype == object and len(df) and isinstance(
-                df[c].iloc[0], (np.ndarray, list)):
-            bad.append(c)
+        if df[c].dtype == object:
+            nonnull = df[c].dropna()
+            if len(nonnull) and isinstance(nonnull.iloc[0], (np.ndarray, list)):
+                bad.append(c)
     return bad
 
 
