@@ -178,12 +178,11 @@ object DedupQueries {
         val p = Tables.part(spark, dir)
           .select(col("p_partkey"), col("p_brand"), col("p_name"),
                   expr("length(p_name) div 4").as("lb"))
-        val a = p
         val b = p.select(col("p_partkey"), col("p_brand"), col("p_name"), col("lb"),
                          explode(array(lit(-1L), lit(0L), lit(1L))).as("o"))
           .select(col("p_partkey"), col("p_brand"), col("p_name"),
                   (col("lb") + col("o")).as("lb"))
-        a.as("a")
+        p.as("a")
           .join(b.as("b"),
                 col("a.p_brand") === col("b.p_brand") && col("a.lb") === col("b.lb") &&
                   col("a.p_partkey") < col("b.p_partkey"))
