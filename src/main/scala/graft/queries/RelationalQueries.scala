@@ -451,6 +451,53 @@ object RelationalQueries {
              |FROM maxes m JOIN quants q ON m.grp = q.grp""".stripMargin)
     ),
 
+    // O: full outer join — per-nation customer vs supplier counts, keeping
+    // nations present on either side only. Both inputs pre-aggregate before
+    // the join, so the outer join runs on dimension-sized relations.
+    QueryDef(
+      "q_outer_join",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val c = Tables.customer(spark, dir)
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+        val s = Tables.supplier(spark, dir)
+          .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_suppliers"))
+        c.join(s, col("c_nationkey") === col("s_nationkey"), "full_outer")
+          .select(coalesce(col("c_nationkey"), col("s_nationkey")).cast(LongType).as("nationkey"),
+                  coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+                  coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      },
+      Some("""SELECT CAST(COALESCE(c.c_nationkey, s.s_nationkey) AS BIGINT) AS nationkey,
+             |       COALESCE(c.n_customers, 0) AS n_customers,
+             |       COALESCE(s.n_suppliers, 0) AS n_suppliers
+             |FROM (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+             |FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+             |  ON c.c_nationkey = s.s_nationkey""".stripMargin)
+    ),
+
+    // O: multiset set operations (INTERSECT ALL / EXCEPT ALL) — the
+    // bag-semantics twins of q_setops_users' distinct forms.
+    QueryDef(
+      "q_setops_all",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val ev = Tables.events(spark, dir)
+        def users(t: String) = ev.filter(col("event_type") === t).select("user_id")
+        val inter = users("purchase").intersectAll(users("click"))
+          .agg(count(lit(1)).as("n")).select(lit("purchase_intersect_all_click").as("op"), col("n"))
+        val exc = users("purchase").exceptAll(users("error"))
+          .agg(count(lit(1)).as("n")).select(lit("purchase_except_all_error").as("op"), col("n"))
+        inter.union(exc)
+      },
+      Some("""SELECT 'purchase_intersect_all_click' AS op, COUNT(*) AS n FROM (
+             |  SELECT user_id FROM events WHERE event_type='purchase'
+             |  INTERSECT ALL SELECT user_id FROM events WHERE event_type='click')
+             |UNION ALL
+             |SELECT 'purchase_except_all_error', COUNT(*) FROM (
+             |  SELECT user_id FROM events WHERE event_type='purchase'
+             |  EXCEPT ALL SELECT user_id FROM events WHERE event_type='error')""".stripMargin)
+    ),
+
     // O: salted skew join, oracle-checked — the hot-key scatter produces
     // exactly the rows of the plain equi-join (the spec pins the plan; this
     // query pins the values against DuckDB's plain join). user_id counts in

@@ -115,6 +115,36 @@ object TextQueries {
               |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin)
     ),
 
+    // tf-idf vocabulary scoring in EXACT FIXED-POINT: idf is the integer
+    // ratio (n_docs × 10^6) div df rather than a float log — deterministic
+    // across engines (transcendental log differs in the last ulp between
+    // libm implementations) while preserving the idf ordering. One explode
+    // + one hash agg + a broadcast scalar; top-20 with unique tiebreak.
+    QueryDef(
+      "text_tfidf",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val docs = Tables.documents(spark, dir)
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df_docs"))
+          .crossJoin(broadcast(nd))
+          .select(col("token"), col("tf"), col("df_docs"),
+                  expr("tf * ((n_docs * 1000000) div df_docs)").as("tfidf_score"))
+          .orderBy(col("tfidf_score").desc, col("token"))
+          .limit(20)
+      },
+      Some(s"""SELECT token, tf, df_docs,
+              |       CAST(tf * ((n_docs * 1000000) // df_docs) AS BIGINT) AS tfidf_score
+              |FROM (
+              |  SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df_docs
+              |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM documents)
+              |  GROUP BY token
+              |) CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents)
+              |ORDER BY tfidf_score DESC, token LIMIT 20""".stripMargin)
+    ),
+
     // within-document repetition: duplicate 3-gram fraction — the standard
     // LLM-corpus repetition quality gate (degenerate/looping text has a
     // high ratio). Map-only; ratio is an exact-int division so the double
