@@ -167,10 +167,14 @@ object DedupQueries {
     // agrees exactly on every surviving pair. The exploded block side stays
     // broadcast (3n rows of key columns), so candidate generation is
     // map-side. Caveat: on very short names the length band saturates (few
-    // distinct bands) — the next escalation at scale is PassJoin-style
-    // segment keys (split each name into threshold+1 segments; any ED≤3
-    // pair shares one segment exactly), which sharpens blocking without
-    // losing recall.
+    // distinct bands). PassJoin segment blocking (split each name into
+    // threshold+1 segments; any ED≤3 pair shares one segment exactly) was
+    // implemented and measured AGAINST this version: full recall confirmed
+    // by the plain-join oracle, but SLOWER here (10-13s vs 8.8s at sf0.1)
+    // because 7-12 char names yield 2-3 char segments from a small
+    // vocabulary — near-zero key selectivity. PassJoin is the right
+    // escalation only once strings are long enough for selective segments
+    // (roughly ≥ 4·(τ+1) chars of diverse alphabet).
     QueryDef(
       "dedup_fuzzy_names",
       (spark, dir) => {
