@@ -42,6 +42,36 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("watermark drops late data: a closed window's append output excludes stragglers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // batch 1: two events in the [0,10) window, then one far ahead that
+    // advances the watermark (max ts 120min - 30min watermark = 90min)
+    // past the first window's end -> window [0,10) finalizes
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(5), 11, "click", 2.0),
+      Event(3, ts(120), 12, "click", 4.0))
+    val q = Streaming.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("late_wc")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    // batch 2: a straggler for the long-closed [0,10) window — the
+    // watermark must drop it, not re-emit or update the window
+    input.addData(Event(4, ts(2), 10, "click", 100.0))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+
+    val firstWindow = spark.table("late_wc")
+      .where(col("window_start") === ts(0))
+      .select("n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // exactly one finalized emission, containing only the on-time events
+    assert(firstWindow.toSeq == Seq((2L, 3.0)),
+           s"late event must be dropped, got ${firstWindow.toSeq}")
+  }
+
   test("sessionize splits on gap and aggregates within sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
