@@ -115,6 +115,37 @@ object TextQueries {
               |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin)
     ),
 
+    // PII scrubbing: count and redact email/phone-shaped spans — the
+    // privacy pass every training-data pipeline runs before tokenization.
+    // Map-only; patterns use only constructs with identical semantics in
+    // Java regex (Spark) and RE2 (DuckDB): character classes (dot inside a
+    // class is literal — no escape-level pitfalls), greedy quantifiers,
+    // bounded repetition.
+    QueryDef(
+      "text_pii_scrub",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+        val phoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+                  regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+                  regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+                  md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+                                     phoneRe, "<PHONE>")).as("scrubbed_md5"))
+      },
+      Some {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+        val phoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+        s"""SELECT doc_id,
+           |       CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+           |       CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+           |       md5(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+           |                          '$phoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+           |FROM documents""".stripMargin
+      }
+    ),
+
     // tf-idf vocabulary scoring in EXACT FIXED-POINT: idf is the integer
     // ratio (n_docs × 10^6) div df rather than a float log — deterministic
     // across engines (transcendental log differs in the last ulp between
