@@ -31,6 +31,22 @@ import org.apache.spark.sql.types.LongType
   * keys (`user_id`, `c_custkey`) so state per partition stays bounded; the
   * as-of join is the union+window formulation (single shuffle, no self-join).
   */
+/** Shared final-stage float formulas for q_price_moments: one expression
+  * string parsed by BOTH engines (only CAST/sqrt/arithmetic — identical
+  * syntax and IEEE semantics), fed exclusively by exact long moment sums,
+  * so the resulting doubles are bit-identical.
+  */
+private object MomentFormulas {
+  private def d(e: String) = s"CAST($e AS DOUBLE)"
+  val covar = s"(${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")}) / (${d("n")} * ${d("n")})"
+  val corr =
+    s"(${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")}) / " +
+      s"sqrt((${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")}) * " +
+      s"(${d("n")} * ${d("syy")} - ${d("sy")} * ${d("sy")}))"
+  val stdX = s"sqrt(${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")}) / ${d("n")}"
+  val stdY = s"sqrt(${d("n")} * ${d("syy")} - ${d("sy")} * ${d("sy")}) / ${d("n")}"
+}
+
 object RelationalQueries {
 
   val defs: Seq[QueryDef] = Seq(
@@ -449,6 +465,55 @@ object RelationalQueries {
              |)
              |SELECT m.grp, m.n_orders, q.p50_cents, q.p90_cents, m.max_cents
              |FROM maxes m JOIN quants q ON m.grp = q.grp""".stripMargin)
+    ),
+
+    // O: statistical moment aggregates (corr / covariance / stddev) made
+    // deterministic: the five moment sums accumulate as EXACT integer
+    // cents/dollars (associative — safe under any partitioning), and the
+    // float math happens once per group at the end, from identical long
+    // inputs through an identical expression string on both engines
+    // (IEEE sqrt/×/÷ are correctly rounded, so the doubles agree bitwise).
+    // Spark's built-in corr() is a parallel double accumulation — its merge
+    // order would differ from DuckDB's; this two-phase form is how an
+    // engine gets reproducible statistics at 1000 executors.
+    QueryDef(
+      "q_price_moments",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.lineitem(spark, dir)
+          .select(col("l_returnflag"),
+                  Money.cents(col("l_quantity")).as("x"),
+                  // centsSql is plain ANSI (CAST/DECIMAL) — Spark parses it too
+                  expr(s"(${Money.centsSql("l_extendedprice")}) div 100").as("y"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+               Money.lsum(col("x")).as("sx"), Money.lsum(col("y")).as("sy"),
+               Money.lsum(col("x") * col("y")).as("sxy"),
+               Money.lsum(col("x") * col("x")).as("sxx"),
+               Money.lsum(col("y") * col("y")).as("syy"))
+          .select(col("l_returnflag"), col("n"),
+                  expr(MomentFormulas.corr).as("corr_qty_price"),
+                  expr(MomentFormulas.covar).as("covar_pop"),
+                  expr(MomentFormulas.stdX).as("std_qty_cents"),
+                  expr(MomentFormulas.stdY).as("std_price_dollars"))
+      },
+      Some(s"""SELECT l_returnflag, n,
+             |       ${MomentFormulas.corr} AS corr_qty_price,
+             |       ${MomentFormulas.covar} AS covar_pop,
+             |       ${MomentFormulas.stdX} AS std_qty_cents,
+             |       ${MomentFormulas.stdY} AS std_price_dollars
+             |FROM (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |         ${Money.lsumSql("x")} AS sx, ${Money.lsumSql("y")} AS sy,
+             |         ${Money.lsumSql("x * y")} AS sxy,
+             |         ${Money.lsumSql("x * x")} AS sxx,
+             |         ${Money.lsumSql("y * y")} AS syy
+             |  FROM (SELECT l_returnflag,
+             |               ${Money.centsSql("l_quantity")} AS x,
+             |               (${Money.centsSql("l_extendedprice")}) // 100 AS y
+             |        FROM lineitem)
+             |  GROUP BY l_returnflag
+             |)""".stripMargin)
     ),
 
     // O: full outer join — per-nation customer vs supplier counts, keeping
