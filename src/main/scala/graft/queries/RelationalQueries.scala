@@ -467,6 +467,28 @@ object RelationalQueries {
              |FROM maxes m JOIN quants q ON m.grp = q.grp""".stripMargin)
     ),
 
+    // O: calendar rollup — date_trunc month/quarter buckets (both engines
+    // truncate identically; day-of-week is deliberately avoided: Spark and
+    // DuckDB number weekdays differently).
+    QueryDef(
+      "q_time_rollup",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.orders(spark, dir)
+          .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+                  date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter"),
+                  Money.cents(col("o_totalprice")).as("pc"))
+          .groupBy(col("month"), col("quarter"))
+          .agg(count(lit(1)).as("n_orders"),
+               Money.lsum(col("pc")).as("sum_price_cents"))
+      },
+      Some(s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             |       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+             |       COUNT(*) AS n_orders,
+             |       ${Money.lsumSql(Money.centsSql("o_totalprice"))} AS sum_price_cents
+             |FROM orders GROUP BY 1, 2""".stripMargin)
+    ),
+
     // O: statistical moment aggregates (corr / covariance / stddev) made
     // deterministic: the five moment sums accumulate as EXACT integer
     // cents/dollars (associative — safe under any partitioning), and the
