@@ -38,13 +38,22 @@ import org.apache.spark.sql.types.LongType
   */
 private object MomentFormulas {
   private def d(e: String) = s"CAST($e AS DOUBLE)"
+  // variance numerators in double space; cancellation can round a
+  // zero-variance group to a tiny negative, and a zero-variance group makes
+  // the corr denominator 0 — under Spark 4's default ANSI mode double/0
+  // THROWS (DuckDB returns NULL), and DuckDB's sqrt(negative) is a hard
+  // error (Spark returns NaN). Guard both: clamp variances at 0 for the
+  // stddevs, and emit NULL corr unless both variances are strictly positive
+  // — the same branch on both engines.
+  private val vx = s"(${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+  private val vy = s"(${d("n")} * ${d("syy")} - ${d("sy")} * ${d("sy")})"
   val covar = s"(${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")}) / (${d("n")} * ${d("n")})"
   val corr =
-    s"(${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")}) / " +
-      s"sqrt((${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")}) * " +
-      s"(${d("n")} * ${d("syy")} - ${d("sy")} * ${d("sy")}))"
-  val stdX = s"sqrt(${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")}) / ${d("n")}"
-  val stdY = s"sqrt(${d("n")} * ${d("syy")} - ${d("sy")} * ${d("sy")}) / ${d("n")}"
+    s"CASE WHEN $vx > 0 AND $vy > 0 THEN " +
+      s"(${d("n")} * ${d("sxy")} - ${d("sx")} * ${d("sy")}) / sqrt($vx * $vy) " +
+      "ELSE NULL END"
+  val stdX = s"sqrt(greatest($vx, CAST(0 AS DOUBLE))) / ${d("n")}"
+  val stdY = s"sqrt(greatest($vy, CAST(0 AS DOUBLE))) / ${d("n")}"
 }
 
 object RelationalQueries {

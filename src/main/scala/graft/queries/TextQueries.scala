@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** PII patterns for text_pii_scrub — ONE definition consumed by the Spark
+    * builder, the DuckDB oracle, and TextPiiSpec, so the three can't drift.
+    * Only constructs with identical Java-regex/RE2 semantics: character
+    * classes (dot inside a class is literal), greedy and bounded
+    * quantifiers.
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PiiPhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
   val defs: Seq[QueryDef] = Seq(
 
     // token counting: whitespace, BPE-ish subword, and distinct-token counts
@@ -125,25 +134,27 @@ object TextQueries {
       "text_pii_scrub",
       (spark, dir) => {
         GraftSession.tune(spark)
-        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-        val phoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+        // emails scrub first; phones are counted on the email-scrubbed text
+        // so a phone-shaped span inside an email local-part is neither
+        // double-counted nor reported as an unredacted phone — n_phones
+        // always equals the number of <PHONE> tokens emitted
         Tables.documents(spark, dir)
           .select(col("doc_id"),
-                  regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
-                  regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
-                  md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
-                                     phoneRe, "<PHONE>")).as("scrubbed_md5"))
+                  regexp_count(col("text"), lit(PiiEmailRe)).cast("long").as("n_emails"),
+                  regexp_replace(col("text"), PiiEmailRe, "<EMAIL>").as("t1"))
+          .select(col("doc_id"), col("n_emails"),
+                  regexp_count(col("t1"), lit(PiiPhoneRe)).cast("long").as("n_phones"),
+                  md5(regexp_replace(col("t1"), PiiPhoneRe, "<PHONE>")).as("scrubbed_md5"))
       },
-      Some {
-        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-        val phoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
-        s"""SELECT doc_id,
-           |       CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
-           |       CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
-           |       md5(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
-           |                          '$phoneRe', '<PHONE>', 'g')) AS scrubbed_md5
-           |FROM documents""".stripMargin
-      }
+      Some(s"""SELECT doc_id, n_emails,
+              |       CAST(len(regexp_extract_all(t1, '$PiiPhoneRe')) AS BIGINT) AS n_phones,
+              |       md5(regexp_replace(t1, '$PiiPhoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+              |FROM (
+              |  SELECT doc_id,
+              |         CAST(len(regexp_extract_all(text, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+              |         regexp_replace(text, '$PiiEmailRe', '<EMAIL>', 'g') AS t1
+              |  FROM documents
+              |)""".stripMargin)
     ),
 
     // tf-idf vocabulary scoring in EXACT FIXED-POINT: idf is the integer
