@@ -223,6 +223,65 @@ object RelationalQueries {
              |) WHERE rk <= 3""".stripMargin)
     ),
 
+    // O: window-function breadth — ntile quartiles, lead, first_value,
+    // percent_rank in one pass. Deterministic: the window order carries the
+    // unique o_orderkey tiebreak, and percent_rank's (rank-1)/(n-1) is an
+    // exact small-integer division in double. Filtered to a customer
+    // range so the dump stays small; the predicate pushes to the scan.
+    QueryDef(
+      "q_window_funcs",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(spark, dir)
+          .filter(col("o_custkey") < 500)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  ntile(4).over(w).cast("long").as("quartile"),
+                  lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+                  first(col("o_orderkey")).over(w).as("top_orderkey"),
+                  percent_rank().over(w).as("pct_rank"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |       lead(o_orderkey, 1) OVER w AS next_orderkey,
+             |       first_value(o_orderkey) OVER w AS top_orderkey,
+             |       percent_rank() OVER w AS pct_rank
+             |FROM orders WHERE o_custkey < 500
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)
+    ),
+
+    // O: aggregate-function breadth — conditional count, boolean aggregates,
+    // and arg-max/min with a UNIQUE ordering key (cents*10^7 + orderkey), so
+    // max_by/arg_max ties cannot occur and both engines pick the same row.
+    QueryDef(
+      "q_agg_variants",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.orders(spark, dir)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+                  Money.cents(col("o_totalprice")).as("pc"))
+          .withColumn("ykey", col("pc") * 10000000L + col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count_if(col("pc") > 10000000L).cast("long").as("n_over_100k"),
+               expr("bool_or(pc > 50000000)").as("has_over_500k"),
+               expr("bool_and(pc > 100)").as("all_over_1"),
+               expr("max_by(o_orderkey, ykey)").as("priciest_orderkey"),
+               expr("min_by(o_orderkey, ykey)").as("cheapest_orderkey"))
+      },
+      Some("""SELECT o_orderpriority,
+             |       CAST(count_if(pc > 10000000) AS BIGINT) AS n_over_100k,
+             |       bool_or(pc > 50000000) AS has_over_500k,
+             |       bool_and(pc > 100) AS all_over_1,
+             |       arg_max(o_orderkey, ykey) AS priciest_orderkey,
+             |       arg_min(o_orderkey, ykey) AS cheapest_orderkey
+             |FROM (SELECT o_orderpriority, o_orderkey,
+             |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+             |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000 + o_orderkey AS ykey
+             |      FROM orders)
+             |GROUP BY o_orderpriority""".stripMargin)
+    ),
+
     // O: global top-k with unique tiebreak. Spark plans this as TakeOrderedAndProject
     // (per-partition heaps, no full sort/shuffle of the fact table).
     QueryDef(
