@@ -94,6 +94,34 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // higher-order-function surface over array columns — transform /
+    // filter / aggregate (fold) / zip_with / reverse, all reduced to
+    // scalar outputs. Folds run strictly left-to-right from an explicit
+    // 0.0 seed on both engines, so the doubles are bit-identical (same
+    // contract as Vectors.dot).
+    QueryDef(
+      "q_vector_hof",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"),
+                  size(filter(col("v"), x => x > 0.0d)).cast("long").as("n_pos"),
+                  aggregate(transform(col("v"), x => abs(x)), lit(0.0d), (a, x) => a + x).as("sum_abs"),
+                  aggregate(zip_with(col("v"), reverse(col("v")), (x, y) => x * y),
+                            lit(0.0d), (a, x) => a + x).as("dot_reversed"))
+      },
+      Some {
+        def fsum(arr: String) =
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $arr), (acc, x) -> acc + x)"
+        s"""SELECT vec_id,
+           |       CAST(len(list_filter(v, x -> x > CAST(0 AS DOUBLE))) AS BIGINT) AS n_pos,
+           |       ${fsum("list_transform(v, x -> abs(x))")} AS sum_abs,
+           |       ${fsum(s"list_transform(generate_series(1, ${Vectors.Dim}), i -> v[i] * v[${Vectors.Dim + 1} - i])")} AS dot_reversed
+           |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+      }
+    ),
+
     // exact brute-force cosine top-k for 10 broadcast query vectors
     QueryDef(
       "ann_bruteforce_topk",
