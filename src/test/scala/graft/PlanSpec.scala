@@ -74,6 +74,20 @@ class PlanSpec extends SparkTestBase {
            s"found serial per-source window spec(s): $sourceOnly")
   }
 
+  test("hot paths stay inside whole-stage codegen") {
+    // the custom signature expressions and money arithmetic must not break
+    // codegen. Under AQE the codegen stages only appear in the FINAL
+    // adaptive plan, so execute first, then inspect.
+    for (q <- Seq("q1_pricing_summary", "text_token_counts", "dedup_exact")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      // codegen stages render as the "*(n)" prefix in the final plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("),
+             s"$q lost whole-stage codegen:\n$plan")
+    }
+  }
+
   test("salted join equals the plain join and scatters the hot key") {
     val ev = Tables.events(spark, sf).select("user_id", "event_type", "value")
     val dim = ev.select(col("user_id")).distinct()
