@@ -49,6 +49,13 @@ object Udafs {
     * shuffle ships ≤ queries × partitions × k tiny rows instead of the full
     * scored corpus into one task per query (the global-window formulation's
     * straggler at 100 TB).
+    *
+    * PRECONDITION: scores must be finite. Scala's total ordering on Double
+    * ranks NaN as the WORST score, while `row_number() OVER (ORDER BY
+    * cosine DESC)` — the documented-equivalent form and the oracle — ranks
+    * NaN FIRST, so a NaN score (e.g. a cosine against a zero-norm vector)
+    * would silently diverge. Callers guard upstream
+    * (SimilarityQueries.normed drops zero-norm vectors).
     */
   final case class TopKByScore(k: Int) extends Aggregator[QueryHit, Seq[ScoredHit], Seq[ScoredHit]] {
     private val ord: Ordering[ScoredHit] =

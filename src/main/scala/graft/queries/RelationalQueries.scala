@@ -252,8 +252,10 @@ object RelationalQueries {
     ),
 
     // O: aggregate-function breadth — conditional count, boolean aggregates,
-    // and arg-max/min with a UNIQUE ordering key (cents*10^7 + orderkey), so
-    // max_by/arg_max ties cannot occur and both engines pick the same row.
+    // and arg-extremes via max/min over a (pc, o_orderkey) struct: struct
+    // comparison is lexicographic in both engines and o_orderkey is unique,
+    // so the chosen row is deterministic at ANY scale factor (a packed
+    // pc*C + orderkey BIGINT key would collide once orderkeys reach C).
     QueryDef(
       "q_agg_variants",
       (spark, dir) => {
@@ -261,23 +263,23 @@ object RelationalQueries {
         Tables.orders(spark, dir)
           .select(col("o_orderpriority"), col("o_orderkey"),
                   Money.cents(col("o_totalprice")).as("pc"))
-          .withColumn("ykey", col("pc") * 10000000L + col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count_if(col("pc") > 10000000L).cast("long").as("n_over_100k"),
                expr("bool_or(pc > 50000000)").as("has_over_500k"),
                expr("bool_and(pc > 100)").as("all_over_1"),
-               expr("max_by(o_orderkey, ykey)").as("priciest_orderkey"),
-               expr("min_by(o_orderkey, ykey)").as("cheapest_orderkey"))
+               max(struct(col("pc"), col("o_orderkey"))).getField("o_orderkey")
+                 .as("priciest_orderkey"),
+               min(struct(col("pc"), col("o_orderkey"))).getField("o_orderkey")
+                 .as("cheapest_orderkey"))
       },
       Some("""SELECT o_orderpriority,
              |       CAST(count_if(pc > 10000000) AS BIGINT) AS n_over_100k,
              |       bool_or(pc > 50000000) AS has_over_500k,
              |       bool_and(pc > 100) AS all_over_1,
-             |       arg_max(o_orderkey, ykey) AS priciest_orderkey,
-             |       arg_min(o_orderkey, ykey) AS cheapest_orderkey
+             |       (max({'pc': pc, 'k': o_orderkey})).k AS priciest_orderkey,
+             |       (min({'pc': pc, 'k': o_orderkey})).k AS cheapest_orderkey
              |FROM (SELECT o_orderpriority, o_orderkey,
-             |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
-             |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000 + o_orderkey AS ykey
+             |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
              |      FROM orders)
              |GROUP BY o_orderpriority""".stripMargin)
     ),

@@ -32,16 +32,24 @@ object SimilarityQueries {
 
   /** vectors with precomputed norms — norms are computed once per row so
     * the pair stage divides by already-materialized doubles (identical
-    * arithmetic on the oracle side).
+    * arithmetic on the oracle side). Zero-norm vectors are dropped here
+    * (identically in the SQL twin): they have no cosine direction, and the
+    * NaN a 0-division would produce ranks differently under
+    * [[Udafs.TopKByScore]]'s total order (NaN last) than under the window
+    * oracles' ORDER BY cosine DESC (NaN first) — the guard keeps every
+    * score finite, which TopKByScore requires.
     */
   private def normed(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
+      .where(col("nrm") > 0.0d)
 
   private val normedSql =
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-       |n AS (SELECT vec_id, label, v, ${Vectors.normSql("v")} AS nrm FROM e)""".stripMargin
+       |n AS (SELECT vec_id, label, v, nrm FROM
+       |        (SELECT vec_id, label, v, ${Vectors.normSql("v")} AS nrm FROM e)
+       |      WHERE nrm > CAST(0 AS DOUBLE))""".stripMargin
 
   /** Exact per-query top-k of a scored (query_id, vec_id, label, cosine)
     * set via the bounded [[Udafs.TopKByScore]] aggregator: map-side partial
