@@ -32,24 +32,29 @@ object SimilarityQueries {
 
   /** vectors with precomputed norms — norms are computed once per row so
     * the pair stage divides by already-materialized doubles (identical
-    * arithmetic on the oracle side). Zero-norm vectors are dropped here
-    * (identically in the SQL twin): they have no cosine direction, and the
-    * NaN a 0-division would produce ranks differently under
+    * arithmetic on the oracle side).
+    *
+    * OUTWARD CONTRACT (applies to every ANN/dedup query below, identically
+    * in the SQL twins): embeddings whose norm is not finite-positive are
+    * excluded from both the corpus and the query sets. A zero vector has no
+    * cosine direction — it is unfindable by design — and a NaN/Inf norm
+    * (non-finite embedding component) would pass a bare `> 0` on BOTH
+    * engines (each evaluates `NaN > 0` as true) and rank differently under
     * [[Udafs.TopKByScore]]'s total order (NaN last) than under the window
-    * oracles' ORDER BY cosine DESC (NaN first) — the guard keeps every
-    * score finite, which TopKByScore requires.
+    * oracles' ORDER BY cosine DESC (NaN first). [[Vectors.finitePositive]]
+    * keeps every downstream score finite, which TopKByScore requires.
     */
   private def normed(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
-      .where(col("nrm") > 0.0d)
+      .where(Vectors.finitePositive(col("nrm")))
 
   private val normedSql =
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, label, v, nrm FROM
        |        (SELECT vec_id, label, v, ${Vectors.normSql("v")} AS nrm FROM e)
-       |      WHERE nrm > CAST(0 AS DOUBLE))""".stripMargin
+       |      WHERE ${Vectors.finitePositiveSql("nrm")})""".stripMargin
 
   /** Exact per-query top-k of a scored (query_id, vec_id, label, cosine)
     * set via the bounded [[Udafs.TopKByScore]] aggregator: map-side partial
@@ -100,6 +105,177 @@ object SimilarityQueries {
        |  FROM s
        |)""".stripMargin
 
+  /** Complete brute-force top-k statement (reused nested inside
+    * `ann_recall`'s oracle — DuckDB allows a WITH chain inside a CTE body).
+    */
+  private val bruteforceSql =
+    s"""$topkSql
+       |SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= $K""".stripMargin
+
+  /** Sign-LSH approximate top-k (Spark build; shared by `ann_lsh_topk` and
+    * `ann_recall`). Persist + eager count: bands and the two score
+    * join-backs all read the signature cache.
+    */
+  private def lshTopkSpark(spark: SparkSession, dir: String): DataFrame = {
+    spark.catalog.clearCache() // sequential query contract; drop stale persists
+    // persist: the signed-projection signature (16 interpreted plane
+    // dots per vector) feeds the band explode and two score join-backs
+    val n = normed(spark, dir).withColumn("sig", Vectors.lshSignature(col("v"))).persist()
+    n.count() // eager: bands + two score join-backs share the cache
+    val bands = n.select(col("vec_id"),
+                         posexplode(Vectors.lshBands(col("sig"))).as(Seq("band", "bval")))
+    val qb = bands.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("band"), col("bval"))
+    val cand = bands.join(broadcast(qb), Seq("band", "bval"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val scored = cand
+      .join(n.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
+      .join(n.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .select(col("query_id"), col("vec_id"), lit("").as("label"),
+              (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+    perQueryTopK(spark, scored, K)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
+
+  private val lshTopkSql =
+    s"""WITH $normedSql,
+       |sg AS (SELECT vec_id, v, nrm, ${Vectors.lshSignatureSql("v")} AS sig FROM n),
+       |bands AS (
+       |  SELECT vec_id, b, (${Vectors.lshBandsSql("sig")})[b + 1] AS bval
+       |  FROM sg CROSS JOIN (SELECT unnest(range(0, ${Vectors.NumPlanes / Vectors.BandBits})) AS b) bs
+       |),
+       |qb AS (SELECT vec_id AS query_id, b, bval FROM bands WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT qb.query_id, bands.vec_id
+       |  FROM bands JOIN qb ON bands.b = qb.b AND bands.bval = qb.bval
+       |  WHERE bands.vec_id <> qb.query_id
+       |),
+       |s AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         (${Vectors.dotSql("a.v", "t.v")} / (a.nrm * t.nrm)) AS cosine
+       |  FROM cand c JOIN sg a ON a.vec_id = c.query_id JOIN sg t ON t.vec_id = c.vec_id
+       |),
+       |r AS (
+       |  SELECT query_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= $K""".stripMargin
+
+  /** IVF approximate top-k (Spark build; shared by `ann_ivf_topk` and
+    * `ann_recall`) — see the `ann_ivf_topk` QueryDef doc for the algorithm
+    * and scale notes.
+    */
+  private def ivfTopkSpark(spark: SparkSession, dir: String): DataFrame = {
+    val nCells = IvfCells
+    val nProbe = IvfProbe
+    val Fx = IvfFx
+    val n = normed(spark, dir).persist()
+    n.count()
+    // stage v·v once per vector and c·c once per centroid — the dist
+    // expression reads the bound columns with the oracle's association
+    // order ((v·v - 2 v·c) + c·c), so values stay bit-identical while
+    // the per-pair work drops to one dot product
+    val n2 = n.select(col("vec_id"), col("v"), Vectors.dot(col("v"), col("v")).as("vv"))
+    val seeds = n2.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("vv").as("cvv"))
+    val dist = (col("vv") - lit(2.0) * Vectors.dot(col("v"), col("cv"))) + col("cvv")
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)
+    // nearest cells, TRIMMED to (vec_id, cid, rk): the window shuffle
+    // ships ids+distances only, never the vectors
+    def nearest(cents: DataFrame, keep: Int): DataFrame =
+      n2.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), dist.as("dist"))
+        .withColumn("rk", row_number().over(wAssign))
+        .where(col("rk") <= keep)
+        .select(col("vec_id"), col("cid"), col("rk"))
+    val cell0 = nearest(seeds, 1)
+      .join(n.select(col("vec_id"), col("v")), "vec_id")
+    val cents = cell0
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(floor(col("x") * Fx).cast("long")).as("sx"), count(lit(1)).as("cnt"))
+      .select(col("cid"), col("pos"),
+              (col("sx").cast("double") / col("cnt").cast("double") / lit(Fx.toDouble)).as("cx"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+                     s => s.getField("cx")).as("cv"))
+      .withColumn("cvv", Vectors.dot(col("cv"), col("cv")))
+    // persist + eager count: corpusCells and queryCells both read the
+    // refined assignment — without the persist the whole Lloyd subplan
+    // runs twice, and without the eager count the two consumers race
+    // the cache. (At 100 TB this is the materialized cell-assignment
+    // table.)
+    val assigned = nearest(cents, nProbe).persist()
+    assigned.count()
+    val corpusCells = assigned.where(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val queryCells = assigned.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val cand = corpusCells.join(broadcast(queryCells), "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val scored = cand
+      .join(n.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
+      .join(n.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .select(col("query_id"), col("vec_id"), lit("").as("label"),
+              (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+    perQueryTopK(spark, scored, K)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
+
+  private val ivfTopkSql = {
+    val nCells = IvfCells
+    val nProbe = IvfProbe
+    val Fx = IvfFx
+    val dist = s"((${Vectors.dotSql("v", "v")} - 2.0 * ${Vectors.dotSql("v", "cv")}) + ${Vectors.dotSql("cv", "cv")})"
+    s"""WITH $normedSql,
+       |seeds AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $nCells),
+       |a0 AS (
+       |  SELECT n.vec_id, n.v, seeds.cid, $dist AS dist,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $dist ASC, seeds.cid ASC) AS rk
+       |  FROM n CROSS JOIN seeds
+       |),
+       |cell0 AS (SELECT vec_id, v, cid FROM a0 WHERE rk = 1),
+       |cx AS (
+       |  SELECT cid, i AS pos,
+       |         CAST(SUM(CAST(floor(v[i] * $Fx) AS BIGINT)) AS DOUBLE)
+       |           / COUNT(*) / CAST($Fx AS DOUBLE) AS cx
+       |  FROM cell0 CROSS JOIN (SELECT unnest(range(1, ${Vectors.Dim + 1})) AS i) ps
+       |  GROUP BY cid, i
+       |),
+       |cents AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cx GROUP BY cid),
+       |assigned AS (
+       |  SELECT n.vec_id, n.v, n.nrm, cents.cid, $dist AS dist,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $dist ASC, cents.cid ASC) AS rk
+       |  FROM n CROSS JOIN cents
+       |),
+       |corpus_cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE rk = 1),
+       |query_cells AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM assigned
+       |  WHERE vec_id < $NumQueries AND rk <= $nProbe
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id
+       |  FROM corpus_cells c JOIN query_cells q ON c.cell = q.cell
+       |  WHERE c.vec_id <> q.query_id
+       |),
+       |s AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |         (${Vectors.dotSql("a.v", "t.v")} / (a.nrm * t.nrm)) AS cosine
+       |  FROM cand JOIN n a ON a.vec_id = cand.query_id JOIN n t ON t.vec_id = cand.vec_id
+       |),
+       |r AS (
+       |  SELECT query_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= $K""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // higher-order-function surface over array columns — transform /
@@ -148,52 +324,9 @@ object SimilarityQueries {
       "ann_lsh_topk",
       (spark, dir) => {
         GraftSession.tune(spark)
-        spark.catalog.clearCache() // sequential query contract; drop stale persists
-        // persist: the signed-projection signature (16 interpreted plane
-        // dots per vector) feeds the band explode and two score join-backs
-        val n = normed(spark, dir).withColumn("sig", Vectors.lshSignature(col("v"))).persist()
-        n.count() // eager: bands + two score join-backs share the cache
-        val bands = n.select(col("vec_id"),
-                             posexplode(Vectors.lshBands(col("sig"))).as(Seq("band", "bval")))
-        val qb = bands.where(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("band"), col("bval"))
-        val cand = bands.join(broadcast(qb), Seq("band", "bval"))
-          .where(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id"))
-          .distinct()
-        val scored = cand
-          .join(n.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
-          .join(n.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
-          .select(col("query_id"), col("vec_id"), lit("").as("label"),
-                  (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
-        perQueryTopK(spark, scored, K)
-          .select("query_id", "vec_id", "rank", "cosine")
+        lshTopkSpark(spark, dir)
       },
-      Some {
-        s"""WITH $normedSql,
-           |sg AS (SELECT vec_id, v, nrm, ${Vectors.lshSignatureSql("v")} AS sig FROM n),
-           |bands AS (
-           |  SELECT vec_id, b, (${Vectors.lshBandsSql("sig")})[b + 1] AS bval
-           |  FROM sg CROSS JOIN (SELECT unnest(range(0, ${Vectors.NumPlanes / Vectors.BandBits})) AS b) bs
-           |),
-           |qb AS (SELECT vec_id AS query_id, b, bval FROM bands WHERE vec_id < $NumQueries),
-           |cand AS (
-           |  SELECT DISTINCT qb.query_id, bands.vec_id
-           |  FROM bands JOIN qb ON bands.b = qb.b AND bands.bval = qb.bval
-           |  WHERE bands.vec_id <> qb.query_id
-           |),
-           |s AS (
-           |  SELECT c.query_id, c.vec_id,
-           |         (${Vectors.dotSql("a.v", "t.v")} / (a.nrm * t.nrm)) AS cosine
-           |  FROM cand c JOIN sg a ON a.vec_id = c.query_id JOIN sg t ON t.vec_id = c.vec_id
-           |),
-           |r AS (
-           |  SELECT query_id, vec_id, cosine,
-           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
-           |  FROM s
-           |)
-           |SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= $K""".stripMargin
-      }
+      Some(lshTopkSql)
     ),
 
     // IVF-style ANN: seed centroids (deterministic sample) refined by ONE
@@ -210,111 +343,61 @@ object SimilarityQueries {
       "ann_ivf_topk",
       (spark, dir) => {
         GraftSession.tune(spark)
-        spark.catalog.clearCache()
-        val nCells = IvfCells
-        val nProbe = IvfProbe
-        val Fx = IvfFx
-        val n = normed(spark, dir).persist()
-        n.count()
-        // stage v·v once per vector and c·c once per centroid — the dist
-        // expression reads the bound columns with the oracle's association
-        // order ((v·v - 2 v·c) + c·c), so values stay bit-identical while
-        // the per-pair work drops to one dot product
-        val n2 = n.select(col("vec_id"), col("v"), Vectors.dot(col("v"), col("v")).as("vv"))
-        val seeds = n2.where(col("vec_id") < nCells)
-          .select(col("vec_id").as("cid"), col("v").as("cv"), col("vv").as("cvv"))
-        val dist = (col("vv") - lit(2.0) * Vectors.dot(col("v"), col("cv"))) + col("cvv")
-        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cid").asc)
-        // nearest cells, TRIMMED to (vec_id, cid, rk): the window shuffle
-        // ships ids+distances only, never the vectors
-        def nearest(cents: DataFrame, keep: Int): DataFrame =
-          n2.crossJoin(broadcast(cents))
-            .select(col("vec_id"), col("cid"), dist.as("dist"))
-            .withColumn("rk", row_number().over(wAssign))
-            .where(col("rk") <= keep)
-            .select(col("vec_id"), col("cid"), col("rk"))
-        val cell0 = nearest(seeds, 1)
-          .join(n.select(col("vec_id"), col("v")), "vec_id")
-        val cents = cell0
-          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(sum(floor(col("x") * Fx).cast("long")).as("sx"), count(lit(1)).as("cnt"))
-          .select(col("cid"), col("pos"),
-                  (col("sx").cast("double") / col("cnt").cast("double") / lit(Fx.toDouble)).as("cx"))
-          .groupBy(col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-                         s => s.getField("cx")).as("cv"))
-          .withColumn("cvv", Vectors.dot(col("cv"), col("cv")))
-        // persist + eager count: corpusCells and queryCells both read the
-        // refined assignment — without the persist the whole Lloyd subplan
-        // runs twice, and without the eager count the two consumers race
-        // the cache. (At 100 TB this is the materialized cell-assignment
-        // table.)
-        val assigned = nearest(cents, nProbe).persist()
-        assigned.count()
-        val corpusCells = assigned.where(col("rk") === 1)
-          .select(col("vec_id"), col("cid").as("cell"))
-        val queryCells = assigned.where(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("cid").as("cell"))
-        val cand = corpusCells.join(broadcast(queryCells), "cell")
-          .where(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id"))
-          .distinct()
-        val scored = cand
-          .join(n.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
-          .join(n.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
-          .select(col("query_id"), col("vec_id"), lit("").as("label"),
-                  (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
-        perQueryTopK(spark, scored, K)
-          .select("query_id", "vec_id", "rank", "cosine")
+        spark.catalog.clearCache() // sequential query contract; drop stale persists
+        ivfTopkSpark(spark, dir)
+      },
+      Some(ivfTopkSql)
+    ),
+
+    // retrieval-quality grade for the two approximate ANN paths: recall@k
+    // of LSH and IVF against the exact brute-force top-k, computed
+    // in-query per query vector (the `q_approx_distinct` HLL-vs-exact
+    // pattern applied to retrieval). The oracle re-derives all three
+    // retrievals and the same recall arithmetic, so this is oracle-checked
+    // evidence of HOW GOOD the approximations are, not just that they are
+    // deterministic. hits/K divides the same two integers on both engines
+    // — bit-identical doubles.
+    QueryDef(
+      "ann_recall",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        // build order matters: lshTopkSpark clearCaches at its start, so it
+        // runs first; ivfTopkSpark then adds its persists WITHOUT clearing,
+        // keeping the signature cache live for the final evaluation
+        val lsh = lshTopkSpark(spark, dir)
+        val ivf = ivfTopkSpark(spark, dir)
+        val bf = topkSpark(spark, dir).select(col("query_id"), col("vec_id"))
+        def recallOf(approx: DataFrame, method: String): DataFrame =
+          bf.join(approx.select(col("query_id"), col("vec_id"), lit(1L).as("hit")),
+                  Seq("query_id", "vec_id"), "left")
+            .groupBy(col("query_id"))
+            .agg(count(col("hit")).as("hits"))
+            .select(lit(method).as("method"), col("query_id"), col("hits"),
+                    (col("hits").cast("double") / lit(K.toDouble)).as("recall_at_k"))
+        recallOf(lsh, "lsh").unionByName(recallOf(ivf, "ivf"))
       },
       Some {
-        val nCells = IvfCells
-        val nProbe = IvfProbe
-        val Fx = IvfFx
-        val dist = s"((${Vectors.dotSql("v", "v")} - 2.0 * ${Vectors.dotSql("v", "cv")}) + ${Vectors.dotSql("cv", "cv")})"
-        s"""WITH $normedSql,
-           |seeds AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id < $nCells),
-           |a0 AS (
-           |  SELECT n.vec_id, n.v, seeds.cid, $dist AS dist,
-           |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $dist ASC, seeds.cid ASC) AS rk
-           |  FROM n CROSS JOIN seeds
+        s"""WITH bf AS (
+           |$bruteforceSql
            |),
-           |cell0 AS (SELECT vec_id, v, cid FROM a0 WHERE rk = 1),
-           |cx AS (
-           |  SELECT cid, i AS pos,
-           |         CAST(SUM(CAST(floor(v[i] * $Fx) AS BIGINT)) AS DOUBLE)
-           |           / COUNT(*) / CAST($Fx AS DOUBLE) AS cx
-           |  FROM cell0 CROSS JOIN (SELECT unnest(range(1, ${Vectors.Dim + 1})) AS i) ps
-           |  GROUP BY cid, i
+           |lshq AS (
+           |$lshTopkSql
            |),
-           |cents AS (SELECT cid, list(cx ORDER BY pos) AS cv FROM cx GROUP BY cid),
-           |assigned AS (
-           |  SELECT n.vec_id, n.v, n.nrm, cents.cid, $dist AS dist,
-           |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $dist ASC, cents.cid ASC) AS rk
-           |  FROM n CROSS JOIN cents
+           |ivfq AS (
+           |$ivfTopkSql
            |),
-           |corpus_cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE rk = 1),
-           |query_cells AS (
-           |  SELECT vec_id AS query_id, cid AS cell FROM assigned
-           |  WHERE vec_id < $NumQueries AND rk <= $nProbe
-           |),
-           |cand AS (
-           |  SELECT DISTINCT q.query_id, c.vec_id
-           |  FROM corpus_cells c JOIN query_cells q ON c.cell = q.cell
-           |  WHERE c.vec_id <> q.query_id
-           |),
-           |s AS (
-           |  SELECT cand.query_id, cand.vec_id,
-           |         (${Vectors.dotSql("a.v", "t.v")} / (a.nrm * t.nrm)) AS cosine
-           |  FROM cand JOIN n a ON a.vec_id = cand.query_id JOIN n t ON t.vec_id = cand.vec_id
-           |),
-           |r AS (
-           |  SELECT query_id, vec_id, cosine,
-           |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
-           |  FROM s
+           |rec AS (
+           |  SELECT 'lsh' AS method, b.query_id, COUNT(a.vec_id) AS hits
+           |  FROM bf b LEFT JOIN lshq a ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+           |  GROUP BY b.query_id
+           |  UNION ALL
+           |  SELECT 'ivf' AS method, b.query_id, COUNT(a.vec_id) AS hits
+           |  FROM bf b LEFT JOIN ivfq a ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+           |  GROUP BY b.query_id
            |)
-           |SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= $K""".stripMargin
+           |SELECT method, query_id, CAST(hits AS BIGINT) AS hits,
+           |       CAST(hits AS DOUBLE) / CAST($K AS DOUBLE) AS recall_at_k
+           |FROM rec""".stripMargin
       }
     ),
 

@@ -38,6 +38,22 @@ class SimilaritySpec extends SparkTestBase {
            "negating a vector flips every sign bit")
   }
 
+  test("norm guard keeps finite-positive only; zero vectors are excluded by contract") {
+    val zero = Array.fill(Vectors.Dim)(0.0)
+    val unit = Array.tabulate(Vectors.Dim)(i => i + 1.0)
+    val nan = unit.updated(0, Double.NaN)
+    val inf = unit.updated(0, Double.PositiveInfinity)
+    val df = Seq((1L, unit), (2L, zero), (3L, nan), (4L, inf)).toDF("vec_id", "v")
+      .withColumn("nrm", Vectors.norm(col("v")))
+    val kept = df.where(Vectors.finitePositive(col("nrm")))
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L), "zero, NaN, and Inf norms are all excluded")
+    // the hazard the guard closes: Spark's NaN-aware ordering passes NaN
+    // (and +Inf) through a bare > 0, exactly like DuckDB
+    val naive = df.where(col("nrm") > 0.0d).select("vec_id").as[Long].collect().toSet
+    assert(naive == Set(1L, 3L, 4L), "bare > 0 admits non-finite norms")
+  }
+
   test("brute-force top-k: ranks are 1..k per query, cosine non-increasing") {
     val out = SparkEntry.queries("ann_bruteforce_topk")(spark, sf)
       .orderBy(col("query_id"), col("rank")).collect()

@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate: run graft.Verify at a
-scale factor, then run each oracle SQL in DuckDB over the same parquet
-tables and compare results THROUGH THE SAME TYPE PATHS THE DRIVER USES:
+"""Local replica of the driver's correctness gate. This script does NOT run
+graft.Verify itself — run it separately first to populate outdir
+(`sbt "runMain graft.Verify <sfdir> <outdir>"`); this script then runs each
+oracle SQL from outdir/oracle_sql.json in DuckDB over the same parquet
+tables and compares results THROUGH THE SAME TYPE PATHS THE DRIVER USES:
 
   - Spark side: parquet read via pyarrow -> .to_pandas()  (decimal columns
     arrive as python Decimal objects, int64 as int64, double as float64)
