@@ -30,6 +30,24 @@ object SimilarityQueries {
   private val IvfProbe = 4
   private val IvfFx = 1L << 20
 
+  /** Largest corpus the exact O(n²) pair scan will accept: ~5×10⁹ pair
+    * evaluations (64-dim dots), the most a single exact pass should ever
+    * attempt. Beyond it the query REFUSES to run rather than silently
+    * melting a cluster — `dedup_minhash_lsh` / `ann_lsh_topk` are the
+    * intended scale paths for the same computation. sf0.1 (~20k vectors)
+    * sits well inside; a 100 TB corpus does not, by design.
+    */
+  private[graft] val MaxExactPairCorpus: Long = 100000L
+
+  /** Guard for [[MaxExactPairCorpus]] — split out so the bound is unit-
+    * testable without a 100k-row fixture.
+    */
+  private[graft] def requireExactPairBudget(n: Long): Unit =
+    require(n <= MaxExactPairCorpus,
+      s"dedup_embedding_cosine is the exact O(n²) baseline, bounded to " +
+      s"$MaxExactPairCorpus vectors ($n given); use dedup_minhash_lsh / " +
+      s"ann_lsh_topk for corpora beyond the exact-pair budget")
+
   /** vectors with precomputed norms — norms are computed once per row so
     * the pair stage divides by already-materialized doubles (identical
     * arithmetic on the oracle side).
@@ -424,14 +442,18 @@ object SimilarityQueries {
     ),
 
     // embedding-cosine near-duplicate pairs (brute-force exact baseline;
-    // the LSH query above is the scale path for the same computation)
+    // the LSH query above is the scale path for the same computation).
+    // The corpus size is asserted against MaxExactPairCorpus — an LSH-
+    // blocked variant would NOT be exact (a cosine-0.4 pair collides in
+    // some band with only ~50% probability at 4×4-bit sign-LSH), so the
+    // exact baseline stays all-pairs and instead refuses oversized input.
     QueryDef(
       "dedup_embedding_cosine",
       (spark, dir) => {
         GraftSession.tune(spark)
         spark.catalog.clearCache()
         val n = normed(spark, dir).persist() // both sides of the pair join
-        n.count()
+        requireExactPairBudget(n.count())
         n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
                   (Vectors.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))

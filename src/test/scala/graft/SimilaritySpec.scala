@@ -54,6 +54,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(naive == Set(1L, 3L, 4L), "bare > 0 admits non-finite norms")
   }
 
+  test("exact pair scan refuses corpora beyond the documented O(n²) budget") {
+    import graft.queries.SimilarityQueries
+    SimilarityQueries.requireExactPairBudget(1L)
+    SimilarityQueries.requireExactPairBudget(SimilarityQueries.MaxExactPairCorpus)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityQueries.requireExactPairBudget(SimilarityQueries.MaxExactPairCorpus + 1)
+    }
+    assert(e.getMessage.contains("dedup_minhash_lsh"), "error names the scale path")
+  }
+
   test("brute-force top-k: ranks are 1..k per query, cosine non-increasing") {
     val out = SparkEntry.queries("ann_bruteforce_topk")(spark, sf)
       .orderBy(col("query_id"), col("rank")).collect()

@@ -96,6 +96,38 @@ class StreamingSpec extends SparkTestBase {
     assert(s.session_start == ts(0) && s.session_end == ts(10))
   }
 
+  test("streaming sessionize replayed over the events table matches batch q_sessionize") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Streaming.eventsBatch(spark, sf).collect()
+    assert(events.nonEmpty)
+    input.addData(events.toIndexedSeq: _*)
+    // one sentinel per user, a full gap past that user's last event: it
+    // closes every REAL session, while the sentinel's own 1-event session
+    // stays open in state and (flushOnTimeout=false) is never emitted —
+    // so the emitted sessions partition exactly the real events
+    val sentinels = events.groupBy(_.user_id).map { case (u, es) =>
+      val maxTs = es.map(_.ts.getTime).max
+      Event(-1L, new Timestamp(maxTs + 2 * Streaming.SessionGapMs), u, "sentinel", 0.0)
+    }
+    input.addData(sentinels.toIndexedSeq: _*)
+
+    val q = Streaming.sessionize(input.toDS(), flushOnTimeout = false)
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination()
+
+    // same shape as the batch query: per-user session count + event count
+    val streamed = spark.table("sess_parity")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q_sessionize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+           s"stream/batch sessionization diverged: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+  }
+
   test("streaming dedup keeps one row per content hash within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
