@@ -1,0 +1,119 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress rig: measures how the dedup/ANN/text paths' wall time grows
+  * when the input corpus grows `factor`×, turning the "survives a scale-up"
+  * plan arguments into a measurement.
+  *
+  * A scaled corpus is SYNTHESIZED from the base tables (never written to
+  * /root/testdata) rather than naively duplicated, because duplication
+  * would measure the wrong thing:
+  *
+  *   - embeddings are circularly rotated per replica (rotation preserves
+  *     the norm and the coordinate distribution, but rotated vectors land
+  *     in different LSH buckets) — exact copies would multiply every band
+  *     bucket by `factor` and grow candidate PAIRS by `factor`², a data
+  *     artifact, not an engine property;
+  *   - document texts get a per-replica suffix token, so each replica
+  *     carries its own duplicate groups and the global duplicate count
+  *     scales linearly instead of quadratically;
+  *   - ids shift by `replica × 10⁷`, keeping the fixed ANN query set
+  *     (vec_id < 10) at constant size while the corpus scales — the shape
+  *     a production index has.
+  *
+  * Pass criterion per query: wall(scaled) ≤ wall(base) × factor × Slack.
+  * Sub-linear results are common (fixed session/scan overhead dominates at
+  * the base size); super-linear beyond the slack means a quadratic term
+  * crept into a path that claims to be linear.
+  *
+  * Usage: runMain graft.tools.ScaleStress [baseDir] [factor] [workDir]
+  * (defaults: /root/testdata/sf0.1, 10, /tmp/graft_scale_stress)
+  */
+object ScaleStress {
+
+  /** Queries timed by the rig — only paths that read documents/embeddings
+    * (the two tables the rig synthesizes) and claim linear scaling. The
+    * O(n²)-by-design `dedup_embedding_cosine` is deliberately absent.
+    */
+  val Targets: Seq[String] = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "ann_bruteforce_topk", "ann_lsh_topk", "text_token_counts", "text_tfidf")
+
+  val Slack: Double = 1.5
+
+  def synthesize(spark: SparkSession, baseDir: String, factor: Int, outDir: String): Unit = {
+    val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
+    val idShift = 10000000L
+
+    val docs = Tables.documents(spark, baseDir)
+      .select(col("*"), reps)
+      .select(
+        (col("doc_id") + col("rep") * idShift).as("doc_id"),
+        // replica 0 keeps the base text byte-for-byte; others get a suffix
+        // token so duplicate groups stay per-replica (linear, not n²)
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" r"), col("rep"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    docs.repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val dim = graft.similarity.Vectors.Dim
+    val emb = Tables.embeddings(spark, baseDir)
+      .select(col("*"), reps)
+      .select(
+        (col("vec_id") + col("rep") * idShift).as("vec_id"),
+        // circular rotation by rep positions: norm-preserving, bucket-mixing
+        expr(s"transform(embedding, (x, i) -> element_at(embedding, CAST((i + rep) % $dim AS INT) + 1))")
+          .cast("array<float>").as("embedding"),
+        col("label"))
+    emb.repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** Forced evaluation identical to graft.Bench: count + xxhash over every
+    * output column, so column pruning cannot cheapen the timed plan.
+    */
+  private def timeOnce(spark: SparkSession, dir: String, name: String): Double = {
+    spark.catalog.clearCache()
+    val t0 = System.nanoTime()
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.select(struct(df.columns.map(col).toIndexedSeq: _*).as("s"))
+      .selectExpr("count(*) AS n", "bit_xor(xxhash64(s)) AS h")
+      .collect()
+    val t = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    t
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val workDir = args.lift(2).getOrElse("/tmp/graft_scale_stress")
+    val spark = GraftSession.local(threads = 32, appName = "scale-stress")
+    spark.sparkContext.setLogLevel("WARN")
+
+    synthesize(spark, baseDir, factor, workDir)
+    val nDocs = spark.read.parquet(s"$workDir/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$workDir/embeddings.parquet").count()
+    println(s"[scale-stress] base=$baseDir factor=$factor scaled: $nDocs docs, $nVecs vectors")
+
+    // min of 2 reps per (query, scale): the rig compares growth, so the
+    // least-interfered observation on each side is the fair pair
+    var allOk = true
+    val rows = Targets.map { name =>
+      val tBase = math.min(timeOnce(spark, baseDir, name), timeOnce(spark, baseDir, name))
+      val tScaled = math.min(timeOnce(spark, workDir, name), timeOnce(spark, workDir, name))
+      val ratio = tScaled / tBase
+      val ok = ratio <= factor * Slack
+      allOk &= ok
+      println(f"[scale-stress] $name%-24s base=$tBase%8.3fs scaled=$tScaled%8.3fs ratio=$ratio%6.2fx " +
+        (if (ok) "PASS" else f"FAIL (> ${factor * Slack}%.1fx)"))
+      s""""$name":{"base_sec":$tBase,"scaled_sec":$tScaled,"ratio":$ratio,"pass":$ok}"""
+    }
+    println(s"""{"metric":"scale_stress","factor":$factor,"slack":$Slack,"base":"$baseDir",""" +
+      s""""docs":$nDocs,"vectors":$nVecs,"pass":$allOk,"queries":{${rows.mkString(",")}}}""")
+    spark.stop()
+    if (!allOk) sys.exit(1)
+  }
+}
