@@ -375,6 +375,17 @@ object SimilarityQueries {
     // evidence of HOW GOOD the approximations are, not just that they are
     // deterministic. hits/K divides the same two integers on both engines
     // — bit-identical doubles.
+    //
+    // Measured trade-off at sf0.01 (this query + a candidate count over
+    // each path's `cand` set): sign-LSH 4×4-bit bands scores ~23% of the
+    // corpus per query for mean recall@10 ≈ 0.47; IVF (nprobe 4 of 16
+    // cells) scores ~26% for ≈ 0.90. With weak neighbors (random-ish
+    // 64-dim embeddings, top-10 cosine ~0.4-0.5, per-bit agreement
+    // p ≈ 0.65) no sign-LSH banding is simultaneously selective and
+    // high-recall — p^bits per band decays too fast — which is exactly
+    // why production vector stores index with IVF/graph structures and
+    // keep hyperplane LSH as a recall/cost dial. This query keeps that
+    // conclusion measured instead of asserted.
     QueryDef(
       "ann_recall",
       (spark, dir) => {
