@@ -17,6 +17,70 @@ object DedupQueries {
 
   private val ShingleK = 3
 
+  /** MinHash+LSH near-dup pairs (est. jaccard >= 0.5) — the Spark build
+    * behind `dedup_minhash_lsh`, shared by `dedup_clusters`. See the
+    * QueryDef comments for the staging/persist rationale.
+    */
+  private def minhashPairsSpark(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // Staged projections, then persist. The stages matter: each binds an
+    // intermediate array ONCE per row before the next stage's lambdas
+    // fan out over it — inlining instead re-evaluates the upstream
+    // expression per lambda element / per permutation (measured 280s →
+    // 3s at sf0.1). The persist then shares the signatures across both
+    // sides of the band self-join and both verification join-backs. At
+    // 100 TB this stage is written to a signatures table once.
+    val sigs = Dedup.shingleHashSets(docs, ShingleK)
+      .select(col("doc_id"), Dedup.minhashSignature(col("hs")).as("sig"))
+      .persist()
+    // eager: materialize ONCE before the plan fans out — the 4 cache
+    // references (band self-join sides + verification join-backs)
+    // otherwise race and each recomputes the signature pipeline
+    sigs.count()
+    val bands = sigs.select(col("doc_id"),
+                            posexplode(Dedup.bandKeys(col("sig"), 2)).as(Seq("band", "bkey")))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              Dedup.estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .where(col("est_jaccard") >= lit(0.5))
+  }
+
+  /** Complete SQL statement for [[minhashPairsSpark]] (nested inside
+    * `dedup_clusters`'s recursive oracle — DuckDB allows a WITH chain in a
+    * CTE body).
+    */
+  private val minhashPairsSql = {
+    val hs = Dedup.shingleHashSetSql("text", ShingleK)
+    s"""WITH hs AS (
+       |  SELECT doc_id, $hs AS hs FROM documents
+       |), sigs AS (
+       |  SELECT doc_id, ${Dedup.minhashSignatureSql("hs")} AS sig FROM hs WHERE len(hs) > 0
+       |), bands AS (
+       |  SELECT doc_id, b, (${Dedup.bandKeysSql("sig", 2)})[b + 1] AS bkey
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${Hashing.NumPerms / 2})) AS b) bs
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, est_jaccard FROM (
+       |  SELECT p.doc_a, p.doc_b,
+       |         ${Dedup.estJaccardSql("sa.sig", "sb.sig")} AS est_jaccard
+       |  FROM pairs p
+       |  JOIN sigs sa ON sa.doc_id = p.doc_a
+       |  JOIN sigs sb ON sb.doc_id = p.doc_b
+       |) WHERE est_jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // exact dedup: group by normalized-content hash
@@ -40,57 +104,86 @@ object DedupQueries {
       (spark, dir) => {
         GraftSession.tune(spark)
         spark.catalog.clearCache() // queries run sequentially; drop stale persists
-        val docs = Tables.documents(spark, dir)
-        // Staged projections, then persist. The stages matter: each binds an
-        // intermediate array ONCE per row before the next stage's lambdas
-        // fan out over it — inlining instead re-evaluates the upstream
-        // expression per lambda element / per permutation (measured 280s →
-        // 3s at sf0.1). The persist then shares the signatures across both
-        // sides of the band self-join and both verification join-backs. At
-        // 100 TB this stage is written to a signatures table once.
-        val sigs = Dedup.shingleHashSets(docs, ShingleK)
-          .select(col("doc_id"), Dedup.minhashSignature(col("hs")).as("sig"))
+        minhashPairsSpark(spark, dir)
+      },
+      Some(minhashPairsSql)
+    ),
+
+    // connected components over the near-dup pair graph: the operator a
+    // real dedup pipeline actually ends with — pairs are evidence, the
+    // KEEP/DROP decision is per CLUSTER (keep the canonical = min doc_id,
+    // drop the rest). Spark side: iterative min-label propagation over the
+    // undirected edge list; each sweep is one shuffle-join + hash-agg on
+    // (id, label), iteration count = max component diameter (tiny for dup
+    // clusters — duplicate groups are near-cliques). The driver-side loop
+    // only reads AGGREGATES (convergence count), never rows; at 100 TB this
+    // is the standard alternating-star CC loop over a pairs table, with the
+    // label frontier as the only iterated state. The oracle re-derives the
+    // components independently via a recursive transitive-closure CTE.
+    QueryDef(
+      "dedup_clusters",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache()
+        val pairs = minhashPairsSpark(spark, dir).select(col("doc_a"), col("doc_b"))
+        val edges = pairs
+          .union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst")
+          .persist() // re-read every propagation sweep
+        edges.count()
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("label"))
           .persist()
-        // eager: materialize ONCE before the plan fans out — the 4 cache
-        // references (band self-join sides + verification join-backs)
-        // otherwise race and each recomputes the signature pipeline
-        sigs.count()
-        val bands = sigs.select(col("doc_id"),
-                                posexplode(Dedup.bandKeys(col("sig"), 2)).as(Seq("band", "bkey")))
-        val pairs = bands.as("a")
-          .join(bands.as("b"),
-                col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-                  col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        pairs
-          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-                  Dedup.estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-          .where(col("est_jaccard") >= lit(0.5))
+        labels.count()
+        var converged = false
+        var iters = 0
+        while (!converged) {
+          iters += 1
+          require(iters <= 50, "dedup_clusters: component diameter exceeded 50 sweeps")
+          val viaNeighbors = edges
+            .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+            .select(col("dst").as("doc_id"), col("label"))
+          val next = labels.unionByName(viaNeighbors)
+            .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+            .persist()
+          next.count()
+          val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .where(col("label") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+        }
+        val assigned = Tables.documents(spark, dir).select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        assigned.join(sizes, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+                  (col("doc_id") === col("cluster_id")).as("is_canonical"))
       },
       Some {
-        val hs = Dedup.shingleHashSetSql("text", ShingleK)
-        s"""WITH hs AS (
-           |  SELECT doc_id, $hs AS hs FROM documents
-           |), sigs AS (
-           |  SELECT doc_id, ${Dedup.minhashSignatureSql("hs")} AS sig FROM hs WHERE len(hs) > 0
-           |), bands AS (
-           |  SELECT doc_id, b, (${Dedup.bandKeysSql("sig", 2)})[b + 1] AS bkey
-           |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${Hashing.NumPerms / 2})) AS b) bs
-           |), pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-           |)
-           |SELECT doc_a, doc_b, est_jaccard FROM (
-           |  SELECT p.doc_a, p.doc_b,
-           |         ${Dedup.estJaccardSql("sa.sig", "sb.sig")} AS est_jaccard
-           |  FROM pairs p
-           |  JOIN sigs sa ON sa.doc_id = p.doc_a
-           |  JOIN sigs sb ON sb.doc_id = p.doc_b
-           |) WHERE est_jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin
+        s"""WITH RECURSIVE p AS (
+           |$minhashPairsSql
+           |),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM p
+           |  UNION
+           |  SELECT doc_b, doc_a FROM p
+           |),
+           |reach(src, dst) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+           |),
+           |lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+           |asg AS (
+           |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+           |  FROM (SELECT doc_id FROM documents) d LEFT JOIN lbl l USING (doc_id)
+           |),
+           |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM asg GROUP BY cluster_id)
+           |SELECT a.doc_id, a.cluster_id, s.cluster_size,
+           |       a.doc_id = a.cluster_id AS is_canonical
+           |FROM asg a JOIN sz s USING (cluster_id)""".stripMargin
       }
     ),
 

@@ -55,6 +55,47 @@ object TextQueries {
       })
     ),
 
+    // composite document-quality FILTER (Gopher/C4-style): each rule is a
+    // named boolean over the oracle-verified quality signals, `keep` is
+    // their conjunction — the decision column a training-data pipeline
+    // partitions on. Thresholds are calibrated to the corpus (token count
+    // ≥ 20, stopword ratio ≥ 0.03, mean word length in [3,10], digit and
+    // punctuation ratios ≤ 0.2) so the filter actually splits the data
+    // rather than passing everything. Map-only: one pass, no shuffle;
+    // flags stay attached so a dropped doc is auditable by reason.
+    QueryDef(
+      "text_quality_filter",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val s = qualitySignals(col("text")).toMap
+        val rules = Seq(
+          "r_min_tokens" -> (s("n_tokens") >= 20L),
+          "r_stopwords" -> (s("stop_ratio") >= 0.03d),
+          "r_word_len" -> (s("mean_word_len") >= 3.0d && s("mean_word_len") <= 10.0d),
+          "r_digit" -> (s("digit_ratio") <= 0.2d),
+          "r_punct" -> (s("punct_ratio") <= 0.2d)
+        )
+        val keep = rules.map(_._2).reduce(_ && _)
+        Tables.documents(spark, dir)
+          .select(col("doc_id") +: rules.map { case (n, c) => c.as(n) } :+ keep.as("keep"): _*)
+      },
+      Some({
+        val s = qualitySignalsSql("text").toMap
+        val rules = Seq(
+          "r_min_tokens" -> s"(${s("n_tokens")} >= 20)",
+          "r_stopwords" -> s"(${s("stop_ratio")} >= 0.03)",
+          "r_word_len" -> s"(${s("mean_word_len")} >= 3.0 AND ${s("mean_word_len")} <= 10.0)",
+          "r_digit" -> s"(${s("digit_ratio")} <= 0.2)",
+          "r_punct" -> s"(${s("punct_ratio")} <= 0.2)"
+        )
+        val keep = rules.map(_._2).mkString("(", " AND ", ")")
+        s"""SELECT doc_id,
+           |       ${rules.map { case (n, e) => s"$e AS $n" }.mkString(",\n       ")},
+           |       $keep AS keep
+           |FROM documents""".stripMargin
+      })
+    ),
+
     // language identification: per-language marker scores + argmax, compared
     // against the generator's `lang` label (accuracy rollup by true label)
     QueryDef(
