@@ -81,6 +81,79 @@ object DedupQueries {
        |) WHERE est_jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin
   }
 
+  /** Connected components over the near-dup pair graph: per-document
+    * cluster id (min doc_id of its component), cluster size, canonical
+    * flag. Shared by `dedup_clusters` and `q_curation_pipeline`. Iterative
+    * min-label propagation; each sweep is one join + hash-agg on
+    * (id, label); the driver loop reads only aggregate convergence counts.
+    */
+  private[queries] def clusterAssignments(spark: org.apache.spark.sql.SparkSession,
+                                          dir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = minhashPairsSpark(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist() // re-read every propagation sweep
+    edges.count()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .persist()
+    labels.count()
+    var converged = false
+    var iters = 0
+    while (!converged) {
+      iters += 1
+      require(iters <= 50, "dedup_clusters: component diameter exceeded 50 sweeps")
+      val viaNeighbors = edges
+        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .persist()
+      next.count()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    val assigned = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+              (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
+  /** Complete SQL statement for [[clusterAssignments]]: the oracle
+    * re-derives components independently via a recursive transitive-closure
+    * CTE (nestable inside another WITH chain).
+    */
+  private[queries] val clusterAssignmentsSql =
+    s"""WITH RECURSIVE p AS (
+       |$minhashPairsSql
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION
+       |  SELECT doc_b, doc_a FROM p
+       |),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |),
+       |lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |  FROM (SELECT doc_id FROM documents) d LEFT JOIN lbl l USING (doc_id)
+       |),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM asg GROUP BY cluster_id)
+       |SELECT a.doc_id, a.cluster_id, s.cluster_size,
+       |       a.doc_id = a.cluster_id AS is_canonical
+       |FROM asg a JOIN sz s USING (cluster_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // exact dedup: group by normalized-content hash
@@ -125,66 +198,9 @@ object DedupQueries {
       (spark, dir) => {
         GraftSession.tune(spark)
         spark.catalog.clearCache()
-        val pairs = minhashPairsSpark(spark, dir).select(col("doc_a"), col("doc_b"))
-        val edges = pairs
-          .union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("src", "dst")
-          .persist() // re-read every propagation sweep
-        edges.count()
-        var labels = edges.select(col("src").as("doc_id")).distinct()
-          .select(col("doc_id"), col("doc_id").as("label"))
-          .persist()
-        labels.count()
-        var converged = false
-        var iters = 0
-        while (!converged) {
-          iters += 1
-          require(iters <= 50, "dedup_clusters: component diameter exceeded 50 sweeps")
-          val viaNeighbors = edges
-            .join(labels.select(col("doc_id").as("src"), col("label")), "src")
-            .select(col("dst").as("doc_id"), col("label"))
-          val next = labels.unionByName(viaNeighbors)
-            .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-            .persist()
-          next.count()
-          val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .where(col("label") =!= col("old")).count()
-          labels.unpersist()
-          labels = next
-          converged = changed == 0
-        }
-        val assigned = Tables.documents(spark, dir).select(col("doc_id"))
-          .join(labels, Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-        val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-        assigned.join(sizes, "cluster_id")
-          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-                  (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        clusterAssignments(spark, dir)
       },
-      Some {
-        s"""WITH RECURSIVE p AS (
-           |$minhashPairsSql
-           |),
-           |edges AS (
-           |  SELECT doc_a AS src, doc_b AS dst FROM p
-           |  UNION
-           |  SELECT doc_b, doc_a FROM p
-           |),
-           |reach(src, dst) AS (
-           |  SELECT src, src FROM edges
-           |  UNION
-           |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-           |),
-           |lbl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
-           |asg AS (
-           |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
-           |  FROM (SELECT doc_id FROM documents) d LEFT JOIN lbl l USING (doc_id)
-           |),
-           |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM asg GROUP BY cluster_id)
-           |SELECT a.doc_id, a.cluster_id, s.cluster_size,
-           |       a.doc_id = a.cluster_id AS is_canonical
-           |FROM asg a JOIN sz s USING (cluster_id)""".stripMargin
-      }
+      Some(clusterAssignmentsSql)
     ),
 
     // SimHash: 64-bit fingerprint (two 32-bit halves) over shingle hashes,

@@ -27,6 +27,68 @@ object PipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // end-to-end corpus curation: the composition a training-data build
+    // actually runs — quality filter ∧ cluster-canonical dedup → kept
+    // corpus → per-source document/token budget. A doc survives iff it
+    // passes every quality rule AND is its near-dup cluster's canonical
+    // representative (min doc_id). Composes the reusable builders behind
+    // `text_quality_filter` and `dedup_clusters`; the oracle re-derives
+    // the whole pipeline (including the recursive-CTE components)
+    // independently. Scale shape: filter is map-only, cluster assignment
+    // is the iterated (id,label) frontier, the final rollup is one
+    // hash-agg on `source` — nothing document-sized shuffles.
+    QueryDef(
+      "q_curation_pipeline",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache()
+        val passed = TextQueries.qualityFilter(spark, dir)
+          .where(col("keep")).select(col("doc_id"))
+        val canon = DedupQueries.clusterAssignments(spark, dir)
+          .where(col("is_canonical")).select(col("doc_id"))
+        val kept = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+                  TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+          .join(passed, "doc_id")
+          .join(canon, "doc_id")
+        val tot = Tables.documents(spark, dir)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs_total"))
+        val keptAgg = kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("n_tokens_kept"))
+        tot.join(keptAgg, Seq("source"), "left")
+          .select(col("source"), col("n_docs_total"),
+                  coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+                  coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+                  (coalesce(col("n_docs_kept"), lit(0L)).cast("double") /
+                    col("n_docs_total").cast("double")).as("keep_frac"))
+      },
+      Some {
+        s"""WITH qf AS (
+           |${TextQueries.qualityFilterSql}
+           |),
+           |cl AS (
+           |${DedupQueries.clusterAssignmentsSql}
+           |),
+           |kept AS (
+           |  SELECT d.doc_id, d.source, CAST(${TextAnalysis.wsTokenCountSql("d.text")} AS BIGINT) AS n_tokens
+           |  FROM documents d
+           |  JOIN qf ON qf.doc_id = d.doc_id AND qf.keep
+           |  JOIN cl ON cl.doc_id = d.doc_id AND cl.is_canonical
+           |),
+           |tot AS (SELECT source, COUNT(*) AS n_docs_total FROM documents GROUP BY source),
+           |ka AS (
+           |  SELECT source, COUNT(*) AS n_docs_kept,
+           |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
+           |  FROM kept GROUP BY source
+           |)
+           |SELECT t.source, t.n_docs_total,
+           |       COALESCE(ka.n_docs_kept, 0) AS n_docs_kept,
+           |       COALESCE(ka.n_tokens_kept, 0) AS n_tokens_kept,
+           |       (CAST(COALESCE(ka.n_docs_kept, 0) AS DOUBLE) / CAST(t.n_docs_total AS DOUBLE)) AS keep_frac
+           |FROM tot t LEFT JOIN ka USING (source)""".stripMargin
+      }
+    ),
+
     // deterministic data mixing: doc selected iff h32("mix:"+doc_id) mod
     // 1000 < source quota. Per-source keep counts verify the recipe.
     QueryDef(

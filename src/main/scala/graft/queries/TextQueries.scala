@@ -20,6 +20,46 @@ object TextQueries {
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
   val PiiPhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
 
+  /** Gopher/C4-style composite quality filter: per-rule boolean flags over
+    * the oracle-verified quality signals plus their conjunction `keep`.
+    * Shared by `text_quality_filter` and `q_curation_pipeline`. Thresholds
+    * are calibrated to the corpus (token count ≥ 20, stopword ratio
+    * ≥ 0.03, mean word length in [3,10], digit and punctuation ratios
+    * ≤ 0.2) so the filter actually splits the data. Map-only, no shuffle;
+    * flags stay attached so a dropped doc is auditable by reason.
+    */
+  private[queries] def qualityFilter(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String): org.apache.spark.sql.DataFrame = {
+    val s = qualitySignals(col("text")).toMap
+    val rules = Seq(
+      "r_min_tokens" -> (s("n_tokens") >= 20L),
+      "r_stopwords" -> (s("stop_ratio") >= 0.03d),
+      "r_word_len" -> (s("mean_word_len") >= 3.0d && s("mean_word_len") <= 10.0d),
+      "r_digit" -> (s("digit_ratio") <= 0.2d),
+      "r_punct" -> (s("punct_ratio") <= 0.2d)
+    )
+    val keep = rules.map(_._2).reduce(_ && _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: rules.map { case (n, c) => c.as(n) } :+ keep.as("keep"): _*)
+  }
+
+  /** Complete SQL statement for [[qualityFilter]] (nestable in a WITH chain). */
+  private[queries] val qualityFilterSql = {
+    val s = qualitySignalsSql("text").toMap
+    val rules = Seq(
+      "r_min_tokens" -> s"(${s("n_tokens")} >= 20)",
+      "r_stopwords" -> s"(${s("stop_ratio")} >= 0.03)",
+      "r_word_len" -> s"(${s("mean_word_len")} >= 3.0 AND ${s("mean_word_len")} <= 10.0)",
+      "r_digit" -> s"(${s("digit_ratio")} <= 0.2)",
+      "r_punct" -> s"(${s("punct_ratio")} <= 0.2)"
+    )
+    val keep = rules.map(_._2).mkString("(", " AND ", ")")
+    s"""SELECT doc_id,
+       |       ${rules.map { case (n, e) => s"$e AS $n" }.mkString(",\n       ")},
+       |       $keep AS keep
+       |FROM documents""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // token counting: whitespace, BPE-ish subword, and distinct-token counts
@@ -67,33 +107,9 @@ object TextQueries {
       "text_quality_filter",
       (spark, dir) => {
         GraftSession.tune(spark)
-        val s = qualitySignals(col("text")).toMap
-        val rules = Seq(
-          "r_min_tokens" -> (s("n_tokens") >= 20L),
-          "r_stopwords" -> (s("stop_ratio") >= 0.03d),
-          "r_word_len" -> (s("mean_word_len") >= 3.0d && s("mean_word_len") <= 10.0d),
-          "r_digit" -> (s("digit_ratio") <= 0.2d),
-          "r_punct" -> (s("punct_ratio") <= 0.2d)
-        )
-        val keep = rules.map(_._2).reduce(_ && _)
-        Tables.documents(spark, dir)
-          .select(col("doc_id") +: rules.map { case (n, c) => c.as(n) } :+ keep.as("keep"): _*)
+        qualityFilter(spark, dir)
       },
-      Some({
-        val s = qualitySignalsSql("text").toMap
-        val rules = Seq(
-          "r_min_tokens" -> s"(${s("n_tokens")} >= 20)",
-          "r_stopwords" -> s"(${s("stop_ratio")} >= 0.03)",
-          "r_word_len" -> s"(${s("mean_word_len")} >= 3.0 AND ${s("mean_word_len")} <= 10.0)",
-          "r_digit" -> s"(${s("digit_ratio")} <= 0.2)",
-          "r_punct" -> s"(${s("punct_ratio")} <= 0.2)"
-        )
-        val keep = rules.map(_._2).mkString("(", " AND ", ")")
-        s"""SELECT doc_id,
-           |       ${rules.map { case (n, e) => s"$e AS $n" }.mkString(",\n       ")},
-           |       $keep AS keep
-           |FROM documents""".stripMargin
-      })
+      Some(qualityFilterSql)
     ),
 
     // language identification: per-language marker scores + argmax, compared

@@ -74,6 +74,14 @@ class PlanSpec extends SparkTestBase {
            s"found serial per-source window spec(s): $sourceOnly")
   }
 
+  test("quality filter is map-only: no exchange in the plan") {
+    val plan = planOf("text_quality_filter")
+    assert(!plan.contains("Exchange"),
+           s"a per-document filter must not shuffle:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+           s"expected pruned ReadSchema in:\n$plan")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // the custom signature expressions and money arithmetic must not break
     // codegen. Under AQE the codegen stages only appear in the FINAL
