@@ -17,9 +17,17 @@ import org.apache.spark.sql.functions._
   *     in different LSH buckets) — exact copies would multiply every band
   *     bucket by `factor` and grow candidate PAIRS by `factor`², a data
   *     artifact, not an engine property;
-  *   - document texts get a per-replica suffix token, so each replica
-  *     carries its own duplicate groups and the global duplicate count
-  *     scales linearly instead of quadratically;
+  *   - document texts get a per-replica deterministic token shuffle
+  *     (sort key = hash of token:position:replica). A near-identical pair
+  *     inside one replica shuffles the same way (same tokens, same
+  *     positions), so within-replica duplicate groups survive; across
+  *     replicas almost every k-shingle is destroyed, so replicas are NOT
+  *     near-dups of each other and the global near-dup pair count scales
+  *     linearly. (A plain suffix token is NOT enough: it changes only ~k
+  *     shingles, MinHash bands still collide across replicas, and pair
+  *     volume — and any per-pair verification — grows quadratically with
+  *     the factor; the first rig run caught exactly that as a 24×
+  *     ngram-jaccard blowup at ×10.);
   *   - ids shift by `replica × 10⁷`, keeping the fixed ANN query set
   *     (vec_id < 10) at constant size while the corpus scales — the shape
   *     a production index has.
@@ -40,7 +48,8 @@ object ScaleStress {
     */
   val Targets: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "ann_bruteforce_topk", "ann_lsh_topk", "text_token_counts", "text_tfidf")
+    "dedup_clusters", "ann_bruteforce_topk", "ann_lsh_topk",
+    "text_token_counts", "text_tfidf", "text_quality_filter", "q_curation_pipeline")
 
   val Slack: Double = 1.5
 
@@ -48,15 +57,27 @@ object ScaleStress {
     val reps = explode(sequence(lit(0), lit(factor - 1))).as("rep")
     val idShift = 10000000L
 
+    // deterministic per-replica token shuffle (see class doc): stable on
+    // near-identical texts within a replica, shingle-destroying across
+    val shuffled = expr(
+      """array_join(
+        |  transform(
+        |    array_sort(
+        |      transform(split(text, '\\s+'),
+        |                (t, i) -> named_struct(
+        |                  'k', xxhash64(concat(t, ':', CAST(i AS STRING), ':', CAST(rep AS STRING))),
+        |                  't', t))),
+        |    s -> s.t),
+        |  ' ')""".stripMargin)
     val docs = Tables.documents(spark, baseDir)
       .select(col("*"), reps)
+      // replica 0 keeps the base text byte-for-byte
+      .withColumn("text2", when(col("rep") === 0, col("text")).otherwise(shuffled))
       .select(
         (col("doc_id") + col("rep") * idShift).as("doc_id"),
-        // replica 0 keeps the base text byte-for-byte; others get a suffix
-        // token so duplicate groups stay per-replica (linear, not n²)
-        when(col("rep") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" r"), col("rep"))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("text2").as("text"),
+        col("lang"), col("source"),
+        length(col("text2")).cast("long").as("n_chars"))
     docs.repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val dim = graft.similarity.Vectors.Dim
