@@ -28,15 +28,19 @@ object PipelineQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // end-to-end corpus curation: the composition a training-data build
-    // actually runs — quality filter ∧ cluster-canonical dedup → kept
-    // corpus → per-source document/token budget. A doc survives iff it
-    // passes every quality rule AND is its near-dup cluster's canonical
-    // representative (min doc_id). Composes the reusable builders behind
-    // `text_quality_filter` and `dedup_clusters`; the oracle re-derives
-    // the whole pipeline (including the recursive-CTE components)
-    // independently. Scale shape: filter is map-only, cluster assignment
-    // is the iterated (id,label) frontier, the final rollup is one
-    // hash-agg on `source` — nothing document-sized shuffles.
+    // actually runs — quality-filter FIRST, then keep one representative
+    // per near-dup cluster AMONG THE SURVIVORS (min doc_id of the
+    // cluster ∩ filter-pass set), then a per-source document/token
+    // budget. Filtering before choosing the representative matters: if
+    // the cluster's global canonical fails quality, the cluster is still
+    // represented by its best surviving member instead of vanishing.
+    // Composes the reusable builders behind `text_quality_filter` and
+    // `dedup_clusters`; the oracle re-derives the whole pipeline
+    // (including the recursive-CTE components) independently. Scale
+    // shape: filter is map-only, cluster assignment is the iterated
+    // (id,label) frontier, representative choice is one hash-agg on
+    // cluster_id over ids, the final rollup one hash-agg on `source` —
+    // nothing document-sized shuffles.
     QueryDef(
       "q_curation_pipeline",
       (spark, dir) => {
@@ -44,13 +48,16 @@ object PipelineQueries {
         spark.catalog.clearCache()
         val passed = TextQueries.qualityFilter(spark, dir)
           .where(col("keep")).select(col("doc_id"))
-        val canon = DedupQueries.clusterAssignments(spark, dir)
-          .where(col("is_canonical")).select(col("doc_id"))
+        val clusters = DedupQueries.clusterAssignments(spark, dir)
+          .select(col("doc_id"), col("cluster_id"))
+        // representative per cluster among filter survivors only
+        val reps = passed.join(clusters, "doc_id")
+          .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
         val kept = Tables.documents(spark, dir)
           .select(col("doc_id"), col("source"),
                   TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
-          .join(passed, "doc_id")
-          .join(canon, "doc_id")
+          .join(reps, "doc_id")
         val tot = Tables.documents(spark, dir)
           .groupBy(col("source")).agg(count(lit(1)).as("n_docs_total"))
         val keptAgg = kept.groupBy(col("source"))
@@ -69,11 +76,15 @@ object PipelineQueries {
            |cl AS (
            |${DedupQueries.clusterAssignmentsSql}
            |),
+           |reps AS (
+           |  SELECT MIN(cl.doc_id) AS doc_id
+           |  FROM qf JOIN cl ON cl.doc_id = qf.doc_id
+           |  WHERE qf.keep
+           |  GROUP BY cl.cluster_id
+           |),
            |kept AS (
            |  SELECT d.doc_id, d.source, CAST(${TextAnalysis.wsTokenCountSql("d.text")} AS BIGINT) AS n_tokens
-           |  FROM documents d
-           |  JOIN qf ON qf.doc_id = d.doc_id AND qf.keep
-           |  JOIN cl ON cl.doc_id = d.doc_id AND cl.is_canonical
+           |  FROM documents d JOIN reps USING (doc_id)
            |),
            |tot AS (SELECT source, COUNT(*) AS n_docs_total FROM documents GROUP BY source),
            |ka AS (
