@@ -87,11 +87,16 @@ object DedupQueries {
     * min-label propagation; each sweep is one join + hash-agg on
     * (id, label); the driver loop reads only aggregate convergence counts.
     */
-  private[queries] def clusterAssignments(spark: org.apache.spark.sql.SparkSession,
-                                          dir: String): org.apache.spark.sql.DataFrame = {
-    val pairs = minhashPairsSpark(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+  /** Min-label propagation over an undirected pair list `(doc_a, doc_b)`:
+    * returns `(doc_id, label)` where label = min id reachable in the pair
+    * graph (i.e. the connected component's representative). Split out so
+    * transitivity is provable on a hand-built graph in DedupSpec without a
+    * parquet fixture.
+    */
+  private[graft] def propagateMinLabels(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val edges = pairs.toDF("doc_a", "doc_b")
+      .union(pairs.toDF("doc_a", "doc_b").select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .persist() // re-read every propagation sweep
     edges.count()
@@ -117,6 +122,14 @@ object DedupQueries {
       labels = next
       converged = changed == 0
     }
+    edges.unpersist()
+    labels
+  }
+
+  private[queries] def clusterAssignments(spark: org.apache.spark.sql.SparkSession,
+                                          dir: String): org.apache.spark.sql.DataFrame = {
+    val labels = propagateMinLabels(
+      minhashPairsSpark(spark, dir).select(col("doc_a"), col("doc_b")))
     val assigned = Tables.documents(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))

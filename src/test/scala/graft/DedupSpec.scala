@@ -107,6 +107,17 @@ class DedupSpec extends SparkTestBase {
     assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 0.0)
   }
 
+  test("min-label propagation is transitive and separates components") {
+    // path component 10-20-30-40 (no direct 10-40 edge: label must travel
+    // 3 hops) plus a disjoint pair 100-200 and ids chosen so min != first
+    val pairs = Seq((20L, 30L), (10L, 20L), (30L, 40L), (200L, 100L))
+      .toDF("doc_a", "doc_b")
+    val labels = graft.queries.DedupQueries.propagateMinLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+                         100L -> 100L, 200L -> 100L))
+  }
+
   test("dedup queries run end-to-end on the corpus and find the planted near-dups") {
     val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
     val ngram = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf)
