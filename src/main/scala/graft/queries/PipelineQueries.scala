@@ -25,6 +25,15 @@ object PipelineQueries {
   /** Token budget per packed training chunk. */
   val PackBudget = 2048
 
+  /** Decontamination shingle width (tokens) and the synthetic eval-set
+    * boundary: documents with doc_id < EvalMaxId stand in for a held-out
+    * benchmark suite. 8-grams are the common published choice — long
+    * enough that sharing one is evidence of copying, short enough to
+    * survive light edits.
+    */
+  val DecontamK = 8
+  val EvalMaxId = 50L
+
   val defs: Seq[QueryDef] = Seq(
 
     // end-to-end corpus curation: the composition a training-data build
@@ -97,6 +106,45 @@ object PipelineQueries {
            |       COALESCE(ka.n_tokens_kept, 0) AS n_tokens_kept,
            |       (CAST(COALESCE(ka.n_docs_kept, 0) AS DOUBLE) / CAST(t.n_docs_total AS DOUBLE)) AS keep_frac
            |FROM tot t LEFT JOIN ka USING (source)""".stripMargin
+      }
+    ),
+
+    // benchmark decontamination: flag every training document sharing at
+    // least one distinct DecontamK-token shingle with the eval set, with
+    // auditable evidence counts (how many eval docs, how many distinct
+    // shingles). Scale shape: the eval set is orders of magnitude smaller
+    // than the training corpus, so its exploded shingle-hash index is
+    // BROADCAST and the corpus streams against it map-side — hashes+ids
+    // only, the one aggregation is on the train doc_id. At 100 TB the
+    // eval index is a few MB regardless of corpus size.
+    QueryDef(
+      "q_decontaminate",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache()
+        val hs = graft.dedup.Dedup.shingleHashSets(
+          Tables.documents(spark, dir), DecontamK).persist()
+        hs.count() // eval + train sides share the shingle cache
+        val evalSh = hs.where(col("doc_id") < EvalMaxId)
+          .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+        val trainSh = hs.where(col("doc_id") >= EvalMaxId)
+          .select(col("doc_id"), explode(col("hs")).as("h"))
+        trainSh.join(broadcast(evalSh), "h")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+               countDistinct(col("h")).as("n_shared_shingles"))
+      },
+      Some {
+        val hsSql = graft.dedup.Dedup.shingleHashSetSql("text", DecontamK)
+        s"""WITH hs0 AS (SELECT doc_id, $hsSql AS hs FROM documents),
+           |hs AS (SELECT doc_id, hs FROM hs0 WHERE len(hs) > 0),
+           |ev AS (SELECT doc_id AS eval_id, unnest(hs) AS h FROM hs WHERE doc_id < $EvalMaxId),
+           |tr AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id >= $EvalMaxId)
+           |SELECT tr.doc_id,
+           |       CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs,
+           |       CAST(COUNT(DISTINCT tr.h) AS BIGINT) AS n_shared_shingles
+           |FROM tr JOIN ev ON tr.h = ev.h
+           |GROUP BY tr.doc_id""".stripMargin
       }
     ),
 
