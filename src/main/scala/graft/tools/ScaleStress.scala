@@ -49,7 +49,8 @@ object ScaleStress {
   val Targets: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_clusters", "ann_bruteforce_topk", "ann_lsh_topk",
-    "text_token_counts", "text_tfidf", "text_quality_filter", "q_curation_pipeline")
+    "text_token_counts", "text_tfidf", "text_quality_filter", "q_curation_pipeline",
+    "q_decontaminate")
 
   val Slack: Double = 1.5
 
