@@ -82,6 +82,16 @@ class PlanSpec extends SparkTestBase {
            s"expected pruned ReadSchema in:\n$plan")
   }
 
+  test("decontamination broadcasts the eval shingle index (no sort-merge join)") {
+    val df = SparkEntry.queries("q_decontaminate")(spark, sf)
+    df.collect() // AQE: final adaptive plan only exists after execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+           s"eval index must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+           "the train corpus must stream map-side against the broadcast index")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // the custom signature expressions and money arithmetic must not break
     // codegen. Under AQE the codegen stages only appear in the FINAL
