@@ -76,6 +76,46 @@ object Udafs {
     override def outputEncoder: Encoder[Seq[ScoredHit]] = ExpressionEncoder()
   }
 
+  /** One stratum member as seen by [[MinKByHash]]: the sampling hash plus
+    * the document it belongs to (stratum columns ride along only for the
+    * groupByKey, not the buffer).
+    */
+  final case class StratumDoc(source: String, lang: String, doc_id: Long, h: Long)
+
+  /** One sampled survivor inside a [[MinKByHash]] buffer. */
+  final case class SampledDoc(h: Long, doc_id: Long)
+
+  /** Bounded per-stratum deterministic sample: the k members with the
+    * smallest (hash, doc_id) — i.e. a uniform-without-replacement sample
+    * whose randomness is a content-independent hash, so the same k docs are
+    * selected on any cluster size or partitioning. Same associativity
+    * argument as [[TopKByScore]]: (h, doc_id) is a total order (doc_id is
+    * unique), so reduce/merge pick the same k survivors for any merge tree,
+    * identical to `row_number() OVER (ORDER BY h, doc_id)` ≤ k.
+    *
+    * This is the scale shape for stratified sampling: a window formulation
+    * shuffles and sorts the WHOLE stratum (one task per stratum at 100 TB);
+    * this aggregator keeps O(k) state map-side and ships ≤ strata ×
+    * partitions × k rows.
+    */
+  final case class MinKByHash(k: Int) extends Aggregator[StratumDoc, Seq[SampledDoc], Seq[SampledDoc]] {
+    private val ord: Ordering[SampledDoc] =
+      Ordering.by((s: SampledDoc) => (s.h, s.doc_id))
+    private def trim(s: Seq[SampledDoc]): Seq[SampledDoc] = s.sorted(ord).take(k)
+    override def zero: Seq[SampledDoc] = Nil
+    override def reduce(b: Seq[SampledDoc], a: StratumDoc): Seq[SampledDoc] = {
+      val hit = SampledDoc(a.h, a.doc_id)
+      // buffer is kept sorted by trim; skip the re-sort when full and the
+      // candidate is no better than the current worst survivor
+      if (b.length >= k && ord.gteq(hit, b.last)) b
+      else trim(hit +: b)
+    }
+    override def merge(a: Seq[SampledDoc], b: Seq[SampledDoc]): Seq[SampledDoc] = trim(a ++ b)
+    override def finish(b: Seq[SampledDoc]): Seq[SampledDoc] = b.sorted(ord)
+    override def bufferEncoder: Encoder[Seq[SampledDoc]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[SampledDoc]] = ExpressionEncoder()
+  }
+
   /** Exact long-sum of the minimum element per group — a tiny example of a
     * custom order-insensitive aggregate (used by specs to pin Aggregator
     * registration + SQL call paths).

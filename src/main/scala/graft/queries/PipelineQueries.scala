@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftSession, Tables}
-import graft.functions.Hashing
+import graft.functions.{Hashing, Udafs}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,6 +33,22 @@ object PipelineQueries {
     */
   val DecontamK = 8
   val EvalMaxId = 50L
+
+  /** Context-window chunking: tokens per chunk and the stride between
+    * chunk starts (overlap = ChunkTokens - ChunkStride). The chunk count
+    * rule is the standard sliding-window one (HF `return_overflowing_tokens`
+    * shape): every token lands in ≥1 chunk, chunks start at stride
+    * multiples, the last chunk may be short but never empty. Sized to the
+    * test corpus (median 56 / max 99 tokens per doc at sf0.01) so the
+    * multi-chunk + overlap path is actually exercised, not just the
+    * one-chunk degenerate case; a production context window only changes
+    * the two constants.
+    */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** Stratified-sample quota: documents kept per (source, lang) stratum. */
+  val SampleK = 20
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -145,6 +161,99 @@ object PipelineQueries {
            |       CAST(COUNT(DISTINCT tr.h) AS BIGINT) AS n_shared_shingles
            |FROM tr JOIN ev ON tr.h = ev.h
            |GROUP BY tr.doc_id""".stripMargin
+      }
+    ),
+
+    // context-window chunking: split each document's token stream into
+    // ChunkTokens-sized windows advancing by ChunkStride (overlap 32),
+    // emitting per-chunk token counts AND a content hash of the exact
+    // token slice — the oracle therefore verifies chunk CONTENT, not just
+    // arithmetic. n_chunks = 1 + ceil(max(n-C,0)/S) in pure integer math,
+    // so both engines enumerate identical windows. Scale shape: map-only
+    // (tokenize → sequence → explode → slice → hash), zero shuffles; at
+    // 100 TB this is embarrassingly parallel and whole-stage-codegen'd.
+    QueryDef(
+      "q_chunk_documents",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val C = ChunkTokens
+        val S = ChunkStride
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
+          .where(col("n") > 0L)
+          .withColumn("n_chunks", expr(s"1L + ((greatest(n - $C, 0L) + ${S - 1}) div $S)"))
+          .select(col("doc_id"), col("toks"), col("n"),
+                  explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+          .withColumn("start", col("chunk_idx") * S)
+          .withColumn("n_tokens", least(lit(C.toLong), col("n") - col("start")))
+          .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+                  md5(array_join(slice(col("toks"),
+                                       (col("start") + 1L).cast("int"),
+                                       col("n_tokens").cast("int")), " ")).as("chunk_hash"))
+      },
+      Some {
+        val C = ChunkTokens
+        val S = ChunkStride
+        s"""WITH t AS (
+           |  SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks FROM documents
+           |),
+           |t2 AS (
+           |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0
+           |),
+           |t3 AS (
+           |  SELECT doc_id, toks, n,
+           |         1 + ((greatest(n - $C, 0) + ${S - 1}) // $S) AS n_chunks
+           |  FROM t2
+           |),
+           |c AS (
+           |  SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_idx FROM t3
+           |)
+           |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           |       CAST(least($C, n - chunk_idx * $S) AS BIGINT) AS n_tokens,
+           |       md5(array_to_string(
+           |             toks[(chunk_idx * $S + 1):(chunk_idx * $S + least($C, n - chunk_idx * $S))],
+           |             ' ')) AS chunk_hash
+           |FROM c""".stripMargin
+      }
+    ),
+
+    // deterministic stratified sampling: per (source, lang) stratum keep
+    // the SampleK docs with the smallest (h32("samp:"+doc_id), doc_id) —
+    // a uniform-without-replacement sample that reproduces byte-identically
+    // on any cluster. Runs through the bounded MinKByHash aggregator (O(k)
+    // map-side state, shuffle ≤ strata × partitions × k rows) instead of a
+    // window sort of every stratum; the oracle reaches the same rows via
+    // the row_number formulation — two independent algorithms, same result.
+    QueryDef(
+      "q_stratified_sample",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        Tables.documents(spark, dir)
+          .select(col("source"), col("lang"), col("doc_id"),
+                  Hashing.h32(concat(lit("samp:"), col("doc_id"))).as("h"))
+          .as[Udafs.StratumDoc]
+          .groupByKey(d => (d.source, d.lang))
+          .agg(Udafs.MinKByHash(SampleK).toColumn.name("picked"))
+          .flatMap { case ((source, lang), picked) =>
+            picked.iterator.zipWithIndex.map { case (p, i) =>
+              (source, lang, p.doc_id, (i + 1).toLong, p.h)
+            }
+          }
+          .toDF("source", "lang", "doc_id", "sample_rank", "h")
+      },
+      Some {
+        s"""SELECT source, lang, doc_id, CAST(rn AS BIGINT) AS sample_rank, h
+           |FROM (
+           |  SELECT source, lang, doc_id, h,
+           |         row_number() OVER (PARTITION BY source, lang ORDER BY h, doc_id) AS rn
+           |  FROM (
+           |    SELECT source, lang, doc_id,
+           |           ${Hashing.h32Sql("concat('samp:', doc_id)")} AS h
+           |    FROM documents
+           |  )
+           |) WHERE rn <= $SampleK""".stripMargin
       }
     ),
 

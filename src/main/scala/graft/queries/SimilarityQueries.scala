@@ -130,6 +130,70 @@ object SimilarityQueries {
     s"""$topkSql
        |SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= $K""".stripMargin
 
+  /** Symmetric int8 quantization levels: q_i = floor(v_i · 127/max|v| + ½),
+    * so every component lands in [-127, 127].
+    */
+  private val QuantLevels = 127
+
+  /** Per-vector symmetric int8 quantization + top-k over the QUANTIZED
+    * corpus (Spark build; graded by `ann_quantized_recall`). The quantized
+    * components are small integers, so dot products (≤ 64·127² ≈ 10⁶) and
+    * norm sums are EXACT in double — the only rounding anywhere is the
+    * final cosine division, identical on both engines. floor(x·s + ½) is
+    * the engine-portable half-up rounding (both `round()`s have edge
+    * quirks; floor does not).
+    */
+  private def quantTopkSpark(spark: SparkSession, dir: String): DataFrame = {
+    val amax = aggregate(transform(col("v"), x => abs(x)), lit(0.0d), (a, x) => greatest(a, x))
+    val z = normed(spark, dir)
+      .withColumn("amax", amax)
+      .withColumn("qv", transform(
+        col("v"),
+        x => floor(x * (lit(QuantLevels.toDouble) / col("amax")) + lit(0.5d)).cast("double")))
+      .withColumn("qn", Vectors.norm(col("qv")))
+      .where(Vectors.finitePositive(col("qn")))
+      .select(col("vec_id"), col("qv"), col("qn"))
+    val q = z.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qn").as("qna"))
+    val scored = z.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), lit("").as("label"),
+              (Vectors.dot(col("qa"), col("qv")) / (col("qna") * col("qn"))).as("cosine"))
+    perQueryTopK(spark, scored, K)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
+
+  private val quantTopkSql = {
+    val amaxSql =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x -> abs(x))),
+         |                (acc, x) -> greatest(acc, x))""".stripMargin
+    s"""WITH $normedSql,
+       |m AS (SELECT vec_id, v, $amaxSql AS amax FROM n),
+       |z0 AS (
+       |  SELECT vec_id,
+       |         list_transform(v, x -> floor(x * (CAST($QuantLevels AS DOUBLE) / amax)
+       |                                      + CAST(0.5 AS DOUBLE))) AS qv
+       |  FROM m
+       |),
+       |z AS (
+       |  SELECT vec_id, qv, qn FROM
+       |    (SELECT vec_id, qv, ${Vectors.normSql("qv")} AS qn FROM z0)
+       |  WHERE ${Vectors.finitePositiveSql("qn")}
+       |),
+       |q AS (SELECT vec_id AS query_id, qv AS qa, qn AS qna FROM z WHERE vec_id < $NumQueries),
+       |s AS (
+       |  SELECT query_id, z.vec_id,
+       |         (${Vectors.dotSql("qa", "qv")} / (qna * qn)) AS cosine
+       |  FROM z CROSS JOIN q WHERE z.vec_id <> q.query_id
+       |),
+       |r AS (
+       |  SELECT query_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= $K""".stripMargin
+  }
+
   /** Sign-LSH approximate top-k (Spark build; shared by `ann_lsh_topk` and
     * `ann_recall`). Persist + eager count: bands and the two score
     * join-backs all read the signature cache.
@@ -427,6 +491,42 @@ object SimilarityQueries {
            |SELECT method, query_id, CAST(hits AS BIGINT) AS hits,
            |       CAST(hits AS DOUBLE) / CAST($K AS DOUBLE) AS recall_at_k
            |FROM rec""".stripMargin
+      }
+    ),
+
+    // int8-quantization retrieval grade: recall@k of brute-force top-k run
+    // over the SYMMETRICALLY QUANTIZED corpus (floor(v·127/max|v| + ½) per
+    // component) against the float top-k — the memory-bandwidth scale dial
+    // for exact search: an int8 corpus is 4× smaller than float32 (8× vs
+    // the double compute form), and a bandwidth-bound scan speeds up
+    // proportionally, so this measures what that compression costs in
+    // retrieval quality (the ann_recall pattern applied to quantization
+    // instead of candidate pruning). The oracle re-derives quantization,
+    // retrieval, and the recall arithmetic independently.
+    QueryDef(
+      "ann_quantized_recall",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache() // sequential query contract
+        val qz = quantTopkSpark(spark, dir).select(col("query_id"), col("vec_id"))
+        val bf = topkSpark(spark, dir).select(col("query_id"), col("vec_id"))
+        bf.join(qz.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(col("hit")).as("hits"))
+          .select(col("query_id"), col("hits"),
+                  (col("hits").cast("double") / lit(K.toDouble)).as("recall_at_k"))
+      },
+      Some {
+        s"""WITH bf AS (
+           |$bruteforceSql
+           |),
+           |qz AS (
+           |$quantTopkSql
+           |)
+           |SELECT b.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+           |       CAST(COUNT(a.vec_id) AS DOUBLE) / CAST($K AS DOUBLE) AS recall_at_k
+           |FROM bf b LEFT JOIN qz a ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+           |GROUP BY b.query_id""".stripMargin
       }
     ),
 

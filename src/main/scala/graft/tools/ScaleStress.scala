@@ -48,9 +48,9 @@ object ScaleStress {
     */
   val Targets: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_clusters", "ann_bruteforce_topk", "ann_lsh_topk",
+    "dedup_clusters", "ann_bruteforce_topk", "ann_lsh_topk", "ann_quantized_recall",
     "text_token_counts", "text_tfidf", "text_quality_filter", "q_curation_pipeline",
-    "q_decontaminate")
+    "q_decontaminate", "q_chunk_documents", "q_stratified_sample")
 
   val Slack: Double = 1.5
 

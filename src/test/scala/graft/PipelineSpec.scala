@@ -1,0 +1,109 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.functions._
+
+/** Pipeline-operator semantics that the DuckDB oracle alone can't pin:
+  * chunk-coverage invariants, an independent Scala re-derivation of a chunk
+  * content hash, stratified-sample quota/determinism, and the quantized
+  * retrieval grade's bounds.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_chunk_documents covers every token exactly with stride-spaced full chunks") {
+    val C = PipelineQueries.ChunkTokens
+    val S = PipelineQueries.ChunkStride
+    val chunks = run("q_chunk_documents")
+      .select("doc_id", "chunk_idx", "n_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(chunks.nonEmpty)
+    // independent token counts straight off the table
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.foreach { case (docId, cs) =>
+      val byIdx = cs.sortBy(_._2)
+      val m = byIdx.length
+      assert(byIdx.map(_._2).toSeq == (0L until m).toSeq, s"doc $docId: contiguous chunk_idx")
+      byIdx.dropRight(1).foreach { case (_, i, len) =>
+        assert(len == C, s"doc $docId chunk $i: non-final chunks are full")
+      }
+      val (_, _, lastLen) = byIdx.last
+      assert(lastLen > 0 && lastLen <= C, s"doc $docId: final chunk in (0, C]")
+      // last chunk ends exactly at the token count: full coverage, no spill
+      assert((m - 1).toLong * S + lastLen == nTok(docId), s"doc $docId: coverage")
+    }
+    // every doc with at least one token is chunked
+    assert(chunks.keySet == nTok.filter(_._2 > 0).keySet)
+  }
+
+  test("q_chunk_documents chunk hashes match an independent Scala slice+md5") {
+    val C = PipelineQueries.ChunkTokens
+    val S = PipelineQueries.ChunkStride
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(20)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run("q_chunk_documents")
+      .where(col("doc_id").isin(docs.keys.toSeq: _*))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3))
+      .toMap
+    val md = MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.foreach { case (docId, text) =>
+      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val n = toks.length
+      if (n > 0) {
+        val m = 1 + ((math.max(n - C, 0) + S - 1) / S)
+        for (i <- 0 until m) {
+          val slice = toks.slice(i * S, math.min(i * S + C, n))
+          assert(got.get((docId, i.toLong)).contains(md5hex(slice.mkString(" "))),
+                 s"doc $docId chunk $i content hash")
+        }
+        assert(!got.contains((docId, m.toLong)), s"doc $docId: no chunk beyond $m")
+      }
+    }
+  }
+
+  test("q_stratified_sample keeps at most SampleK per stratum with contiguous ranks, deterministically") {
+    val k = PipelineQueries.SampleK
+    def snapshot() = run("q_stratified_sample").collect().map(_.toSeq).toSet
+    val first = snapshot()
+    assert(first == snapshot(), "byte-identical across runs")
+    val perStratum = first.toSeq.groupBy(r => (r(0), r(1)))
+    val sizes = Tables.documents(spark, sf)
+      .groupBy("source", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(perStratum.keySet.map { case (s, l) => (s.asInstanceOf[String], l.asInstanceOf[String]) } ==
+           sizes.keySet, "every stratum sampled")
+    perStratum.foreach { case (key, rows) =>
+      val expected = math.min(k.toLong,
+        sizes((key._1.asInstanceOf[String], key._2.asInstanceOf[String])))
+      assert(rows.length.toLong == expected, s"stratum $key quota")
+      assert(rows.map(_(3).asInstanceOf[Long]).sorted == (1L to expected), s"stratum $key ranks")
+    }
+  }
+
+  test("ann_quantized_recall is bounded and near-exact on the test corpus") {
+    val rows = run("ann_quantized_recall").collect()
+    assert(rows.length == 10, "one row per query vector")
+    rows.foreach { r =>
+      val hits = r.getLong(1)
+      val recall = r.getDouble(2)
+      assert(hits >= 0 && hits <= 10)
+      assert(recall == hits.toDouble / 10.0)
+    }
+    // int8 keeps ~7 significant bits per component: top-10 cosine retrieval
+    // should survive nearly intact — a collapse below 0.7 mean recall means
+    // the quantizer (not the corpus) broke
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(mean >= 0.7, s"mean recall@10 $mean")
+  }
+}

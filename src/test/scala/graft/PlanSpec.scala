@@ -92,6 +92,22 @@ class PlanSpec extends SparkTestBase {
            "the train corpus must stream map-side against the broadcast index")
   }
 
+  test("chunking is map-only: no exchange, pruned scan") {
+    val plan = planOf("q_chunk_documents")
+    assert(!plan.contains("Exchange"),
+           s"window enumeration + slicing must not shuffle:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+           s"expected pruned ReadSchema in:\n$plan")
+  }
+
+  test("stratified sample aggregates map-side (no whole-stratum window sort)") {
+    val plan = planOf("q_stratified_sample")
+    assert(!plan.contains("Window"),
+           s"per-stratum sampling must not window-sort every stratum:\n$plan")
+    assert(plan.contains("Aggregate"),
+           s"expected bounded partial aggregation in:\n$plan")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // the custom signature expressions and money arithmetic must not break
     // codegen. Under AQE the codegen stages only appear in the FINAL

@@ -69,6 +69,36 @@ class UdafSpec extends SparkTestBase {
     }
   }
 
+  test("MinKByHash equals the window row_number formulation and is partition-insensitive") {
+    import org.apache.spark.sql.expressions.Window
+    // strata with duplicate hashes (exercises the doc_id tiebreak)
+    val docs = spark.range(400).select(
+      concat(lit("s"), col("id") % 3).as("source"),
+      concat(lit("l"), col("id") % 2).as("lang"),
+      col("id").as("doc_id"),
+      (col("id") * 31 % 17).as("h"))
+    val w = Window.partitionBy("source", "lang").orderBy(col("h").asc, col("doc_id").asc)
+    val viaWindow = docs
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= 5)
+      .select("source", "lang", "doc_id", "sample_rank", "h")
+      .collect().map(_.toSeq).toSet
+    for (parts <- Seq(1, 8)) {
+      val viaAgg = docs.repartition(parts)
+        .as[Udafs.StratumDoc]
+        .groupByKey(d => (d.source, d.lang))
+        .agg(Udafs.MinKByHash(5).toColumn.name("picked"))
+        .flatMap { case ((source, lang), picked) =>
+          picked.iterator.zipWithIndex.map { case (p, i) =>
+            (source, lang, p.doc_id, (i + 1).toLong, p.h)
+          }
+        }
+        .toDF("source", "lang", "doc_id", "sample_rank", "h")
+        .collect().map(_.toSeq).toSet
+      assert(viaAgg == viaWindow, s"parts=$parts")
+    }
+  }
+
   test("typed aggregation on Dataset with LongMin") {
     val ds = spark.range(100).map(i => (i % 3, i + 7)).toDF("k", "v").as[(Long, Long)]
     val got = ds.groupByKey(_._1)
