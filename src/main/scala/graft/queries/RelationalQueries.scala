@@ -697,6 +697,119 @@ object RelationalQueries {
              |       COUNT(*) FILTER (event_type='signup')   AS signup,
              |       COUNT(*) FILTER (event_type='error')    AS error
              |FROM events GROUP BY 1""".stripMargin)
+    ),
+
+    // CDC merge/upsert semantics (MERGE INTO without a table format): a
+    // base snapshot full-outer-joined with an update batch on the key;
+    // updates win, unmatched updates insert, unmatched base rows carry
+    // through, and every row is tagged with its merge action. Scale shape:
+    // one equi-key shuffle join — exactly the join a storage-side
+    // MERGE INTO (Delta/Iceberg) plans under the hood; at 100 TB the
+    // update batch is usually small enough to broadcast instead.
+    QueryDef(
+      "q_merge_upsert",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val o = Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+                  Money.cents(col("o_totalprice")).as("price_cents"))
+        val base = o.where(pmod(col("o_orderkey"), lit(10)) =!= 0)
+        val updates = o.where(pmod(col("o_orderkey"), lit(3)) === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+                  lit("U").as("o_orderstatus"),
+                  (col("price_cents") + lit(500L)).as("price_cents"))
+        base.as("b").join(updates.as("u"),
+                          col("b.o_orderkey") === col("u.o_orderkey"), "full_outer")
+          .select(
+            coalesce(col("b.o_orderkey"), col("u.o_orderkey")).as("o_orderkey"),
+            coalesce(col("u.o_custkey"), col("b.o_custkey")).as("o_custkey"),
+            coalesce(col("u.o_orderstatus"), col("b.o_orderstatus")).as("o_orderstatus"),
+            coalesce(col("u.price_cents"), col("b.price_cents")).as("price_cents"),
+            when(col("u.o_orderkey").isNotNull && col("b.o_orderkey").isNotNull, lit("update"))
+              .when(col("u.o_orderkey").isNotNull, lit("insert"))
+              .otherwise(lit("keep")).as("merge_action"))
+      },
+      Some(s"""WITH o AS (
+              |  SELECT o_orderkey, o_custkey, o_orderstatus,
+              |         ${Money.centsSql("o_totalprice")} AS price_cents
+              |  FROM orders
+              |),
+              |b AS (SELECT * FROM o WHERE o_orderkey % 10 <> 0),
+              |u AS (
+              |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+              |         price_cents + 500 AS price_cents
+              |  FROM o WHERE o_orderkey % 3 = 0
+              |)
+              |SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+              |       COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+              |       COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+              |       COALESCE(u.price_cents, b.price_cents) AS price_cents,
+              |       CASE WHEN u.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL THEN 'update'
+              |            WHEN u.o_orderkey IS NOT NULL THEN 'insert'
+              |            ELSE 'keep' END AS merge_action
+              |FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey""".stripMargin)
+    ),
+
+    // approximate quantiles graded against exact, in-query (the
+    // q_approx_distinct pattern applied to percentile sketches): Spark's
+    // approx_percentile guarantees the returned value's RANK is within
+    // n/accuracy of p·n, and the query measures exactly that — the rank of
+    // each sketch output among the group's values — and emits the verdict
+    // as a stable boolean (the oracle emits literal TRUE, so a sketch
+    // drifting out of tolerance fails the hash compare). Exact quantiles
+    // use the explicit rank definition (value at row ceil(p·n) in price
+    // order) so both engines agree without interpolation rules. The exact
+    // side is the GRADER — at true scale it drops away (or runs through
+    // q_order_stats' bucket-histogram two-phase path); the sketch side is
+    // one map-side-partial aggregation.
+    QueryDef(
+      "q_approx_quantiles",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val acc = 10000
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_returnflag"), Money.cents(col("l_extendedprice")).as("price_cents"))
+        val stats = li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+               expr(s"approx_percentile(price_cents, array(0.5D, 0.9D), $acc)").as("ap"))
+          .select(col("l_returnflag"), col("n"),
+                  col("ap").getItem(0).as("ap50"), col("ap").getItem(1).as("ap90"))
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("price_cents"))
+        val exact = li.withColumn("rn", row_number().over(w).cast(LongType))
+          .join(broadcast(stats.select(col("l_returnflag"), col("n"))), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(max(when(col("rn") === ceil(col("n") * 0.5d), col("price_cents"))).as("exact_p50_cents"),
+               max(when(col("rn") === ceil(col("n") * 0.9d), col("price_cents"))).as("exact_p90_cents"))
+        val ranks = li.join(broadcast(stats), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(when(col("price_cents") <= col("ap50"), 1L).otherwise(0L)).as("rank50"),
+               sum(when(col("price_cents") <= col("ap90"), 1L).otherwise(0L)).as("rank90"))
+        def withinTol(rank: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+                      p: Double): org.apache.spark.sql.Column =
+          abs(rank.cast("double") - n.cast("double") * p) <=
+            n.cast("double") / acc.toDouble + 1.0d
+        stats.join(exact, "l_returnflag").join(ranks, "l_returnflag")
+          .select(col("l_returnflag"), col("n"),
+                  col("exact_p50_cents"), col("exact_p90_cents"),
+                  withinTol(col("rank50"), col("n"), 0.5).as("p50_within_tol"),
+                  withinTol(col("rank90"), col("n"), 0.9).as("p90_within_tol"))
+      },
+      Some(s"""WITH li AS (
+              |  SELECT l_returnflag, ${Money.centsSql("l_extendedprice")} AS price_cents
+              |  FROM lineitem
+              |),
+              |nn AS (SELECT l_returnflag, COUNT(*) AS n FROM li GROUP BY 1),
+              |r AS (
+              |  SELECT l_returnflag, price_cents,
+              |         CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY price_cents) AS BIGINT) AS rn
+              |  FROM li
+              |)
+              |SELECT r.l_returnflag, nn.n,
+              |       MAX(CASE WHEN r.rn = CAST(ceil(nn.n * 0.5) AS BIGINT) THEN r.price_cents END) AS exact_p50_cents,
+              |       MAX(CASE WHEN r.rn = CAST(ceil(nn.n * 0.9) AS BIGINT) THEN r.price_cents END) AS exact_p90_cents,
+              |       TRUE AS p50_within_tol, TRUE AS p90_within_tol
+              |FROM r JOIN nn ON r.l_returnflag = nn.l_returnflag
+              |GROUP BY 1, 2""".stripMargin)
     )
   )
 }
