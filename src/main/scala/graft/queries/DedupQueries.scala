@@ -103,7 +103,14 @@ object DedupQueries {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
       .persist()
-    labels.count()
+    // convergence via the label-sum invariant: each sweep takes
+    // min(own label, neighbor labels), so every label is non-increasing
+    // and the sum strictly decreases iff ANY label changed — one
+    // aggregate action per sweep instead of a second join-and-count job
+    // against the previous labels
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iters = 0
     while (!converged) {
@@ -115,12 +122,11 @@ object DedupQueries {
       val next = labels.unionByName(viaNeighbors)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .persist()
-      next.count()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .where(col("label") =!= col("old")).count()
+      val nextSum = labelSum(next) // doubles as the eager materialization
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
     }
     edges.unpersist()
     labels

@@ -120,10 +120,22 @@ object ScaleStress {
     val nVecs = spark.read.parquet(s"$workDir/embeddings.parquet").count()
     println(s"[scale-stress] base=$baseDir factor=$factor scaled: $nDocs docs, $nVecs vectors")
 
+    // dev-only subset filter for re-measuring a suspicious target without
+    // a full run (same contract as SPARK_GRAFT_BENCH_ONLY: blank entries
+    // ignored, active filter announced so a partial run is visible)
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { f =>
+      System.err.println(
+        s"[scale-stress] SPARK_GRAFT_STRESS_ONLY is set — PARTIAL run over: ${f.toSeq.sorted.mkString(", ")}")
+    }
+    val targets = Targets.filter(name => only.forall(_.contains(name)))
+
     // min of 2 reps per (query, scale): the rig compares growth, so the
     // least-interfered observation on each side is the fair pair
     var allOk = true
-    val rows = Targets.map { name =>
+    val rows = targets.map { name =>
       val tBase = math.min(timeOnce(spark, baseDir, name), timeOnce(spark, baseDir, name))
       val tScaled = math.min(timeOnce(spark, workDir, name), timeOnce(spark, workDir, name))
       val ratio = tScaled / tBase
