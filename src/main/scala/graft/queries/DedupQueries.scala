@@ -132,6 +132,35 @@ object DedupQueries {
     labels
   }
 
+  /** Shingle-hash sets + band-collision candidate pairs for
+    * `dedup_ngram_jaccard` (split out so the scale-stress rig can count the
+    * CANDIDATE volume: with the query's low jaccard-0.3 threshold the only
+    * selective banding is r=2, whose candidate count grows ~n²·E[j²] on a
+    * fixed-entropy corpus — a parameter-choice property, not engine work;
+    * the rig therefore grades this path on per-candidate throughput).
+    * Persists both stages: `sigs` feeds the band self-join (2 refs) and
+    * `hs` the exact-jaccard join-backs (2 refs) — shingling + hashing must
+    * run once, not four times.
+    */
+  private[graft] def ngramStages(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val hs = Dedup.shingleHashSets(docs, ShingleK).persist()
+    val sigs = hs
+      .select(col("doc_id"), Dedup.minhashSignature(col("hs")).as("sig"))
+      .persist()
+    sigs.count() // eager: materializes hs too (see dedup_minhash_lsh)
+    val bands = sigs.select(col("doc_id"),
+                            posexplode(Dedup.bandKeys(col("sig"), 2)).as(Seq("band", "bkey")))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    (hs, pairs)
+  }
+
   private[queries] def clusterAssignments(spark: org.apache.spark.sql.SparkSession,
                                           dir: String): org.apache.spark.sql.DataFrame = {
     val labels = propagateMinLabels(
@@ -349,23 +378,7 @@ object DedupQueries {
       (spark, dir) => {
         GraftSession.tune(spark)
         spark.catalog.clearCache() // queries run sequentially; drop stale persists
-        val docs = Tables.documents(spark, dir)
-        // persist both stages: `sigs` feeds the band self-join (2 refs) and
-        // `hs` the exact-jaccard join-backs (2 refs) — shingling + hashing
-        // must run once, not four times
-        val hs = Dedup.shingleHashSets(docs, ShingleK).persist()
-        val sigs = hs
-          .select(col("doc_id"), Dedup.minhashSignature(col("hs")).as("sig"))
-          .persist()
-        sigs.count() // eager: materializes hs too (see dedup_minhash_lsh)
-        val bands = sigs.select(col("doc_id"),
-                                posexplode(Dedup.bandKeys(col("sig"), 2)).as(Seq("band", "bkey")))
-        val pairs = bands.as("a")
-          .join(bands.as("b"),
-                col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-                  col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
+        val (hs, pairs) = ngramStages(spark, dir)
         pairs
           .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
           .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")

@@ -1,0 +1,77 @@
+package graft.queries
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+/** The streaming surface made oracle-checkable: the events table replayed
+  * through the REAL Structured Streaming sessionizer
+  * ([[Streaming.sessionize]], `flatMapGroupsWithState`), aggregated to the
+  * exact shape of the batch `q_sessionize` query and checked against the
+  * SAME DuckDB oracle — the stream and the oracle reach the answer by
+  * entirely independent algorithms (incremental keyed state vs a lag
+  * window).
+  *
+  * The `collect()` here is the MemoryStream REPLAY HARNESS boundary, not
+  * the operator: MemoryStream is fed from driver-local data by design. The
+  * operator under test is fully distributed (state hash-partitioned by
+  * user across executors); in production the same `sessionize` call reads
+  * from a partitioned source (Kafka/files) and nothing touches the driver.
+  */
+object StreamingQueries {
+
+  /** Memory-sink names must be unique per run within a session (Bench and
+    * Verify invoke the builder repeatedly).
+    */
+  private val runId = new AtomicInteger(0)
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_streaming_sessionize",
+      (spark, dir) => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[Streaming.Event]
+        val events = Streaming.eventsBatch(spark, dir).collect()
+        input.addData(events.toIndexedSeq: _*)
+        // one sentinel per user, a full gap past that user's last event:
+        // it closes every REAL session, while the sentinel's own 1-event
+        // session stays open in state and (flushOnTimeout=false) is never
+        // emitted — the emitted sessions partition exactly the real events
+        val sentinels = events.groupBy(_.user_id).map { case (u, es) =>
+          val maxTs = es.map(_.ts.getTime).max
+          Streaming.Event(-1L, new Timestamp(maxTs + 2 * Streaming.SessionGapMs),
+                          u, "sentinel", 0.0)
+        }
+        input.addData(sentinels.toIndexedSeq: _*)
+        val sink = s"streaming_sessionize_${runId.incrementAndGet()}"
+        val q = Streaming.sessionize(input.toDS(), flushOnTimeout = false)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
+        spark.table(sink)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_sessions"),
+               sum(col("n_events")).cast(LongType).as("n_events"))
+      },
+      // the batch q_sessionize oracle, verbatim: the stream must land on
+      // the identical per-user session partition
+      Some("""SELECT user_id,
+             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
+             |       COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id,
+             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+             |              THEN 1 ELSE 0 END AS is_session_start
+             |  FROM (SELECT user_id, ts, event_id,
+             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |        FROM events))
+             |GROUP BY user_id""".stripMargin)
+    )
+  )
+}
