@@ -150,12 +150,23 @@ object ScaleStress {
     }
     val targets = Targets.filter(name => only.forall(_.contains(name)))
 
-    // min of `reps` per (query, scale): the rig compares growth, so the
-    // least-interfered observation on each side is the fair pair (raise
-    // SPARK_GRAFT_STRESS_REPS on a contended host)
+    // min of `reps` per (query, scale), measured REP-MAJOR across every
+    // (query, side) cell — same methodology as graft.Bench: one
+    // host-contention window degrades at most one rep of each cell instead
+    // of every rep of one query (an un-interleaved run recorded all three
+    // scaled dedup_clusters reps inside one ~90 s contention window while
+    // the interleaved re-run measured 10.9 s). Raise
+    // SPARK_GRAFT_STRESS_REPS on a contended host.
     val reps = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPS", "2").toInt
-    def best(dir: String, name: String): Double =
-      (1 to reps).map(_ => timeOnce(spark, dir, name)).min
+    val normTargets = CandidateNormalized.filter { case (name, _) => only.forall(_.contains(name)) }
+    val cells: Seq[(String, String)] =
+      (targets ++ normTargets.map(_._1)).flatMap(n => Seq(n -> baseDir, n -> workDir))
+    val times = scala.collection.mutable.LinkedHashMap(
+      cells.map(c => c -> Vector.empty[Double]): _*)
+    for (_ <- 1 to reps; cell <- cells) {
+      times(cell) = times(cell) :+ timeOnce(spark, cell._2, cell._1)
+    }
+    def best(dir: String, name: String): Double = times((name, dir)).min
     var allOk = true
     val rows = targets.map { name =>
       val tBase = best(baseDir, name)
@@ -167,8 +178,7 @@ object ScaleStress {
         (if (ok) "PASS" else f"FAIL (> ${factor * Slack}%.1fx)"))
       s""""$name":{"base_sec":$tBase,"scaled_sec":$tScaled,"ratio":$ratio,"pass":$ok}"""
     }
-    val normRows = CandidateNormalized
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val normRows = normTargets
       .map { case (name, countCands) =>
         val candBase = countCands(spark, baseDir)
         val candScaled = countCands(spark, workDir)
