@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -23,9 +23,15 @@ object VectorExpressions {
   /** `(array<double>, array<double>)` → `double`: Σ a[i]·b[i], folded
     * left-to-right from 0.0. Lengths must match (enforced upstream by the
     * fixed embedding dimension).
+    *
+    * Participates in whole-stage codegen ([[doGenCode]] emits the same
+    * left-to-right primitive loop as [[nullSafeEval]], so the two paths are
+    * bit-identical) — a CodegenFallback here would put a boxed
+    * interpreted-eval call in the middle of the pair-stage codegen pipeline,
+    * the hottest loop in the engine.
     */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dot_product"
@@ -42,6 +48,21 @@ object VectorExpressions {
       }
       acc
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        s"""
+           |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
       copy(left = l, right = r)
