@@ -108,6 +108,30 @@ class PlanSpec extends SparkTestBase {
            s"expected bounded partial aggregation in:\n$plan")
   }
 
+  test("merge/upsert plans as one equi-key full-outer join, never a nested loop") {
+    val plan = planOf("q_merge_upsert")
+    assert(plan.contains("FullOuter"), s"expected full outer join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+           s"merge must join on the key, not a nested loop:\n$plan")
+  }
+
+  test("approx quantiles aggregate via the sketch (no cartesian, no full sort)") {
+    val plan = planOf("q_approx_quantiles")
+    assert(plan.contains("ObjectHashAggregate"),
+           s"approx_percentile should plan as an object hash aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+           s"stats join-backs must stay equi-joins:\n$plan")
+  }
+
+  test("pair-stage dot product stays inside whole-stage codegen") {
+    // DotProduct implements doGenCode: the scored pair stage must compile
+    // into a codegen span, not fall back to interpreted eval mid-pipeline
+    val df = SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"pair stage lost whole-stage codegen:\n$plan")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // the custom signature expressions and money arithmetic must not break
     // codegen. Under AQE the codegen stages only appear in the FINAL
