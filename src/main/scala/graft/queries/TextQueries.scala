@@ -20,6 +20,16 @@ object TextQueries {
   val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
   val PiiPhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
 
+  /** BM25 parameters — one definition for the Spark build, the oracle SQL,
+    * and the spec (declared before `defs`, which captures them at object
+    * init). Query terms chosen for idf contrast on the test corpus
+    * ("dup" df≈25 of 500 at sf0.01; the others df≈390).
+    */
+  val Bm25Terms: Seq[String] = Seq("vector", "stream", "dup")
+  val Bm25K1: Double = 1.2
+  val Bm25B: Double = 0.75
+  val Bm25TopK: Int = 15
+
   /** Gopher/C4-style composite quality filter: per-rule boolean flags over
     * the oracle-verified quality signals plus their conjunction `keep`.
     * Shared by `text_quality_filter` and `q_curation_pipeline`. Thresholds
@@ -301,6 +311,84 @@ object TextQueries {
               |       MIN(toks) AS min_tokens, MAX(toks) AS max_tokens
               |FROM (SELECT source, lang, CAST(${bpeTokenCountSql("text")} AS BIGINT) AS toks FROM documents)
               |GROUP BY source, lang""".stripMargin)
+    ),
+
+    // BM25 lexical retrieval: top-K documents for a fixed query term set —
+    // the lexical half of the retrieval story (ann_* is the embedding
+    // half), the shape a corpus-curation pipeline uses to pull candidate
+    // documents against benchmark queries. LOG-FREE idf variant: idf_t =
+    // (N - df_t + 0.5)/(df_t + 0.5) without the usual ln(·) — ln is the one
+    // BM25 ingredient whose last-bit rounding is libm-implementation-
+    // defined, while +,-,*,/ are IEEE-exact on both engines, so this
+    // variant is cross-engine bit-identical (the oracle re-derives every
+    // number; rare terms still dominate — "dup" df≈25 vs common df≈390).
+    // Per-term scores add in a FIXED left-to-right order, never a float
+    // SUM aggregate. Scale shape: corpus stats are one aggregate row
+    // (broadcast); scoring is map-only over (doc_id, text); top-K is
+    // TakeOrderedAndProject. Nothing document-sized shuffles.
+    QueryDef(
+      "q_bm25_search",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val (k1, b) = (Bm25K1, Bm25B)
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("len", size(col("toks")).cast("long"))
+        val withTf = Bm25Terms.foldLeft(docs) { case (d, t) =>
+          d.withColumn(s"tf_$t",
+            size(filter(col("toks"), x => x === t)).cast("long"))
+        }.drop("toks")
+        val statAggs =
+          Seq(count(lit(1)).as("n_docs"), sum(col("len")).cast("long").as("sum_len")) ++
+            Bm25Terms.map(t => sum(when(col(s"tf_$t") > 0L, 1L).otherwise(0L))
+              .cast("long").as(s"df_$t"))
+        val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+        val scored = withTf.crossJoin(broadcast(stats))
+          .withColumn("avglen", col("sum_len").cast("double") / col("n_docs").cast("double"))
+          .withColumn("normv",
+            lit(1.0d - b) + lit(b) * (col("len").cast("double") / col("avglen")))
+        val termScore = Bm25Terms.map { t =>
+          val tf = col(s"tf_$t").cast("double")
+          val df = col(s"df_$t").cast("double")
+          val idf = ((col("n_docs").cast("double") - df) + lit(0.5d)) / (df + lit(0.5d))
+          idf * ((tf * lit(k1 + 1.0d)) / (tf + lit(k1) * col("normv")))
+        }.reduceLeft(_ + _) // fixed left-to-right: bit-identical to the oracle
+        scored.select(col("doc_id"), termScore.as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(Bm25TopK)
+      },
+      Some {
+        val (k1, b) = (Bm25K1, Bm25B)
+        val tfCols = Bm25Terms.map(t =>
+          s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n  ")
+        val dfCols = Bm25Terms.map(t =>
+          s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n  ")
+        val score = Bm25Terms.map { t =>
+          val idf = s"(((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE)) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))"
+          s"($idf * ((CAST(tf_$t AS DOUBLE) * ${k1 + 1.0d}) / (CAST(tf_$t AS DOUBLE) + $k1 * normv)))"
+        }.reduceLeft((a, x) => s"($a + $x)")
+        s"""WITH d AS (
+           |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+           |), tf AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
+           |  $tfCols
+           |  FROM d
+           |), st AS (
+           |  SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len,
+           |  $dfCols
+           |  FROM tf
+           |), sc AS (
+           |  SELECT doc_id,
+           |         (${1.0d - b} + $b * (CAST(len AS DOUBLE) /
+           |            (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS normv,
+           |         n_docs, ${Bm25Terms.map(t => s"tf_$t, df_$t").mkString(", ")}
+           |  FROM tf CROSS JOIN st
+           |)
+           |SELECT doc_id, $score AS score
+           |FROM sc
+           |ORDER BY score DESC, doc_id ASC
+           |LIMIT $Bm25TopK""".stripMargin
+      }
     )
   )
 }

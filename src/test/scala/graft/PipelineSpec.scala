@@ -91,6 +91,27 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("q_bm25_search favors the rare query term and returns a full top-K") {
+    import graft.queries.TextQueries
+    val rows = run("q_bm25_search").collect()
+    assert(rows.length == TextQueries.Bm25TopK)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse), "descending score order")
+    assert(scores.forall(s => !s.isNaN && s > 0.0), "positive finite scores")
+    // idf semantics: every top doc must contain the rare term ("dup",
+    // df≈25/500) — its idf dwarfs the common terms' (df≈390/500), so a
+    // doc without it cannot out-score docs that have it
+    val topIds = rows.map(_.getLong(0)).toSet
+    val withDup = Tables.documents(spark, sf)
+      .where(col("doc_id").isin(topIds.toSeq: _*))
+      .select(col("doc_id"),
+              size(filter(graft.text.TextAnalysis.tokens(col("text")),
+                          t => t === "dup")).as("tf"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(withDup.values.forall(_ > 0),
+           s"top-K contains docs without the rare term: $withDup")
+  }
+
   test("ann_quantized_recall is bounded and near-exact on the test corpus") {
     val rows = run("ann_quantized_recall").collect()
     assert(rows.length == 10, "one row per query vector")
