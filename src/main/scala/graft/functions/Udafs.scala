@@ -116,6 +116,47 @@ object Udafs {
     override def outputEncoder: Encoder[Seq[SampledDoc]] = ExpressionEncoder()
   }
 
+  /** Misra–Gries heavy-hitters summary: at most k counters over a stream of
+    * items, O(k) state however large the stream. The classic guarantees,
+    * which hold for ANY partitioning / merge order:
+    *
+    *   - every item with true count > N/(k+1) is present in the summary
+    *     (N = total items seen);
+    *   - each reported count undercounts by at most N/(k+1).
+    *
+    * The summary CONTENTS beyond the guarantee are merge-order-dependent
+    * (which near-threshold items survive depends on decrement timing), so
+    * queries must only expose order-insensitive consequences of the
+    * theorem — see `q_heavy_hitters`, which emits "every guaranteed item
+    * was found", not the raw summary.
+    *
+    * Merge is the Agarwal et al. summary merge: sum matching counters,
+    * then subtract the (k+1)-largest count from all and drop non-positive
+    * — associative in the guarantee-preserving sense above.
+    */
+  final case class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+      b.get(item) match {
+        case Some(c) => b.updated(item, c + 1L)
+        case None if b.size < k => b.updated(item, 1L)
+        case None => b.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val summed = b.foldLeft(a) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+      if (summed.size <= k) summed
+      else {
+        val d = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        summed.view.mapValues(_ - d).filter(_._2 > 0L).toMap
+      }
+    }
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  }
+
   /** Exact long-sum of the minimum element per group — a tiny example of a
     * custom order-insensitive aggregate (used by specs to pin Aggregator
     * registration + SQL call paths).

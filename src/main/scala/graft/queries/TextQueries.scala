@@ -30,6 +30,12 @@ object TextQueries {
   val Bm25B: Double = 0.75
   val Bm25TopK: Int = 15
 
+  /** Heavy-hitters parameters: Misra–Gries counter budget and how many
+    * exact top terms the grade reports over.
+    */
+  val HhK: Int = 64
+  val HhTop: Int = 20
+
   /** Gopher/C4-style composite quality filter: per-rule boolean flags over
     * the oracle-verified quality signals plus their conjunction `keep`.
     * Shared by `text_quality_filter` and `q_curation_pipeline`. Thresholds
@@ -311,6 +317,50 @@ object TextQueries {
               |       MIN(toks) AS min_tokens, MAX(toks) AS max_tokens
               |FROM (SELECT source, lang, CAST(${bpeTokenCountSql("text")} AS BIGINT) AS toks FROM documents)
               |GROUP BY source, lang""".stripMargin)
+    ),
+
+    // approximate heavy hitters graded against exact, in-query — the third
+    // graded sketch (q_approx_distinct: HLL; q_approx_quantiles:
+    // percentile; here: Misra–Gries frequency). MG keeps O(k) state per
+    // partition and merges map-side — the bounded-state alternative to a
+    // full term groupBy when the vocabulary explodes at 100 TB. The MG
+    // summary CONTENTS are merge-order-dependent near the threshold, so
+    // the query exposes only the order-insensitive theorem: every term
+    // with exact count > N/(k+1) MUST appear in the summary. `ok` is that
+    // check (vacuously true for non-guaranteed terms); the oracle pins it
+    // TRUE, so a buggy sketch fails the hash compare. guaranteed uses
+    // exact integer arithmetic (n·(k+1) > N), no division.
+    QueryDef(
+      "q_heavy_hitters",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val terms = Tables.documents(spark, dir)
+          .select(explode(tokens(col("text"))).as("term"))
+        val mg = terms.as[String]
+          .select(graft.functions.Udafs.MisraGries(HhK).toColumn.name("summary"))
+        val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+        val tot = cnt.agg(sum(col("n_exact")).cast("long").as("n_total"))
+        val guaranteed = col("n_exact") * (HhK + 1).toLong > col("n_total")
+        cnt.orderBy(col("n_exact").desc, col("term").asc).limit(HhTop)
+          .crossJoin(broadcast(tot))
+          .crossJoin(broadcast(mg))
+          .select(col("term"), col("n_exact"),
+                  guaranteed.as("guaranteed"),
+                  (!guaranteed ||
+                    array_contains(map_keys(col("summary")), col("term"))).as("ok"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT unnest(${tokensSql("text")}) AS term FROM documents
+              |),
+              |cnt AS (SELECT term, COUNT(*) AS n_exact FROM t GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(n_exact) AS BIGINT) AS n_total FROM cnt)
+              |SELECT term, n_exact,
+              |       (n_exact * ${HhK + 1} > n_total) AS guaranteed,
+              |       TRUE AS ok
+              |FROM cnt CROSS JOIN tot
+              |ORDER BY n_exact DESC, term ASC
+              |LIMIT $HhTop""".stripMargin)
     ),
 
     // BM25 lexical retrieval: top-K documents for a fixed query term set —

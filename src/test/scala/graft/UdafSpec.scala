@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.Udafs
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 
 class UdafSpec extends SparkTestBase {
@@ -96,6 +97,34 @@ class UdafSpec extends SparkTestBase {
         .toDF("source", "lang", "doc_id", "sample_rank", "h")
         .collect().map(_.toSeq).toSet
       assert(viaAgg == viaWindow, s"parts=$parts")
+    }
+  }
+
+  test("MisraGries honors the heavy-hitter guarantee under any partitioning") {
+    // skewed stream: three dominant terms well above N/(k+1), a graded
+    // mid-tail below it, and singleton noise
+    val rows = Seq.fill(10000)("mega0") ++ Seq.fill(6000)("mega1") ++
+      Seq.fill(5000)("mega2") ++
+      (0 until 50).flatMap(i => Seq.fill((i + 1) * i)(s"t$i")) ++
+      (0 until 500).map(i => s"noise$i")
+    val n = rows.length.toLong
+    val k = 16
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mustFind = exact.filter { case (_, c) => c * (k + 1) > n }.keySet
+    assert(mustFind.nonEmpty, "test stream must contain guaranteed heavy hitters")
+    for (parts <- Seq(1, 7)) {
+      val summary = spark.createDataset(rows)(Encoders.STRING)
+        .repartition(parts)
+        .select(Udafs.MisraGries(k).toColumn.name("s"))
+        .head()
+      assert(summary.size <= k, s"parts=$parts: at most k counters")
+      assert(mustFind.subsetOf(summary.keySet.toSet),
+             s"parts=$parts: guaranteed items missing: ${mustFind.diff(summary.keySet.toSet)}")
+      // undercount bound: reported <= exact, exact - reported <= N/(k+1)
+      summary.foreach { case (t, c) =>
+        assert(c <= exact(t), s"parts=$parts: $t overcounted")
+        assert(exact(t) - c <= n / (k + 1) + 1, s"parts=$parts: $t undercounted too far")
+      }
     }
   }
 
