@@ -230,6 +230,64 @@ object DedupQueries {
       Some(minhashPairsSql)
     ),
 
+    // asymmetric containment over the same LSH candidate set: containment
+    // c(A→B) = |A∩B|/|A| catches QUOTE/SUBSET duplication — a short doc
+    // wholly embedded in a long one has high containment but LOW jaccard
+    // (|A∩B|/|A∪B| shrinks with the size gap), so symmetric dedup misses
+    // it. Emits candidate pairs where either direction ≥ 0.5; both
+    // directions + jaccard ride along so consumers can separate true
+    // near-dups from pure containment. Parameter honesty: candidates come
+    // from the SAME r=2 minhash banding as dedup_ngram_jaccard — band
+    // collision probability is keyed to JACCARD, so recall for
+    // high-containment/low-jaccard pairs decays with the size gap (the
+    // classical fix is size-stratified shingle sampling); this query
+    // grades containment on the pairs the banding surfaces, which is the
+    // standard first pass. Scale shape identical to dedup_ngram_jaccard
+    // (ids-only band join, hashed-set join-back); the set sizes/overlap
+    // are exact integers, the two divisions are the only float ops.
+    QueryDef(
+      "dedup_containment",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache() // queries run sequentially; drop stale persists
+        val (hs, pairs) = ngramStages(spark, dir)
+        val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+        pairs
+          .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+          .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+                  (inter / size(col("hs_a")).cast("double")).as("c_a_in_b"),
+                  (inter / size(col("hs_b")).cast("double")).as("c_b_in_a"))
+          .where(col("c_a_in_b") >= 0.5d || col("c_b_in_a") >= 0.5d)
+      },
+      Some {
+        val hsSql = Dedup.shingleHashSetSql("text", ShingleK)
+        val inter = "CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)"
+        s"""WITH hs AS (
+           |  SELECT doc_id, $hsSql AS hs FROM documents
+           |), hs2 AS (
+           |  SELECT doc_id, hs FROM hs WHERE len(hs) > 0
+           |), sigs AS (
+           |  SELECT doc_id, ${Dedup.minhashSignatureSql("hs")} AS sig FROM hs2
+           |), bands AS (
+           |  SELECT doc_id, b, (${Dedup.bandKeysSql("sig", 2)})[b + 1] AS bkey
+           |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${graft.functions.Hashing.NumPerms / 2})) AS b) bs
+           |), pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |)
+           |SELECT doc_a, doc_b, c_a_in_b, c_b_in_a FROM (
+           |  SELECT p.doc_a, p.doc_b,
+           |         ($inter / CAST(len(ha.hs) AS DOUBLE)) AS c_a_in_b,
+           |         ($inter / CAST(len(hb.hs) AS DOUBLE)) AS c_b_in_a
+           |  FROM pairs p
+           |  JOIN hs2 ha ON ha.doc_id = p.doc_a
+           |  JOIN hs2 hb ON hb.doc_id = p.doc_b
+           |) WHERE c_a_in_b >= CAST(0.5 AS DOUBLE) OR c_b_in_a >= CAST(0.5 AS DOUBLE)""".stripMargin
+      }
+    ),
+
     // connected components over the near-dup pair graph: the operator a
     // real dedup pipeline actually ends with — pairs are evidence, the
     // KEEP/DROP decision is per CLUSTER (keep the canonical = min doc_id,

@@ -107,6 +107,24 @@ class DedupSpec extends SparkTestBase {
     assert(row.getDouble(0) == 1.0 && row.getDouble(1) == 0.0)
   }
 
+  test("containment catches an embedded document that jaccard misses") {
+    // B = A's text verbatim + a long tail: every shingle of A appears in
+    // B (containment 1.0) but jaccard collapses with the size gap —
+    // exactly the quote/subset-duplication case symmetric dedup misses
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = a + " " + (1 to 60).map(i => s"tail$i token$i filler$i").mkString(" ")
+    val row = Seq((a, b)).toDF("ta", "tb")
+      .select(Dedup.shingleHashSet(col("ta"), 3).as("ha"),
+              Dedup.shingleHashSet(col("tb"), 3).as("hb"))
+      .select(
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(col("ha")).cast("double")).as("c_a_in_b"),
+        Dedup.jaccard(col("ha"), col("hb")).as("j"))
+      .head()
+    assert(row.getDouble(0) == 1.0, "A fully contained in B")
+    assert(row.getDouble(1) < 0.3, s"jaccard ${row.getDouble(1)} below the dedup threshold")
+  }
+
   test("min-label propagation is transitive and separates components") {
     // path component 10-20-30-40 (no direct 10-40 edge: label must travel
     // 3 hops) plus a disjoint pair 100-200 and ids chosen so min != first
