@@ -1,8 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query seconds at
-  * SPARK_GRAFT_SF_DIR.
+/** Benchmark main: per-query seconds at SPARK_GRAFT_SF_DIR.
+  *
+  * Evidence is STREAMED, not end-emitted: after EVERY completed query-rep the
+  * harness prints (and flushes) one stdout JSON line in the exact same schema
+  * as the final summary ("metric":"total", best-so-far per-query seconds, full
+  * per-rep arrays, "partial":true). A run killed at ANY point — the round-5
+  * driver run hit its time budget (`rc: 124`) and the end-only emission turned
+  * "slow run" into "no data" — still leaves the last line as a complete
+  * per-query partial artifact for whatever finished. The final line is
+  * identical in shape with "partial":false.
   *
   * Methodology (each query, each repetition):
   *   - caches cleared BEFORE (queries persist intermediates internally) and
@@ -12,23 +20,39 @@ import org.apache.spark.sql.SparkSession
   *   - forced evaluation is `count + sum(xxhash64(struct(*)))` over ALL
   *     output columns — a bare `.count()` lets Spark prune every projection
   *     the count doesn't need, timing a different (cheaper) plan;
-  *   - `reps` repetitions (default 3), reporting the MIN — the
-  *     least-interfered observation of a deterministic computation —
-  *     PLUS the full per-rep array (`"reps"` field), so a noisy host is
-  *     visible in the artifact itself (r4's apparent 77% regression was
-  *     host contention that only an out-of-band re-run could disprove);
+  *   - up to `reps` repetitions (default 3; heavyweight composite queries are
+  *     capped at 2 — their rep-to-rep variance is dominated by fixed setup
+  *     such as streaming state-store init and CC sweep scheduling, so the
+  *     third rep buys noise, not signal), reporting the MIN over completed
+  *     reps PLUS the full per-rep array, so a noisy host is visible in the
+  *     artifact itself;
   *   - repetitions run round-robin ACROSS queries (rep 1 of every query,
   *     then rep 2 of every query, …) so one contention window degrades at
-  *     most one rep of each query instead of every rep of a few.
+  *     most one rep of each query instead of every rep of a few;
+  *   - a soft wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1500):
+  *     rep 1 of every query ALWAYS runs, so each query gets at least one
+  *     observation; reps ≥ 2 are skipped once the budget is exhausted. The
+  *     run then finishes cleanly inside the driver's window instead of being
+  *     killed by it ("budget_exhausted":true flags the trim in the artifact).
   *
   * Re-check one suspicious query without a full run:
   *   SPARK_GRAFT_BENCH_ONLY=q_price_moments sbt "runMain graft.Bench"
   */
 object Bench {
+  /** Composite queries whose cost is dominated by fixed per-rep setup
+    * (streaming state-store spin-up, iterative CC sweeps, multi-retrieval
+    * recall grading) — capped at 2 reps; a third identical setup cycle adds
+    * wall-clock without sharpening the min.
+    */
+  private val HeavyComposites: Set[String] = Set(
+    "q_curation_pipeline", "dedup_clusters", "q_streaming_sessionize",
+    "ann_recall", "ann_quantized_recall", "ann_ivf_topk", "q_approx_quantiles")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -75,25 +99,55 @@ object Bench {
     }
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    def repsFor(name: String): Int =
+      if (HeavyComposites.contains(name)) math.min(reps, 2) else reps
+
+    val wall0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - wall0) / 1e9
+
     // rep-major order: one host-contention window hits at most one rep of
     // each query, so the per-query min stays a clean observation
     val times = scala.collection.mutable.LinkedHashMap(
       named.map { case (name, _) => name -> Vector.empty[Double] }: _*)
+    var budgetExhausted = false
+
+    // One stdout JSON line in the FINAL schema, from whatever has completed
+    // so far. Only queries with ≥1 completed rep appear, so a killed run's
+    // last line is a valid per-query partial artifact.
+    def emit(partial: Boolean): Unit = {
+      val done = named.map(_._1).filter(n => times(n).nonEmpty)
+      val results = done.map { name =>
+        val ok = times(name).filter(_ >= 0)
+        name -> (if (ok.nonEmpty) ok.min else -1.0)
+      }
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val repArrays = done.map { name =>
+        s"\"" + name + "\":" + times(name).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      // failures keep their -1 marker per query but must not shrink the total
+      val total = results.map(_._2).filter(_ >= 0).sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repArrays,"sf":"$sfDir","partial":$partial,"elapsed_sec":${"%.1f".format(elapsed)},"budget_exhausted":$budgetExhausted}""")
+      System.out.flush()
+    }
+
     for (r <- 1 to reps; (name, fn) <- named) {
-      times(name) = times(name) :+ once(fn)
+      if (r <= repsFor(name)) {
+        // rep 1 always runs (every query gets one observation); later reps
+        // are sacrificed first when the wall-clock budget runs out
+        if (r == 1 || elapsed < budgetSec) {
+          times(name) = times(name) :+ once(fn)
+          System.err.println(
+            f"[bench] $name rep $r/${repsFor(name)}: ${times(name).last}%.2fs (cumulative ${elapsed}%.0fs of budget ${budgetSec}%.0fs)")
+          emit(partial = true)
+        } else if (!budgetExhausted) {
+          budgetExhausted = true
+          System.err.println(
+            f"[bench] budget ${budgetSec}%.0fs exhausted at ${elapsed}%.0fs — skipping remaining reps (rep-1 coverage is complete)")
+        }
+      }
     }
-    val results = named.map { case (name, _) =>
-      val ts = times(name)
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val repArrays = named.map { case (name, _) =>
-      s"\"" + name + "\":" + times(name).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    // failures keep their -1 marker per query but must not shrink the total
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repArrays,"sf":"$sfDir"}""")
+    emit(partial = false)
     spark.stop()
   }
 }

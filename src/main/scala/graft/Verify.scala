@@ -15,7 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only subset filter (comma-separated names), mirroring
+    // SPARK_GRAFT_BENCH_ONLY; the driver leaves it unset. Blank entries are
+    // ignored and an active filter is announced so a partial dump is visible.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { f =>
+      System.err.println(
+        s"[verify] SPARK_GRAFT_VERIFY_ONLY is set — PARTIAL dump over: ${f.toSeq.sorted.mkString(", ")}")
+    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce folds the single-file
       // constraint back into the plan and serializes every stage after the
       // last shuffle onto one task; repartition inserts an exchange so the

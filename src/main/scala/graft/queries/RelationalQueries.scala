@@ -780,10 +780,18 @@ object RelationalQueries {
           .groupBy(col("l_returnflag"))
           .agg(max(when(col("rn") === ceil(col("n") * 0.5d), col("price_cents"))).as("exact_p50_cents"),
                max(when(col("rn") === ceil(col("n") * 0.9d), col("price_cents"))).as("exact_p90_cents"))
+        // the sketch guarantee is that SOME rank of the returned value is
+        // within n/accuracy of p·n. A value with many duplicates spans the
+        // whole rank interval [minrank, maxrank] = [COUNT(< v)+1, COUNT(<= v)],
+        // so grading only the maximal rank could flip false on data where the
+        // true percentile value repeats — grade BOTH endpoints and pass when
+        // either is inside tolerance (the interval intersects the band).
         val ranks = li.join(broadcast(stats), "l_returnflag")
           .groupBy(col("l_returnflag"))
-          .agg(sum(when(col("price_cents") <= col("ap50"), 1L).otherwise(0L)).as("rank50"),
-               sum(when(col("price_cents") <= col("ap90"), 1L).otherwise(0L)).as("rank90"))
+          .agg(sum(when(col("price_cents") <= col("ap50"), 1L).otherwise(0L)).as("rank50_max"),
+               (sum(when(col("price_cents") < col("ap50"), 1L).otherwise(0L)) + 1L).as("rank50_min"),
+               sum(when(col("price_cents") <= col("ap90"), 1L).otherwise(0L)).as("rank90_max"),
+               (sum(when(col("price_cents") < col("ap90"), 1L).otherwise(0L)) + 1L).as("rank90_min"))
         def withinTol(rank: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
                       p: Double): org.apache.spark.sql.Column =
           abs(rank.cast("double") - n.cast("double") * p) <=
@@ -791,8 +799,10 @@ object RelationalQueries {
         stats.join(exact, "l_returnflag").join(ranks, "l_returnflag")
           .select(col("l_returnflag"), col("n"),
                   col("exact_p50_cents"), col("exact_p90_cents"),
-                  withinTol(col("rank50"), col("n"), 0.5).as("p50_within_tol"),
-                  withinTol(col("rank90"), col("n"), 0.9).as("p90_within_tol"))
+                  (withinTol(col("rank50_max"), col("n"), 0.5) ||
+                    withinTol(col("rank50_min"), col("n"), 0.5)).as("p50_within_tol"),
+                  (withinTol(col("rank90_max"), col("n"), 0.9) ||
+                    withinTol(col("rank90_min"), col("n"), 0.9)).as("p90_within_tol"))
       },
       Some(s"""WITH li AS (
               |  SELECT l_returnflag, ${Money.centsSql("l_extendedprice")} AS price_cents

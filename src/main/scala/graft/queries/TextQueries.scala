@@ -329,7 +329,13 @@ object TextQueries {
     // with exact count > N/(k+1) MUST appear in the summary. `ok` is that
     // check (vacuously true for non-guaranteed terms); the oracle pins it
     // TRUE, so a buggy sketch fails the hash compare. guaranteed uses
-    // exact integer arithmetic (n·(k+1) > N), no division.
+    // exact integer arithmetic (n·(k+1) > N), no division. The output is
+    // the top-HhTop exact terms UNIONed with EVERY theorem-guaranteed term
+    // (up to k of them can exceed N/(k+1)) — so no guaranteed term escapes
+    // grading even when more than HhTop qualify. Both branches are
+    // scale-safe: TakeOrderedAndProject for the top-N, a broadcast-total
+    // map-side filter (≤ k survivors) for the guaranteed set — no global
+    // window over the vocabulary.
     QueryDef(
       "q_heavy_hitters",
       (spark, dir) => {
@@ -342,25 +348,36 @@ object TextQueries {
         val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
         val tot = cnt.agg(sum(col("n_exact")).cast("long").as("n_total"))
         val guaranteed = col("n_exact") * (HhK + 1).toLong > col("n_total")
-        cnt.orderBy(col("n_exact").desc, col("term").asc).limit(HhTop)
+        val top = cnt.orderBy(col("n_exact").desc, col("term").asc).limit(HhTop)
+        val guar = cnt.crossJoin(broadcast(tot))
+          .where(guaranteed).select(col("term"), col("n_exact"))
+        top.union(guar).distinct()
           .crossJoin(broadcast(tot))
           .crossJoin(broadcast(mg))
           .select(col("term"), col("n_exact"),
                   guaranteed.as("guaranteed"),
                   (!guaranteed ||
                     array_contains(map_keys(col("summary")), col("term"))).as("ok"))
+          .orderBy(col("n_exact").desc, col("term").asc)
       },
       Some(s"""WITH t AS (
               |  SELECT unnest(${tokensSql("text")}) AS term FROM documents
               |),
               |cnt AS (SELECT term, COUNT(*) AS n_exact FROM t GROUP BY 1),
-              |tot AS (SELECT CAST(SUM(n_exact) AS BIGINT) AS n_total FROM cnt)
+              |tot AS (SELECT CAST(SUM(n_exact) AS BIGINT) AS n_total FROM cnt),
+              |sel AS (
+              |  SELECT term, n_exact FROM (
+              |    SELECT term, n_exact FROM cnt
+              |    ORDER BY n_exact DESC, term ASC LIMIT $HhTop)
+              |  UNION
+              |  SELECT term, n_exact FROM cnt CROSS JOIN tot
+              |  WHERE n_exact * ${HhK + 1} > n_total
+              |)
               |SELECT term, n_exact,
               |       (n_exact * ${HhK + 1} > n_total) AS guaranteed,
               |       TRUE AS ok
-              |FROM cnt CROSS JOIN tot
-              |ORDER BY n_exact DESC, term ASC
-              |LIMIT $HhTop""".stripMargin)
+              |FROM sel CROSS JOIN tot
+              |ORDER BY n_exact DESC, term ASC""".stripMargin)
     ),
 
     // BM25 lexical retrieval: top-K documents for a fixed query term set —
