@@ -161,6 +161,48 @@ object DedupQueries {
     (hs, pairs)
   }
 
+  /** Candidate pairs for containment ≥ 0.5 with EXACT recall — the
+    * size-stratified sampling pass the round-5 version only documented.
+    * Each document probes a full shingle inverted index with a PREFIX of
+    * its own shingle set: the ⌊n/2⌋+1 globally-RAREST shingles (rarity =
+    * document frequency; ties broken by shingle hash, a total order since
+    * `hs` is a set). Pigeonhole recall guarantee: if c(A→B) ≥ 0.5 then at
+    * most ⌊|A|/2⌋ of A's shingles are missing from B, so at least one of
+    * A's ⌊|A|/2⌋+1 probe shingles IS in B and the probe→index equi-join
+    * collides — unlike jaccard-keyed minhash banding, whose collision
+    * probability decays with the size gap on exactly the
+    * high-containment/low-jaccard pairs this query exists to find. The
+    * prefix length is stratified by each doc's own size, so long docs
+    * don't flood the probe side. Candidate volume = Σ df over probe
+    * shingles; rarity-first ordering makes most probes df=1, and the
+    * index side is the standard linear-size inverted shingle index a
+    * corpus-scale containment pass builds anyway. Split out so DedupSpec
+    * can plant a short-in-long pair and assert the CANDIDATE stage (not
+    * just the verifier) surfaces it.
+    */
+  private[graft] def containmentCandidates(hs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (doc_id, n, sh): one row per distinct shingle — 3 consumers (df
+    // count, prefix ranking, index side), so materialize once
+    val ex = hs.select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+                       explode(col("hs")).as("sh"))
+      .persist()
+    ex.count()
+    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = ex.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= expr("n div 2") + lit(1L))
+      .select(col("doc_id"), col("sh"))
+    prefix.as("p")
+      .join(ex.select(col("doc_id").as("doc_i"), col("sh")).as("i"), "sh")
+      .where(col("doc_id") =!= col("doc_i"))
+      .select(least(col("doc_id"), col("doc_i")).as("doc_a"),
+              greatest(col("doc_id"), col("doc_i")).as("doc_b"))
+      .distinct()
+  }
+
   private[queries] def clusterAssignments(spark: org.apache.spark.sql.SparkSession,
                                           dir: String): org.apache.spark.sql.DataFrame = {
     val labels = propagateMinLabels(
@@ -230,27 +272,27 @@ object DedupQueries {
       Some(minhashPairsSql)
     ),
 
-    // asymmetric containment over the same LSH candidate set: containment
-    // c(A→B) = |A∩B|/|A| catches QUOTE/SUBSET duplication — a short doc
-    // wholly embedded in a long one has high containment but LOW jaccard
-    // (|A∩B|/|A∪B| shrinks with the size gap), so symmetric dedup misses
-    // it. Emits candidate pairs where either direction ≥ 0.5; both
-    // directions + jaccard ride along so consumers can separate true
-    // near-dups from pure containment. Parameter honesty: candidates come
-    // from the SAME r=2 minhash banding as dedup_ngram_jaccard — band
-    // collision probability is keyed to JACCARD, so recall for
-    // high-containment/low-jaccard pairs decays with the size gap (the
-    // classical fix is size-stratified shingle sampling); this query
-    // grades containment on the pairs the banding surfaces, which is the
-    // standard first pass. Scale shape identical to dedup_ngram_jaccard
-    // (ids-only band join, hashed-set join-back); the set sizes/overlap
-    // are exact integers, the two divisions are the only float ops.
+    // asymmetric containment: c(A→B) = |A∩B|/|A| catches QUOTE/SUBSET
+    // duplication — a short doc wholly embedded in a long one has high
+    // containment but LOW jaccard (|A∩B|/|A∪B| shrinks with the size
+    // gap), so symmetric dedup misses it. Emits pairs where either
+    // direction ≥ 0.5. Candidates come from [[containmentCandidates]]
+    // (rarity-ordered prefix filter, prefix length stratified by each
+    // doc's own shingle count), which has EXACT recall for the ≥ 0.5
+    // class by pigeonhole — replacing round 5's jaccard-keyed r=2 minhash
+    // banding, whose collision probability decayed with the size gap on
+    // precisely the pairs this query targets. Verification is unchanged:
+    // ids-only candidate shuffle, hashed-set join-back, exact integer
+    // sizes/overlap, the two divisions are the only float ops.
     QueryDef(
       "dedup_containment",
       (spark, dir) => {
         GraftSession.tune(spark)
         spark.catalog.clearCache() // queries run sequentially; drop stale persists
-        val (hs, pairs) = ngramStages(spark, dir)
+        val docs = Tables.documents(spark, dir)
+        val hs = Dedup.shingleHashSets(docs, ShingleK).persist()
+        hs.count() // eager: shared by the candidate stage + 2 join-backs
+        val pairs = containmentCandidates(hs)
         val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
         pairs
           .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
@@ -267,23 +309,29 @@ object DedupQueries {
            |  SELECT doc_id, $hsSql AS hs FROM documents
            |), hs2 AS (
            |  SELECT doc_id, hs FROM hs WHERE len(hs) > 0
-           |), sigs AS (
-           |  SELECT doc_id, ${Dedup.minhashSignatureSql("hs")} AS sig FROM hs2
-           |), bands AS (
-           |  SELECT doc_id, b, (${Dedup.bandKeysSql("sig", 2)})[b + 1] AS bkey
-           |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${graft.functions.Hashing.NumPerms / 2})) AS b) bs
-           |), pairs AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), ex AS (
+           |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n, unnest(hs) AS sh FROM hs2
+           |), dfreq AS (
+           |  SELECT sh, COUNT(*) AS df FROM ex GROUP BY 1
+           |), rk AS (
+           |  SELECT e.doc_id, e.sh, e.n,
+           |         row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.sh) AS rn
+           |  FROM ex e JOIN dfreq d USING (sh)
+           |), pf AS (
+           |  SELECT doc_id, sh FROM rk WHERE rn <= n // 2 + 1
+           |), cand AS (
+           |  SELECT DISTINCT least(p.doc_id, i.doc_id) AS doc_a,
+           |                  greatest(p.doc_id, i.doc_id) AS doc_b
+           |  FROM pf p JOIN ex i USING (sh)
+           |  WHERE p.doc_id <> i.doc_id
            |)
            |SELECT doc_a, doc_b, c_a_in_b, c_b_in_a FROM (
-           |  SELECT p.doc_a, p.doc_b,
+           |  SELECT c.doc_a, c.doc_b,
            |         ($inter / CAST(len(ha.hs) AS DOUBLE)) AS c_a_in_b,
            |         ($inter / CAST(len(hb.hs) AS DOUBLE)) AS c_b_in_a
-           |  FROM pairs p
-           |  JOIN hs2 ha ON ha.doc_id = p.doc_a
-           |  JOIN hs2 hb ON hb.doc_id = p.doc_b
+           |  FROM cand c
+           |  JOIN hs2 ha ON ha.doc_id = c.doc_a
+           |  JOIN hs2 hb ON hb.doc_id = c.doc_b
            |) WHERE c_a_in_b >= CAST(0.5 AS DOUBLE) OR c_b_in_a >= CAST(0.5 AS DOUBLE)""".stripMargin
       }
     ),
@@ -423,6 +471,61 @@ object DedupQueries {
              |  ON a.p_brand = b.p_brand AND a.lb = b.lb2 AND a.p_partkey < b.p_partkey
              |WHERE levenshtein(a.p_name, b.p_name) <= 3
              |GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // blocking-recall grade for dedup_fuzzy_names, in-query (the ann_recall
+    // pattern applied to the composite block): counts the ED≤3 pairs found
+    // by (a) the plain within-brand join — the ground truth the blocking
+    // claims to preserve — and (b) the (brand, length-band) blocked join,
+    // and emits recall = blocked/plain. The oracle derives the plain count
+    // once and PINS recall at literal 1.0 (and the blocked count at the
+    // plain count), so a blocking scheme that loses even one pair
+    // hash-mismatches — the full-recall argument at
+    // dedup_fuzzy_names (|len diff| ≤ 3 < 4 ⇒ neighbor bands cover) is now
+    // measured, not argued. The plain join is the GRADER and is quadratic
+    // per brand by construction — at true scale it drops away exactly like
+    // ann_recall's brute-force arm; the blocked side is the production
+    // path.
+    QueryDef(
+      "dedup_fuzzy_recall",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val p = Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_name"),
+                  expr("length(p_name) div 4").as("lb"))
+        val plain = p.as("a")
+          .join(p.as("b"),
+                col("a.p_brand") === col("b.p_brand") &&
+                  col("a.p_partkey") < col("b.p_partkey"))
+          .where(levenshtein(col("a.p_name"), col("b.p_name"), 3).between(0, 3))
+          .agg(count(lit(1)).as("n_true_pairs"))
+        val bside = p.select(col("p_partkey"), col("p_brand"), col("p_name"), col("lb"),
+                             explode(array(lit(-1L), lit(0L), lit(1L))).as("o"))
+          .select(col("p_partkey"), col("p_brand"), col("p_name"),
+                  (col("lb") + col("o")).as("lb"))
+        val blocked = p.as("a")
+          .join(bside.as("b"),
+                col("a.p_brand") === col("b.p_brand") && col("a.lb") === col("b.lb") &&
+                  col("a.p_partkey") < col("b.p_partkey"))
+          .where(levenshtein(col("a.p_name"), col("b.p_name"), 3).between(0, 3))
+          .agg(count(lit(1)).as("n_blocked_pairs"))
+        plain.crossJoin(blocked)
+          .select(col("n_true_pairs"), col("n_blocked_pairs"),
+                  (col("n_blocked_pairs").cast("double") /
+                    col("n_true_pairs").cast("double")).as("recall"))
+      },
+      Some("""WITH p AS (
+             |  SELECT p_partkey, p_brand, p_name FROM part
+             |),
+             |t AS (
+             |  SELECT COUNT(*) AS n
+             |  FROM p a JOIN p b
+             |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |  WHERE levenshtein(a.p_name, b.p_name) <= 3
+             |)
+             |SELECT n AS n_true_pairs, n AS n_blocked_pairs,
+             |       CAST(1.0 AS DOUBLE) AS recall
+             |FROM t""".stripMargin)
     ),
 
     // blocked exact n-gram Jaccard: r=2 LSH bands (8 bands of 2; collision

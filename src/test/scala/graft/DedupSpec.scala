@@ -125,6 +125,24 @@ class DedupSpec extends SparkTestBase {
     assert(row.getDouble(1) < 0.3, s"jaccard ${row.getDouble(1)} below the dedup threshold")
   }
 
+  test("containment CANDIDATE stage surfaces a short-in-long pair the banding misses") {
+    // the recall hole round 5 documented: jaccard < 0.1 makes an r=2
+    // minhash band collision unlikely by construction, but the prefix
+    // filter's pigeonhole guarantee is unconditional — A's ⌊n/2⌋+1 rarest
+    // shingles can't ALL miss B when every shingle of A is in B
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = a + " " + (1 to 150).map(i => s"tail$i token$i filler$i").mkString(" ")
+    val planted = Seq((1L, a), (2L, b), (3L, far)).toDF("doc_id", "text")
+    val hs = Dedup.shingleHashSets(planted, 3)
+    val j = hs.where(col("doc_id") === 1L).select(col("hs").as("ha"))
+      .crossJoin(hs.where(col("doc_id") === 2L).select(col("hs").as("hb")))
+      .select(Dedup.jaccard(col("ha"), col("hb"))).head().getDouble(0)
+    assert(j < 0.1, s"planted pair must be LOW-jaccard (got $j) for the test to bite")
+    val cands = graft.queries.DedupQueries.containmentCandidates(hs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), s"candidate stage must surface the embedded pair; got $cands")
+  }
+
   test("min-label propagation is transitive and separates components") {
     // path component 10-20-30-40 (no direct 10-40 edge: label must travel
     // 3 hops) plus a disjoint pair 100-200 and ids chosen so min != first
