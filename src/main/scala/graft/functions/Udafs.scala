@@ -148,6 +148,10 @@ object Udafs {
       }
       if (summed.size <= k) summed
       else {
+        // the (k+1)-th largest via full sort: O(k log k) per merge BY
+        // CHOICE — a selection algorithm is O(k), but at k=64 the sort is
+        // ~a microsecond and merges run once per (partition × group); a
+        // 10⁶-counter deployment should switch to quickselect
         val d = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
         summed.view.mapValues(_ - d).filter(_._2 > 0L).toMap
       }
@@ -155,6 +159,52 @@ object Udafs {
     override def finish(b: Map[String, Long]): Map[String, Long] = b
     override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
     override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  }
+
+  /** [[MisraGries]] over `(group, term)` tuples, summarizing the TERM and
+    * ignoring the group column (which `groupByKey` already consumed as the
+    * key) — the per-group heavy-hitters shape: one O(k) summary per group,
+    * partial-merged map-side under the hash aggregation like any built-in.
+    */
+  final case class MisraGriesKeyed(k: Int)
+      extends Aggregator[(String, String), Map[String, Long], Map[String, Long]] {
+    private val mg = MisraGries(k)
+    override def zero: Map[String, Long] = mg.zero
+    override def reduce(b: Map[String, Long], in: (String, String)): Map[String, Long] =
+      mg.reduce(b, in._2)
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mg.merge(a, b)
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  }
+
+  /** Bounded per-group top-k terms under the total order (count DESC, term
+    * ASC) over `(group, term, count)` rows — same associativity argument as
+    * [[TopKByScore]] (term is unique within a group, so the order is total
+    * and the k survivors are partitioning-independent, identical to
+    * `row_number() OVER (PARTITION BY group ORDER BY count DESC, term) ≤ k`).
+    * The scale fix for per-group top-N: O(k) map-side state instead of
+    * sorting each group's whole vocabulary in one window task.
+    */
+  final case class TermCountTopK(k: Int)
+      extends Aggregator[(String, String, Long), Seq[(String, Long)], Seq[(String, Long)]] {
+    private val ord: Ordering[(String, Long)] =
+      Ordering.by((t: (String, Long)) => (-t._2, t._1))
+    private def trim(s: Seq[(String, Long)]): Seq[(String, Long)] = s.sorted(ord).take(k)
+    override def zero: Seq[(String, Long)] = Nil
+    override def reduce(b: Seq[(String, Long)], a: (String, String, Long)): Seq[(String, Long)] = {
+      val hit = (a._2, a._3)
+      // buffer kept sorted by trim; skip the re-sort when full and the
+      // candidate is no better than the current worst survivor
+      if (b.length >= k && ord.gteq(hit, b.last)) b
+      else trim(hit +: b)
+    }
+    override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
+      trim(a ++ b)
+    override def finish(b: Seq[(String, Long)]): Seq[(String, Long)] = b.sorted(ord)
+    override def bufferEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
   }
 
   /** Exact long-sum of the minimum element per group — a tiny example of a

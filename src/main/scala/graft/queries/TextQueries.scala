@@ -380,6 +380,74 @@ object TextQueries {
               |ORDER BY n_exact DESC, term ASC""".stripMargin)
     ),
 
+    // per-group heavy hitters: one Misra–Gries summary per `source` — the
+    // shape a real corpus monitor uses (which terms dominate EACH ingest
+    // feed), and the aggregator's map-side partial merge exercised under
+    // groupBy instead of a single global group. Same theorem-only grading
+    // as q_heavy_hitters, applied per source with that source's own N:
+    // every term with per-source count > N_s/(k+1) must appear in that
+    // source's summary. Output = per-source top-HhTop exact terms UNION
+    // every per-source guaranteed term. Scale shape: the exact counts are
+    // one hash-agg; per-source top-N is the bounded TermCountTopK
+    // aggregator (O(k) map-side state, no per-source vocabulary sort); the
+    // guaranteed filter is map-side against the broadcast per-source
+    // totals; the MG summaries are one row per source, broadcast back.
+    QueryDef(
+      "q_heavy_hitters_by_source",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val terms = Tables.documents(spark, dir)
+          .select(col("source"), explode(tokens(col("text"))).as("term"))
+        val mgBySource = terms.as[(String, String)]
+          .groupByKey(_._1)
+          .agg(graft.functions.Udafs.MisraGriesKeyed(HhK).toColumn.name("summary"))
+          .toDF("source", "summary")
+        val cnt = terms.groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("n_exact"))
+        val tot = cnt.groupBy(col("source"))
+          .agg(sum(col("n_exact")).cast("long").as("n_total"))
+        val guaranteed = col("n_exact") * (HhK + 1).toLong > col("n_total")
+        val top = cnt.as[(String, String, Long)]
+          .groupByKey(_._1)
+          .agg(graft.functions.Udafs.TermCountTopK(HhTop).toColumn.name("top"))
+          .toDF("source", "top")
+          .select(col("source"), explode(col("top")).as("t"))
+          .select(col("source"), col("t._1").as("term"), col("t._2").as("n_exact"))
+        val guar = cnt.join(broadcast(tot), "source")
+          .where(guaranteed).select(col("source"), col("term"), col("n_exact"))
+        top.union(guar).distinct()
+          .join(broadcast(tot), "source")
+          .join(broadcast(mgBySource), "source")
+          .select(col("source"), col("term"), col("n_exact"),
+                  guaranteed.as("guaranteed"),
+                  (!guaranteed ||
+                    array_contains(map_keys(col("summary")), col("term"))).as("ok"))
+          .orderBy(col("source").asc, col("n_exact").desc, col("term").asc)
+      },
+      Some(s"""WITH t AS (
+              |  SELECT source, unnest(${tokensSql("text")}) AS term FROM documents
+              |),
+              |cnt AS (SELECT source, term, COUNT(*) AS n_exact FROM t GROUP BY 1, 2),
+              |tot AS (SELECT source, CAST(SUM(n_exact) AS BIGINT) AS n_total FROM cnt GROUP BY 1),
+              |rk AS (
+              |  SELECT source, term, n_exact,
+              |         row_number() OVER (PARTITION BY source ORDER BY n_exact DESC, term ASC) AS rn
+              |  FROM cnt
+              |),
+              |sel AS (
+              |  SELECT source, term, n_exact FROM rk WHERE rn <= $HhTop
+              |  UNION
+              |  SELECT c.source, c.term, c.n_exact FROM cnt c JOIN tot USING (source)
+              |  WHERE c.n_exact * ${HhK + 1} > n_total
+              |)
+              |SELECT s.source, s.term, s.n_exact,
+              |       (s.n_exact * ${HhK + 1} > tot.n_total) AS guaranteed,
+              |       TRUE AS ok
+              |FROM sel s JOIN tot USING (source)
+              |ORDER BY source ASC, n_exact DESC, term ASC""".stripMargin)
+    ),
+
     // BM25 lexical retrieval: top-K documents for a fixed query term set —
     // the lexical half of the retrieval story (ann_* is the embedding
     // half), the shape a corpus-curation pipeline uses to pull candidate

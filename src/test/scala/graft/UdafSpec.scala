@@ -128,6 +128,51 @@ class UdafSpec extends SparkTestBase {
     }
   }
 
+  test("MisraGriesKeyed summarizes each group's stream independently") {
+    // two groups with different dominants — a per-group summary must find
+    // each group's own heavy hitter with that group's own N
+    val rows = Seq.fill(2000)(("g1", "alpha")) ++ Seq.fill(100)(("g1", "beta")) ++
+      Seq.fill(1500)(("g2", "gamma")) ++ (0 until 300).map(i => ("g2", s"noise$i"))
+    val k = 8
+    for (parts <- Seq(1, 6)) {
+      val summaries = spark.createDataset(rows)
+        .repartition(parts)
+        .groupByKey(_._1)
+        .agg(Udafs.MisraGriesKeyed(k).toColumn.name("s"))
+        .collect().toMap
+      assert(summaries("g1").contains("alpha"), s"parts=$parts")
+      assert(summaries("g2").contains("gamma"), s"parts=$parts")
+      assert(!summaries("g1").contains("gamma"),
+             s"parts=$parts: group streams must not bleed")
+      summaries.values.foreach(s => assert(s.size <= k))
+    }
+  }
+
+  test("TermCountTopK equals the per-group window top-k and is partition-insensitive") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate counts (exercises the term tiebreak) across 3 groups
+    val counted = spark.range(120).select(
+      concat(lit("g"), col("id") % 3).as("source"),
+      concat(lit("term"), col("id")).as("term"),
+      (col("id") * 13 % 9 + 1).as("n_exact"))
+    val w = Window.partitionBy("source").orderBy(col("n_exact").desc, col("term").asc)
+    val viaWindow = counted
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select("source", "term", "n_exact")
+      .collect().map(_.toSeq).toSet
+    for (parts <- Seq(1, 8)) {
+      val viaAgg = counted.repartition(parts)
+        .as[(String, String, Long)]
+        .groupByKey(_._1)
+        .agg(Udafs.TermCountTopK(5).toColumn.name("top"))
+        .flatMap { case (g, top) => top.iterator.map { case (t, n) => (g, t, n) } }
+        .toDF("source", "term", "n_exact")
+        .collect().map(_.toSeq).toSet
+      assert(viaAgg == viaWindow, s"parts=$parts")
+    }
+  }
+
   test("typed aggregation on Dataset with LongMin") {
     val ds = spark.range(100).map(i => (i % 3, i + 7)).toDF("k", "v").as[(Long, Long)]
     val got = ds.groupByKey(_._1)
