@@ -47,7 +47,7 @@ object Bench {
   private val HeavyComposites: Set[String] = Set(
     "q_curation_pipeline", "dedup_clusters", "q_streaming_sessionize",
     "ann_recall", "ann_quantized_recall", "ann_ivf_topk", "q_approx_quantiles",
-    "dedup_fuzzy_recall")
+    "dedup_fuzzy_recall", "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -123,6 +123,25 @@ class PlanSpec extends SparkTestBase {
            s"stats join-backs must stay equi-joins:\n$plan")
   }
 
+  test("semantic-dedup blocked pair path is equi-join only (no nested loop)") {
+    // the scale route for embedding dedup must never degenerate into the
+    // O(n²) join shape it exists to replace: candidates come from an
+    // equi-join on cid, verification from equi-joins on vec ids
+    val (_, _, scored) = graft.queries.SimilarityQueries.semanticStages(spark, sf)
+    val plan = scored.queryExecution.executedPlan.toString
+    // the cached cell-assignment build DOES contain a corpus ×
+    // 16-broadcast-centroid nested loop by design (the same assignment
+    // ann_ivf_topk probes); the assertion targets the OUTER pair pipeline,
+    // which renders before the first InMemoryRelation in the plan's DFS
+    // text (candidate cid-join + two id verification joins)
+    val outer = plan.split("InMemoryRelation", 2)(0)
+    assert(!outer.contains("BroadcastNestedLoopJoin") && !outer.contains("CartesianProduct"),
+           s"blocked pair path must stay equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+           s"nothing in the pipeline may plan a true cartesian:\n$plan")
+    spark.catalog.clearCache() // semanticStages persists its intermediates
+  }
+
   test("pair-stage dot product stays inside whole-stage codegen") {
     // DotProduct implements doGenCode: the scored pair stage must compile
     // into a codegen span, not fall back to interpreted eval mid-pipeline

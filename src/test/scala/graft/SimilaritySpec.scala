@@ -64,6 +64,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(e.getMessage.contains("dedup_minhash_lsh"), "error names the scale path")
   }
 
+  test("semantic dedup grade is internally consistent and strictly prunes") {
+    val row = SparkEntry.queries("dedup_semantic")(spark, sf).head()
+    val (nCorpus, nExact, nCand, nFound) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val totalPairs = nCorpus * (nCorpus - 1) / 2
+    assert(nFound <= nExact, "blocked pairs pass the same threshold, so found ⊆ exact")
+    assert(nCand < totalPairs, "blocking must evaluate strictly fewer than all pairs")
+    assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0, "recall is a fraction")
+    assert(row.getDouble(5) > 0.0 && row.getDouble(5) < 1.0, "candidate fraction prunes")
+    spark.catalog.clearCache()
+  }
+
   test("brute-force top-k: ranks are 1..k per query, cosine non-increasing") {
     val out = SparkEntry.queries("ann_bruteforce_topk")(spark, sf)
       .orderBy(col("query_id"), col("rank")).collect()
