@@ -820,6 +820,84 @@ object RelationalQueries {
               |       TRUE AS p50_within_tol, TRUE AS p90_within_tol
               |FROM r JOIN nn ON r.l_returnflag = nn.l_returnflag
               |GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // ordered-sequence funnel over the events stream: view → click →
+    // purchase, each stage within 7 days of the one before, reported as
+    // the classic per-stage user counts + conversion fractions. The
+    // sequential dependency is expressed as CASCADED min-timestamp
+    // aggregations (first qualifying view per user; first click after
+    // that view; first purchase after that click) — three hash
+    // aggregations and two equi-joins on user_id, each carrying ≤ one row
+    // per user, so the whole funnel shuffles each event exactly once by
+    // user and nothing sorts. A window formulation would sort every
+    // user's full history; this shape only tracks the frontier timestamp
+    // per stage. Conversion fractions divide the same two BIGINTs on both
+    // engines — bit-identical doubles.
+    QueryDef(
+      "q_funnel",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val ev = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, "user_id")
+          .where(col("ts") >= col("t1") &&
+                 col("ts") <= col("t1") + expr("INTERVAL '7' DAY"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .where(col("ts") >= col("t2") &&
+                 col("ts") <= col("t2") + expr("INTERVAL '7' DAY"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        val stats = v.agg(count(lit(1)).as("n1"))
+          .crossJoin(c.agg(count(lit(1)).as("n2")))
+          .crossJoin(p.agg(count(lit(1)).as("n3")))
+        def frac(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          when(b === 0L, lit(1.0d)).otherwise(a.cast("double") / b.cast("double"))
+        stats.select(explode(array(
+            struct(lit("1_view").as("stage"), col("n1").as("n_users"),
+                   lit(1.0d).as("conv_from_prev"), lit(1.0d).as("conv_from_first")),
+            struct(lit("2_click").as("stage"), col("n2").as("n_users"),
+                   frac(col("n2"), col("n1")).as("conv_from_prev"),
+                   frac(col("n2"), col("n1")).as("conv_from_first")),
+            struct(lit("3_purchase").as("stage"), col("n3").as("n_users"),
+                   frac(col("n3"), col("n2")).as("conv_from_prev"),
+                   frac(col("n3"), col("n1")).as("conv_from_first")))).as("r"))
+          .select(col("r.stage").as("stage"), col("r.n_users").as("n_users"),
+                  col("r.conv_from_prev").as("conv_from_prev"),
+                  col("r.conv_from_first").as("conv_from_first"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, ts FROM events),
+             |v AS (SELECT user_id, MIN(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT ev.user_id, MIN(ts) AS t2 FROM ev JOIN v ON ev.user_id = v.user_id
+             |  WHERE event_type = 'click' AND ts >= t1 AND ts <= t1 + INTERVAL '7 days'
+             |  GROUP BY ev.user_id
+             |),
+             |p AS (
+             |  SELECT ev.user_id, MIN(ts) AS t3 FROM ev JOIN c ON ev.user_id = c.user_id
+             |  WHERE event_type = 'purchase' AND ts >= t2 AND ts <= t2 + INTERVAL '7 days'
+             |  GROUP BY ev.user_id
+             |),
+             |s AS (SELECT (SELECT COUNT(*) FROM v) AS n1,
+             |             (SELECT COUNT(*) FROM c) AS n2,
+             |             (SELECT COUNT(*) FROM p) AS n3)
+             |SELECT '1_view' AS stage, CAST(n1 AS BIGINT) AS n_users,
+             |       CAST(1 AS DOUBLE) AS conv_from_prev, CAST(1 AS DOUBLE) AS conv_from_first
+             |FROM s
+             |UNION ALL
+             |SELECT '2_click', CAST(n2 AS BIGINT),
+             |       CASE WHEN n1 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END,
+             |       CASE WHEN n1 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+             |FROM s
+             |UNION ALL
+             |SELECT '3_purchase', CAST(n3 AS BIGINT),
+             |       CASE WHEN n2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END,
+             |       CASE WHEN n1 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) END
+             |FROM s""".stripMargin)
     )
   )
 }
