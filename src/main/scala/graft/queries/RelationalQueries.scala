@@ -898,6 +898,60 @@ object RelationalQueries {
              |       CASE WHEN n2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END,
              |       CASE WHEN n1 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) END
              |FROM s""".stripMargin)
+    ),
+
+    // weekly cohort-retention matrix: cohort = week of each user's FIRST
+    // purchase, activity = any purchase week at or after it, reported as
+    // (cohort_week, week_offset) → active users / cohort size. Shape: one
+    // shuffle of purchase events by user_id feeds BOTH the first-week
+    // aggregation and the distinct (user, week) set (same key, Catalyst
+    // reuses the exchange); their join is again user_id-partitioned, so
+    // nothing reshuffles until the final tiny (cohort, offset) hash agg.
+    // Cohort sizes are a per-week aggregate — broadcast to the counts.
+    // Offsets divide day-counts between Monday-truncated weeks (always a
+    // multiple of 7), and retention divides two BIGINTs — both exact, so
+    // the doubles are bit-identical across engines.
+    QueryDef(
+      "q_retention_cohorts",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val ev = Tables.events(spark, dir)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        val fw = ev.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+        val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("act_week")).distinct()
+        val sizes = fw.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+        val cnt = act.join(fw, "user_id")
+          .select(col("cohort_week"),
+                  (datediff(col("act_week"), col("cohort_week")) / lit(7)).cast("int").as("week_offset"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+        cnt.join(broadcast(sizes), "cohort_week")
+          .select(col("cohort_week").cast("date").as("cohort_week"),
+                  col("week_offset"), col("n_active"), col("cohort_size"),
+                  (col("n_active").cast("double") / col("cohort_size").cast("double")).as("retention"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH fw AS (
+             |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+             |),
+             |act AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+             |  FROM events WHERE event_type = 'purchase'
+             |),
+             |sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM fw GROUP BY 1),
+             |j AS (
+             |  SELECT fw.cohort_week,
+             |         CAST(datediff('day', fw.cohort_week, act.act_week) / 7 AS INT) AS week_offset
+             |  FROM act JOIN fw ON act.user_id = fw.user_id
+             |),
+             |cnt AS (SELECT cohort_week, week_offset, COUNT(*) AS n_active FROM j GROUP BY 1, 2)
+             |SELECT CAST(cnt.cohort_week AS DATE) AS cohort_week, week_offset, n_active, cohort_size,
+             |       CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+             |FROM cnt JOIN sizes ON cnt.cohort_week = sizes.cohort_week
+             |ORDER BY 1, 2""".stripMargin)
     )
   )
 }
