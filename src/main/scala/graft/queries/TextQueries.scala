@@ -36,6 +36,12 @@ object TextQueries {
   val HhK: Int = 64
   val HhTop: Int = 20
 
+  /** Co-occurrence parameters: vocabulary size (top-V by document
+    * frequency) and minimum pair support for text_cooccurrence_pmi.
+    */
+  val CoocVocab: Int = 50
+  val CoocMinSupport: Int = 3
+
   /** Gopher/C4-style composite quality filter: per-rule boolean flags over
     * the oracle-verified quality signals plus their conjunction `keep`.
     * Shared by `text_quality_filter` and `q_curation_pipeline`. Thresholds
@@ -524,6 +530,64 @@ object TextQueries {
            |ORDER BY score DESC, doc_id ASC
            |LIMIT $Bm25TopK""".stripMargin
       }
+    ),
+
+    // token co-occurrence with PMI over the top-$CoocVocab document-
+    // frequency vocabulary — the association-mining pass (word2vec-style
+    // context statistics, collocation detection) of a text pipeline. PMI's
+    // log is monotone, so ranking needs only the RATIO p(t1,t2)/(p(t1)p(t2))
+    // = (n12·N)/(df1·df2), computed in exact integer fixed-point (×10^6,
+    // integer div) — bit-identical across engines, same trick as tf-idf.
+    // (Bound: n12·N·10^6 ≤ N²·10^6 stays under 2^63 for N up to ~3e6 docs;
+    // beyond that the ratio would move to DECIMAL(38).) Scale shape: the
+    // vocabulary is a TakeOrdered top-V broadcast in BOTH roles (membership
+    // filter and df lookup); pairs are generated MAP-SIDE from each doc's
+    // sorted ≤V-token vocab intersection (no dt⋈dt self-join shuffle — the
+    // doc_id exchange from the collect_set agg is the only data-sized
+    // shuffle, and each doc emits ≤ V(V−1)/2 bounded pairs); the pair agg
+    // keys on (t1,t2) over a ≤V² domain, so the final stage is tiny.
+    QueryDef(
+      "text_cooccurrence_pmi",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val docs = Tables.documents(spark, dir)
+        val dt = docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+        val vocab = dt.groupBy(col("token")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("token").asc).limit(CoocVocab)
+        val nd = docs.agg(count(lit(1)).as("ndocs"))
+        val perDoc = dt.join(broadcast(vocab.select(col("token"))), "token")
+          .groupBy(col("doc_id")).agg(sort_array(collect_set(col("token"))).as("ts"))
+        val pairs = perDoc.select(explode(expr(
+            "flatten(transform(ts, (a, i) -> transform(slice(ts, i + 2, size(ts)), b -> struct(a AS t1, b AS t2))))")).as("p"))
+          .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+          .agg(count(lit(1)).as("n12"))
+        pairs
+          .join(broadcast(vocab.select(col("token").as("t1"), col("df").as("df1"))), "t1")
+          .join(broadcast(vocab.select(col("token").as("t2"), col("df").as("df2"))), "t2")
+          .crossJoin(broadcast(nd))
+          .where(col("n12") >= CoocMinSupport)
+          .select(col("t1"), col("t2"), col("n12"), col("df1"), col("df2"),
+                  expr("(n12 * ndocs * 1000000) div (df1 * df2)").as("pmi_fx"))
+          .orderBy(col("pmi_fx").desc, col("t1").asc, col("t2").asc)
+          .limit(40)
+      },
+      Some(s"""WITH dt AS (
+              |  SELECT DISTINCT doc_id, unnest(${tokensSql("text")}) AS token FROM documents
+              |),
+              |df AS (SELECT token, COUNT(*) AS df FROM dt GROUP BY 1),
+              |vocab AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT $CoocVocab),
+              |dtv AS (SELECT dt.doc_id, dt.token FROM dt JOIN vocab USING (token)),
+              |nd AS (SELECT COUNT(*) AS ndocs FROM documents),
+              |p AS (
+              |  SELECT a.token AS t1, b.token AS t2, COUNT(*) AS n12
+              |  FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.token < b.token
+              |  GROUP BY 1, 2
+              |)
+              |SELECT t1, t2, n12, v1.df AS df1, v2.df AS df2,
+              |       (n12 * ndocs * 1000000) // (v1.df * v2.df) AS pmi_fx
+              |FROM p JOIN vocab v1 ON p.t1 = v1.token JOIN vocab v2 ON p.t2 = v2.token, nd
+              |WHERE n12 >= $CoocMinSupport
+              |ORDER BY pmi_fx DESC, t1, t2 LIMIT 40""".stripMargin)
     )
   )
 }

@@ -205,4 +205,12 @@ class PlanSpec extends SparkTestBase {
       spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     }
   }
+
+  test("co-occurrence pairs generate map-side: no self-join, vocab broadcasts") {
+    val plan = planOf("text_cooccurrence_pmi")
+    assert(!plan.contains("SortMergeJoin"),
+           s"pair generation must not sort-merge-join the token table with itself:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+           s"vocab (membership + 2 df lookups) and ndocs must broadcast:\n$plan")
+  }
 }
