@@ -42,6 +42,9 @@ object TextQueries {
   val CoocVocab: Int = 50
   val CoocMinSupport: Int = 3
 
+  /** Posting-list segment width (docs per bucket) for q_inverted_index. */
+  val InvBucket: Int = 100
+
   /** Gopher/C4-style composite quality filter: per-rule boolean flags over
     * the oracle-verified quality signals plus their conjunction `keep`.
     * Shared by `text_quality_filter` and `q_curation_pipeline`. Thresholds
@@ -588,6 +591,55 @@ object TextQueries {
               |FROM p JOIN vocab v1 ON p.t1 = v1.token JOIN vocab v2 ON p.t2 = v2.token, nd
               |WHERE n12 >= $CoocMinSupport
               |ORDER BY pmi_fx DESC, t1, t2 LIMIT 40""".stripMargin)
+    ),
+
+    // inverted-index build: term → (df, total_tf, ordered "doc:tf" posting
+    // list) — the retrieval-index construction pass behind q_bm25_search.
+    // Posting lists assemble HIERARCHICALLY: level 1 builds per-(term,
+    // doc-bucket) segment strings (bucket = doc_id div $InvBucket, so
+    // bucket order IS doc order), level 2 concatenates the ≤ndocs/$InvBucket
+    // segments per term. A stopword's postings therefore never materialize
+    // as one collect_list of df entries on a single reducer — the skewed
+    // key is split across buckets and the final concat handles short
+    // segment arrays; this is the segmented-index shape real engines ship
+    // to object storage. Both collect_lists are sort_array'd (shuffle
+    // arrival order never reaches the output), so the strings are
+    // deterministic and bit-equal to the oracle's ORDER BY string_agg.
+    QueryDef(
+      "q_inverted_index",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val tf = Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        val lvl1 = tf
+          .groupBy(col("term"), expr(s"doc_id div $InvBucket").as("bucket"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"),
+               count(lit(1)).as("df_b"), sum(col("tf")).as("tf_b"))
+          .select(col("term"), col("bucket"), col("df_b"), col("tf_b"),
+                  array_join(expr(
+                    "transform(ps, p -> concat(cast(p.doc_id AS string), ':', cast(p.tf AS string)))"),
+                    " ").as("s"))
+        lvl1.groupBy(col("term"))
+          .agg(sum(col("df_b")).as("df"), sum(col("tf_b")).as("total_tf"),
+               sort_array(collect_list(struct(col("bucket"), col("s")))).as("bs"))
+          .select(col("term"), col("df"), col("total_tf"),
+                  array_join(expr("transform(bs, q -> q.s)"), " ").as("postings"))
+          .orderBy(col("df").desc, col("term").asc)
+          .limit(30)
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
+              |),
+              |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+              |inv AS (
+              |  SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+              |         string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+              |                    ' ' ORDER BY doc_id) AS postings
+              |  FROM tf GROUP BY term
+              |)
+              |SELECT term, df, total_tf, postings FROM inv
+              |ORDER BY df DESC, term LIMIT 30""".stripMargin)
     )
   )
 }
