@@ -85,6 +85,53 @@ object StreamingQueries {
              |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |        FROM events))
              |GROUP BY user_id""".stripMargin)
+    ),
+
+    // the REAL watermarked tumbling-window aggregation
+    // ([[Streaming.windowedCounts]], 10-min windows, 30-min watermark,
+    // append mode) replayed over the events table and checked against a
+    // batch DuckDB oracle computing the same windows from epoch seconds.
+    // Two determinism devices:
+    //   - `value` is converted to integer cents BEFORE the stream (cents
+    //     ride as integral doubles ≤ ~10^4, so the windowed SUM is exact
+    //     under ANY arrival/merge order — the stream's incremental sums and
+    //     DuckDB's batch sum land on the same integer);
+    //   - one sentinel event 2 h past the corpus max pushes the watermark
+    //     past every real window (append mode only emits CLOSED windows);
+    //     the sentinel's own window stays open and is never emitted.
+    QueryDef(
+      "q_streaming_window_counts",
+      (spark, dir) => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[Streaming.Event]
+        val eventsDs = Streaming.eventsBatch(spark, dir)
+        val maxTs = eventsDs.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+        input.addData(eventsDs.collect().toIndexedSeq: _*)
+        input.addData(Streaming.Event(-1L,
+          new Timestamp(maxTs.getTime + 2 * 60 * 60 * 1000L), -1L, "sentinel", 0.0))
+        val centsIn = input.toDF()
+          .withColumn("value", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DOUBLE)"))
+        val sink = s"streaming_window_counts_${runId.incrementAndGet()}"
+        val q = Streaming.windowedCounts(centsIn)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
+        val out = spark.table(sink)
+          .select(col("window_start"), col("event_type"),
+                  col("n_events").cast(LongType).as("n_events"),
+                  col("total_value").cast(LongType).as("total_cents"))
+          .orderBy(col("window_start"), col("event_type"))
+        val resolved = out.localCheckpoint(eager = true)
+        spark.catalog.dropTempView(sink)
+        resolved
+      },
+      Some("""SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)) AS TIMESTAMP) AS window_start,
+             |       event_type, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)
     )
   )
 }

@@ -169,4 +169,15 @@ class StreamingSpec extends SparkTestBase {
     assert(w.columns.toSeq == Seq("window_start", "event_type", "n_events", "total_value"))
     assert(w.count() > 0)
   }
+
+  test("streaming window counts partition every real event exactly once") {
+    val out = SparkEntry.queries("q_streaming_window_counts")(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getString(1) == "sentinel"),
+           "the watermark sentinel's open window must never be emitted")
+    val nEvents = Tables.events(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum == nEvents,
+           "summed window counts must equal the full event count (no window lost to the watermark)")
+    spark.catalog.clearCache()
+  }
 }
