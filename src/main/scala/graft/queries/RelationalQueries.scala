@@ -58,6 +58,15 @@ private object MomentFormulas {
 
 object RelationalQueries {
 
+  /** q_bloom_semi_join: filter size in bits (2^16 = 8 KiB as a bitmask) and
+    * the order-price cut defining the build-side key set. At sf0.1 the cut
+    * admits ~2.7k custkeys → load factor ≈ 0.08, expected FP rate ≈ 0.7% —
+    * small enough that the filter visibly prunes, large enough that the
+    * false-positive accounting has something to count.
+    */
+  val BloomBits: Long = 1L << 16
+  val BloomPriceThreshold: Int = 490000
+
   val defs: Seq[QueryDef] = Seq(
 
     // O: group-by aggregation with map-side partial agg (TPC-H Q1 shape).
@@ -952,6 +961,149 @@ object RelationalQueries {
              |       CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
              |FROM cnt JOIN sizes ON cnt.cohort_week = sizes.cohort_week
              |ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // runtime bloom-filter semi-join pruning: the 100 TB trick of shipping
+    // a kilobyte-scale filter instead of a key set. Build side = custkeys
+    // of orders above BloomPriceThreshold; the filter is m=2^16 bit
+    // positions from two independent md5-derived hashes (engine-portable,
+    // Hashing.h32). The probe side (customer) is pruned BEFORE the exact
+    // semi-join by two broadcast semi-joins against the ≤2·|keys|-row
+    // distinct-position set — at cluster scale that broadcast is ≤8 KiB
+    // however large the corpus, and the pruned probe is what enters the
+    // shuffle. False-positive accounting is part of the RESULT: per
+    // segment we emit total / bloom-candidate / exact-member /
+    // false-positive counts, and the oracle recomputes the bloom
+    // bit-for-bit, so the FP rate is verified, not estimated. No false
+    // negative can hide: n_members is checked against the oracle's PLAIN
+    // semi-join, computed without the bloom.
+    QueryDef(
+      "q_bloom_semi_join",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import graft.functions.Hashing
+        val m = BloomBits
+        def pos(i: Int, key: org.apache.spark.sql.Column) =
+          pmod(Hashing.h32(concat(lit(s"bf$i:"), key.cast("string"))), lit(m))
+        val keys = Tables.orders(spark, dir)
+          .where(col("o_totalprice") > BloomPriceThreshold)
+          .select(col("o_custkey").as("k")).distinct()
+        val posSet = keys
+          .select(explode(array(pos(1, col("k")), pos(2, col("k")))).as("p"))
+          .distinct()
+        val cust = Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"),
+                  pos(1, col("c_custkey")).as("p1"), pos(2, col("c_custkey")).as("p2"))
+        val cand = cust
+          .join(broadcast(posSet.withColumnRenamed("p", "p1")), Seq("p1"), "left_semi")
+          .join(broadcast(posSet.withColumnRenamed("p", "p2")), Seq("p2"), "left_semi")
+        val members = cand
+          .join(keys.withColumnRenamed("k", "c_custkey"), Seq("c_custkey"), "left_semi")
+        val total = cust.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+        val candN = cand.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_bloom_candidates"))
+        val membN = members.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_members"))
+        total
+          .join(candN, Seq("c_mktsegment"), "left")
+          .join(membN, Seq("c_mktsegment"), "left")
+          .select(col("c_mktsegment"), col("n_customers"),
+                  coalesce(col("n_bloom_candidates"), lit(0L)).as("n_bloom_candidates"),
+                  coalesce(col("n_members"), lit(0L)).as("n_members"),
+                  (coalesce(col("n_bloom_candidates"), lit(0L)) -
+                    coalesce(col("n_members"), lit(0L))).as("n_false_positives"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some {
+        import graft.functions.Hashing
+        def posSql(i: Int, e: String) =
+          s"(${Hashing.h32Sql(s"concat('bf$i:', $e)")} % $BloomBits)"
+        s"""WITH keys AS (
+           |  SELECT DISTINCT o_custkey AS k FROM orders
+           |  WHERE o_totalprice > $BloomPriceThreshold
+           |),
+           |pos AS (
+           |  SELECT DISTINCT p FROM (
+           |    SELECT ${posSql(1, "k")} AS p FROM keys
+           |    UNION ALL
+           |    SELECT ${posSql(2, "k")} AS p FROM keys)
+           |),
+           |cust AS (
+           |  SELECT c_custkey, c_mktsegment,
+           |         ${posSql(1, "c_custkey")} AS p1, ${posSql(2, "c_custkey")} AS p2
+           |  FROM customer
+           |),
+           |cand AS (
+           |  SELECT * FROM cust
+           |  WHERE p1 IN (SELECT p FROM pos) AND p2 IN (SELECT p FROM pos)
+           |),
+           |memb AS (
+           |  SELECT * FROM cand WHERE c_custkey IN (SELECT k FROM keys)
+           |)
+           |SELECT t.c_mktsegment,
+           |       CAST(t.n AS BIGINT) AS n_customers,
+           |       CAST(coalesce(cd.n, 0) AS BIGINT) AS n_bloom_candidates,
+           |       CAST(coalesce(mb.n, 0) AS BIGINT) AS n_members,
+           |       CAST(coalesce(cd.n, 0) - coalesce(mb.n, 0) AS BIGINT) AS n_false_positives
+           |FROM (SELECT c_mktsegment, COUNT(*) AS n FROM cust GROUP BY 1) t
+           |LEFT JOIN (SELECT c_mktsegment, COUNT(*) AS n FROM cand GROUP BY 1) cd USING (c_mktsegment)
+           |LEFT JOIN (SELECT c_mktsegment, COUNT(*) AS n FROM memb GROUP BY 1) mb USING (c_mktsegment)
+           |ORDER BY 1""".stripMargin
+      }
+    ),
+
+    // SCD2 history build: collapse each user's event-type timeline into
+    // type-2 validity intervals (valid_from inclusive, valid_to exclusive,
+    // NULL = current). The standard dimension-history shape: a change flag
+    // via lag(), a running sum() numbering versions, one hash-agg per
+    // (user, version), then lead() for the interval end — all three
+    // windows partition by user_id (high cardinality, state per partition
+    // bounded) over the SAME shuffle: Catalyst reuses one user_id exchange
+    // for the whole chain; the (ts, event_id) tiebreak makes the order —
+    // and hence every interval — deterministic.
+    QueryDef(
+      "q_scd2_intervals",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+        val marked = Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("changed",
+            when(lag(col("event_type"), 1).over(wOrd).isNull ||
+                   lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("version", sum(col("changed")).over(wRun))
+        marked.groupBy(col("user_id"), col("version"))
+          .agg(min(col("event_type")).as("event_type"),
+               min(col("ts")).as("valid_from"),
+               count(lit(1)).as("n_events"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+          .select(col("user_id"), col("version"), col("event_type"),
+                  col("valid_from"), col("valid_to"), col("n_events"))
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN LAG(event_type, 1) OVER w IS NULL
+             |                OR LAG(event_type, 1) OVER w <> event_type
+             |              THEN 1 ELSE 0 END AS changed
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |),
+             |ver AS (
+             |  SELECT user_id, ts, event_type,
+             |         SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                            ROWS UNBOUNDED PRECEDING) AS version
+             |  FROM marked
+             |),
+             |grp AS (
+             |  SELECT user_id, version, MIN(event_type) AS event_type,
+             |         MIN(ts) AS valid_from, COUNT(*) AS n_events
+             |  FROM ver GROUP BY user_id, version
+             |)
+             |SELECT user_id, CAST(version AS BIGINT) AS version, event_type, valid_from,
+             |       LEAD(valid_from, 1) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+             |       n_events
+             |FROM grp""".stripMargin)
     )
   )
 }

@@ -213,4 +213,24 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
            s"vocab (membership + 2 df lookups) and ndocs must broadcast:\n$plan")
   }
+
+  test("bloom pruning: position-set probes broadcast as semi-joins") {
+    val plan = planOf("q_bloom_semi_join")
+    // the two bit-position membership probes must be broadcast semi-joins
+    // (the ≤8 KiB filter ships to the probe side, never the reverse)
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).size >= 2,
+           s"expected ≥2 broadcast LEFT SEMI probes against the position set:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("LeftSemi"),
+           s"the pruned probe must not full-shuffle against the filter:\n$plan")
+  }
+
+  test("scd2 intervals reuse one user_id exchange for all three windows") {
+    val plan = planOf("q_scd2_intervals")
+    // lag-mark, running-sum version and lead(valid_to) all partition by
+    // user_id; Catalyst must not re-shuffle between them. Expected
+    // exchanges: one hashpartitioning(user_id) for the window chain plus
+    // the (user_id, version) aggregate that rides the same partitioning.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected ≤2 hash exchanges, got $exchanges in:\n$plan")
+  }
 }
