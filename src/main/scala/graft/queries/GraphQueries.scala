@@ -100,6 +100,92 @@ object GraphQueries {
            |       CAST(r AS DOUBLE) / CAST($Fx AS DOUBLE) AS rank
            |FROM r3 ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
       }
+    ),
+
+    // triangle counting over the part co-purchase graph (edge = two parts
+    // on the same urgent order), the classic "compact-forward" distributed
+    // formulation: orient every edge from the lower-(degree, id) endpoint
+    // to the higher, so each triangle is counted exactly once AND the
+    // wedge-join fan-out is bounded by the oriented out-degree (≤ O(√m)
+    // for any graph — the one trick that makes distributed triangle
+    // counting survive power-law degrees). Pipeline: per-order pair
+    // generation is MAP-SIDE (sorted distinct part array → slice/transform
+    // combinations, the text_cooccurrence_pmi idiom — no order-keyed
+    // self-join), the wedge join and closure check are two equi-joins on
+    // oriented edges; everything through every shuffle is a pair of longs.
+    // The priority filter thins the graph so the oracle's quadratic-ish
+    // batch join stays cheap; the Spark path is insensitive to it.
+    QueryDef(
+      "q_triangles",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache()
+        val po = Tables.orders(spark, dir)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+          .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+                col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey").as("ok"), col("l_partkey").as("p"))
+        val pairs = po.groupBy(col("ok"))
+          .agg(array_sort(collect_set(col("p"))).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, (a, i) -> transform(slice(ps, i + 2, size(ps)), b -> struct(a AS u, b AS v))))"))
+            .as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+          .distinct()
+        val deg = pairs.select(col("u").as("x")).unionAll(pairs.select(col("v").as("x")))
+          .groupBy(col("x")).agg(count(lit(1)).as("d"))
+        val ranked = pairs
+          .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+          .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+        val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+        val oriented = ranked
+          .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+                  when(fwd, col("v")).otherwise(col("u")).as("dst"))
+          .persist()
+        val wedges = oriented.select(col("src").as("a"), col("dst").as("b"))
+          .join(oriented.select(col("src").as("b"), col("dst").as("c")), "b")
+        val tri = wedges
+          .join(oriented.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"), "left_semi")
+        // one declarative plan: the four counts cross-join (each side is a
+        // single row) — no scalar ever lands on the driver mid-query, and
+        // the persisted oriented edge list is read by all three consumers
+        deg.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(oriented.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+          .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      },
+      Some("""WITH po AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderpriority = '1-URGENT'
+             |),
+             |e AS (
+             |  SELECT DISTINCT a.p AS u, b.p AS v
+             |  FROM po a JOIN po b ON a.ok = b.ok AND a.p < b.p
+             |),
+             |deg AS (
+             |  SELECT x, COUNT(*) AS d
+             |  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+             |  GROUP BY x
+             |),
+             |o AS (
+             |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+             |              THEN e.u ELSE e.v END AS src,
+             |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+             |              THEN e.v ELSE e.u END AS dst
+             |  FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x
+             |),
+             |w AS (
+             |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+             |  FROM o e1 JOIN o e2 ON e1.dst = e2.src
+             |)
+             |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             |       (SELECT COUNT(*) FROM o) AS n_edges,
+             |       (SELECT COUNT(*) FROM w) AS n_wedges,
+             |       (SELECT COUNT(*) FROM w
+             |        WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.a AND o.dst = w.c)
+             |       ) AS n_triangles""".stripMargin)
     )
   )
 }

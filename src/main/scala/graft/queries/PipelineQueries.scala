@@ -50,6 +50,11 @@ object PipelineQueries {
   /** Stratified-sample quota: documents kept per (source, lang) stratum. */
   val SampleK = 20
 
+  /** q_alpha_mix: total sample budget distributed across languages
+    * ∝ √(language frequency) — α = 0.5 temperature smoothing.
+    */
+  val AlphaBudget = 200
+
   val defs: Seq[QueryDef] = Seq(
 
     // end-to-end corpus curation: the composition a training-data build
@@ -343,6 +348,66 @@ object PipelineQueries {
               |  FROM documents
               |)
               |GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // alpha-smoothed language mixing (α = 0.5, the mT5/XLM-R recipe):
+    // per-language sample quotas ∝ √(corpus share), so low-resource
+    // languages are up-weighted relative to their raw frequency. All
+    // arithmetic is exact and engine-portable: quotas come from
+    // floor(sqrt(n)) (IEEE sqrt is correctly rounded in both engines,
+    // floor+CAST pins the integer) and integer division of the budget;
+    // selection is the same bounded MinKByHash aggregator as
+    // q_stratified_sample — O(budget) state map-side, no whole-language
+    // window sort — with the 5-row quota table broadcast for the final
+    // trim. At 100 TB the only data-sized work is one map-side bounded
+    // aggregation of (lang, doc_id, h) triples.
+    QueryDef(
+      "q_alpha_mix",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val docs = Tables.documents(spark, dir)
+        val quota = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .select(col("lang"), col("n"),
+                  expr("CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)").as("sq"))
+          .crossJoin(broadcast(
+            docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+              .select(expr("CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)").as("sq"))
+              .agg(sum(col("sq")).as("t"))))
+          .select(col("lang"), col("n").as("lang_docs"),
+                  expr(s"($AlphaBudget * sq) div t").as("lang_take"))
+        val picked = docs
+          .select(col("source"), col("lang"), col("doc_id"),
+                  Hashing.h32(concat(lit("alpha:"), col("doc_id"))).as("h"))
+          .as[Udafs.StratumDoc]
+          .groupByKey(_.lang)
+          .agg(Udafs.MinKByHash(AlphaBudget).toColumn.name("picked"))
+          .flatMap { case (lang, ps) =>
+            ps.iterator.zipWithIndex.map { case (p, i) => (lang, p.doc_id, (i + 1).toLong) }
+          }
+          .toDF("lang", "doc_id", "sample_rank")
+        picked.join(broadcast(quota), "lang")
+          .where(col("sample_rank") <= col("lang_take"))
+          .select(col("lang"), col("doc_id"), col("sample_rank"),
+                  col("lang_docs"), col("lang_take"))
+      },
+      Some {
+        val h32 = Hashing.h32Sql("concat('alpha:', doc_id)")
+        s"""WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+           |w AS (SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS sq FROM cnt),
+           |tot AS (SELECT SUM(sq) AS t FROM w),
+           |quota AS (SELECT lang, n AS lang_docs, ($AlphaBudget * sq) // t AS lang_take FROM w, tot),
+           |r AS (
+           |  SELECT lang, doc_id, h,
+           |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+           |  FROM (SELECT lang, doc_id, $h32 AS h FROM documents)
+           |)
+           |SELECT r.lang, r.doc_id, CAST(rn AS BIGINT) AS sample_rank,
+           |       CAST(q.lang_docs AS BIGINT) AS lang_docs,
+           |       CAST(q.lang_take AS BIGINT) AS lang_take
+           |FROM r JOIN quota q ON r.lang = q.lang
+           |WHERE rn <= q.lang_take""".stripMargin
+      }
     )
   )
 }

@@ -99,6 +99,45 @@ object StreamingQueries {
     //   - one sentinel event 2 h past the corpus max pushes the watermark
     //     past every real window (append mode only emits CLOSED windows);
     //     the sentinel's own window stays open and is never emitted.
+    // the REAL stream-stream interval join ([[Streaming.clickAttribution]]):
+    // purchases matched to the same user's clicks in the preceding 7 days,
+    // replayed over the events table and aggregated per purchase. Inner
+    // joins emit matches as soon as both sides arrive, so no sentinel is
+    // needed; the watermark + range predicate exist to bound state, not to
+    // gate emission. Checked against a batch DuckDB interval join — stream
+    // and oracle compute the same pairs by entirely different algorithms
+    // (incremental symmetric hash join vs batch join).
+    QueryDef(
+      "q_streaming_click_attribution",
+      (spark, dir) => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[Streaming.Event]
+        input.addData(Streaming.eventsBatch(spark, dir).collect().toIndexedSeq: _*)
+        val sink = s"streaming_click_attr_${runId.incrementAndGet()}"
+        val q = Streaming.clickAttribution(input.toDF())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
+        val out = spark.table(sink)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_clicks"),
+               max(col("click_ts")).as("last_click_ts"))
+        val resolved = out.localCheckpoint(eager = true)
+        spark.catalog.dropTempView(sink)
+        resolved
+      },
+      Some(s"""SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+              |       MAX(c.ts) AS last_click_ts
+              |FROM events p JOIN events c
+              |  ON c.user_id = p.user_id
+              | AND c.event_type = 'click'
+              | AND c.ts < p.ts
+              | AND c.ts >= p.ts - INTERVAL ${Streaming.AttributionDays} DAY
+              |WHERE p.event_type = 'purchase'
+              |GROUP BY p.event_id""".stripMargin)
+    ),
+
     QueryDef(
       "q_streaming_window_counts",
       (spark, dir) => {

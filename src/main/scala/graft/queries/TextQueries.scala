@@ -36,6 +36,14 @@ object TextQueries {
   val HhK: Int = 64
   val HhTop: Int = 20
 
+  /** Repeated-span mining parameters: span length in tokens, minimum
+    * distinct-document spread to call a span "repeated", and how many
+    * top spans the report carries.
+    */
+  val SpanK: Int = 8
+  val SpanMinDocs: Int = 2
+  val SpanTop: Int = 20
+
   /** Co-occurrence parameters: vocabulary size (top-V by document
     * frequency) and minimum pair support for text_cooccurrence_pmi.
     */
@@ -640,6 +648,61 @@ object TextQueries {
               |)
               |SELECT term, df, total_tf, postings FROM inv
               |ORDER BY df DESC, term LIMIT 30""".stripMargin)
+    ),
+
+    // cross-document repeated-span mining: the boilerplate/template
+    // detector of LLM data curation — every SpanK-token window that
+    // recurs in ≥ SpanMinDocs distinct documents, ranked by spread. Two
+    // passes, both scale-shaped: pass 1 explodes HASHES only (8 bytes per
+    // shingle through the shuffle, never span strings) into a hash-keyed
+    // agg; pass 2 re-derives the span TEXT for just the top SpanTop hashes
+    // by streaming the corpus map-side against the broadcast winner set —
+    // the join-back pattern, so the expensive wide rows exist only for
+    // rows that made the cut. Deterministic: ranked by (n_docs, n_occ,
+    // span_hash) with min(span) as the representative (all spans of one
+    // 32-bit hash are equal modulo md5 collision).
+    QueryDef(
+      "text_repeated_spans",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache()
+        val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        val hashed = graft.dedup.Dedup
+          .shingleHashSets(docs, SpanK) // distinct per doc: n_docs counts DOCS
+          .select(col("doc_id"), explode(col("hs")).as("span_hash"))
+        val top = hashed.groupBy(col("span_hash"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"))
+          .where(col("n_docs") >= SpanMinDocs)
+          .orderBy(col("n_docs").desc, col("span_hash").asc)
+          .limit(SpanTop)
+        val spans = docs
+          .select(col("doc_id"), explode(array_distinct(shingles(col("text"), SpanK))).as("span"))
+          .select(col("doc_id"), col("span"),
+                  graft.functions.Hashing.h32(col("span")).as("span_hash"))
+        spans.join(broadcast(top), "span_hash")
+          .groupBy(col("span_hash"), col("n_docs"))
+          .agg(min(col("span")).as("span"))
+          .select(col("span_hash"), col("span"), col("n_docs"))
+          .orderBy(col("n_docs").desc, col("span_hash").asc)
+      },
+      Some {
+        val h32 = graft.functions.Hashing.h32Sql("span")
+        s"""WITH sp AS (
+           |  SELECT doc_id, unnest(list_distinct(${shinglesSql("text", SpanK)})) AS span
+           |  FROM documents
+           |),
+           |h AS (SELECT doc_id, span, $h32 AS span_hash FROM sp),
+           |top AS (
+           |  SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs
+           |  FROM h GROUP BY span_hash
+           |  HAVING COUNT(DISTINCT doc_id) >= $SpanMinDocs
+           |  ORDER BY n_docs DESC, span_hash ASC LIMIT $SpanTop
+           |)
+           |SELECT t.span_hash, MIN(h.span) AS span, CAST(t.n_docs AS BIGINT) AS n_docs
+           |FROM top t JOIN h ON h.span_hash = t.span_hash
+           |GROUP BY t.span_hash, t.n_docs
+           |ORDER BY n_docs DESC, t.span_hash ASC""".stripMargin
+      }
     )
   )
 }

@@ -130,6 +130,36 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** Attribution lookback: a purchase is credited to the same user's
+    * clicks in the [purchase − window, purchase) interval.
+    */
+  val AttributionDays: Int = 7
+
+  /** Stream–stream interval join: purchases matched to the same user's
+    * preceding clicks. Both sides carry a watermark AND the join carries
+    * the time-range predicate — together they let Spark bound the join
+    * state store (click state older than purchase-watermark −
+    * AttributionDays is evicted; without the range bound, stream-stream
+    * join state grows forever). Matches emit incrementally as both sides
+    * arrive; the state is hash-partitioned by the equi-key (user_id). The
+    * batch twin is the q_asof/q_funnel interval-join family.
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(
+      purchases,
+      col("c_user") === col("p_user") &&
+        col("click_ts") < col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $AttributionDays DAYS"))
+  }
+
   /** Batch-read the events table with the stream's schema (for parity tests
     * and for replaying history through the same code path).
     */

@@ -130,7 +130,11 @@ object ScaleStress {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val workDir = args.lift(2).getOrElse("/tmp/graft_scale_stress")
-    val spark = GraftSession.local(threads = 32, appName = "scale-stress")
+    // big-factor runs shoulder heavy shuffles in one JVM: fewer threads
+    // lowers peak memory (and GC-pause) pressure without changing the
+    // base-vs-scaled comparison, which always runs inside one config
+    val threads = sys.env.getOrElse("SPARK_GRAFT_STRESS_THREADS", "32").toInt
+    val spark = GraftSession.local(threads = threads, appName = "scale-stress")
     spark.sparkContext.setLogLevel("WARN")
 
     synthesize(spark, baseDir, factor, workDir)
@@ -163,8 +167,18 @@ object ScaleStress {
       (targets ++ normTargets.map(_._1)).flatMap(n => Seq(n -> baseDir, n -> workDir))
     val times = scala.collection.mutable.LinkedHashMap(
       cells.map(c => c -> Vector.empty[Double]): _*)
-    for (_ <- 1 to reps; cell <- cells) {
-      times(cell) = times(cell) :+ timeOnce(spark, cell._2, cell._1)
+    // evidence is STREAMED (the graft.Bench lesson): one line per completed
+    // (cell, rep) measurement, so a run killed mid-flight — big-factor runs
+    // are long and a 2-minute GC pause once took the whole JVM down — still
+    // leaves every completed observation in the log
+    val wall0 = System.nanoTime()
+    for (r <- 1 to reps; cell <- cells) {
+      val t = timeOnce(spark, cell._2, cell._1)
+      times(cell) = times(cell) :+ t
+      val side = if (cell._2 == baseDir) "base" else "scaled"
+      println(f"[scale-stress] rep $r/$reps ${cell._1}%-24s $side%-6s $t%8.3fs " +
+        f"(elapsed ${(System.nanoTime() - wall0) / 1e9}%.0fs)")
+      System.out.flush()
     }
     def best(dir: String, name: String): Double = times((name, dir)).min
     var allOk = true

@@ -26,4 +26,40 @@ class GraphSpec extends SparkTestBase {
     assert(topMass <= (1L << 40), "top-20 mass alone must stay under the total budget")
     spark.catalog.clearCache()
   }
+
+  test("triangles: counts satisfy the orientation invariants") {
+    val r = SparkEntry.queries("q_triangles")(spark, sf).collect()(0)
+    val (nodes, edges, wedges, tris) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nodes > 0 && edges > 0, "graph non-empty")
+    // orientation makes the edge list a DAG: wedges bound triangles, and
+    // an undirected edge set can't exceed n(n-1)/2
+    assert(tris <= wedges, "every triangle closes a wedge")
+    assert(edges <= nodes * (nodes - 1) / 2, "simple-graph edge bound")
+    spark.catalog.clearCache()
+  }
+
+  test("triangles: matches the unoriented closed-triple count on a planted graph") {
+    import spark.implicits._
+    // K4 ∪ a path: K4 has exactly 4 triangles, the path none. Feed the
+    // oriented-count pipeline shape directly (pairs u<v, one per edge).
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (10L, 11L), (11L, 12L)) // path
+    val e = edges.toDF("u", "v")
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val ranked = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val o = ranked.select(
+      when(fwd, col("u")).otherwise(col("v")).as("src"),
+      when(fwd, col("v")).otherwise(col("u")).as("dst"))
+    val w = o.select(col("src").as("a"), col("dst").as("b"))
+      .join(o.select(col("src").as("b"), col("dst").as("c")), "b")
+    val tris = w.join(o.select(col("src").as("a"), col("dst").as("c")),
+                      Seq("a", "c"), "left_semi").count()
+    assert(tris == 4L, s"K4 has exactly 4 triangles, got $tris")
+  }
 }

@@ -180,4 +180,25 @@ class StreamingSpec extends SparkTestBase {
            "summed window counts must equal the full event count (no window lost to the watermark)")
     spark.catalog.clearCache()
   }
+
+  test("stream-stream click attribution honors the interval boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val week = 7 * 24 * 60 // minutes
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 10, "click", 0.0),            // exactly 7 days before → included
+      Event(2, ts(week - 1), 10, "click", 0.0),     // 1 min before → included
+      Event(3, ts(week), 10, "purchase", 9.0),      // the purchase
+      Event(4, ts(week), 10, "click", 0.0),         // same instant → EXCLUDED (strict <)
+      Event(5, ts(week + 1), 10, "click", 0.0),     // after → excluded
+      Event(6, ts(week - 5), 77, "click", 0.0))     // other user → excluded
+    val q = Streaming.clickAttribution(input.toDF())
+      .writeStream.format("memory").queryName("attr_spec")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination()
+    val got = spark.table("attr_spec").select("click_id").collect().map(_.getLong(0)).toSet
+    spark.catalog.dropTempView("attr_spec")
+    assert(got == Set(1L, 2L),
+           s"expected clicks {1,2} attributed (inclusive 7-day start, exclusive end), got $got")
+  }
 }
