@@ -24,6 +24,16 @@ object SimilarityQueries {
   private val NumQueries = 10
   private val K = 10
 
+  /** q_hybrid_search: per-arm list depth, fused report depth, the standard
+    * RRF damping constant k=60, the ×10^6 fixed-point scale, and which
+    * vector is the query (its doc twin carries the lexical side).
+    */
+  private val HybridK = 20
+  private val HybridTop = 10
+  private val RrfK = 60
+  private val RrfScale = 1000000L
+  private val HybridQueryVec = 0L
+
   // IVF parameters, shared by the Spark build and the oracle SQL so the
   // two sides cannot drift independently
   private val IvfCells = 16
@@ -710,6 +720,124 @@ object SimilarityQueries {
             .as("candidate_fraction"))
       },
       Some(semanticSql)
+    ),
+
+    // hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+    // vector (exact cosine) arms — the RAG-stack shape where both indexes
+    // vote. The id spaces align 1:1 (doc_id = vec_id in the testdata), so
+    // fusion is a full-outer join of two top-HybridK rank lists. RRF
+    // scores are exact ×10^6 fixed point (10^6 div (60 + rank), the
+    // standard k=60), so the fused ordering is bit-identical across
+    // engines — no float accumulation anywhere in the fusion. Scale
+    // shape: each arm ends in its own bounded top-k (TakeOrderedAndProject
+    // for BM25, the O(k) TopKByScore aggregator for cosine); the ranking
+    // windows and the outer join run on ≤ 2·HybridK rows by construction.
+    QueryDef(
+      "q_hybrid_search",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import graft.queries.{TextQueries => TQ}
+        import graft.text.TextAnalysis
+        val (k1, b) = (TQ.Bm25K1, TQ.Bm25B)
+        // lexical arm — the q_bm25_search scoring, truncated to HybridK
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .withColumn("len", size(col("toks")).cast("long"))
+        val withTf = TQ.Bm25Terms.foldLeft(docs) { case (d, t) =>
+          d.withColumn(s"tf_$t", size(filter(col("toks"), x => x === t)).cast("long"))
+        }.drop("toks")
+        val statAggs =
+          Seq(count(lit(1)).as("n_docs"), sum(col("len")).cast("long").as("sum_len")) ++
+            TQ.Bm25Terms.map(t => sum(when(col(s"tf_$t") > 0L, 1L).otherwise(0L))
+              .cast("long").as(s"df_$t"))
+        val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+        val scored = withTf.crossJoin(broadcast(stats))
+          .withColumn("avglen", col("sum_len").cast("double") / col("n_docs").cast("double"))
+          .withColumn("normv",
+            lit(1.0d - b) + lit(b) * (col("len").cast("double") / col("avglen")))
+        val termScore = TQ.Bm25Terms.map { t =>
+          val tf = col(s"tf_$t").cast("double")
+          val df = col(s"df_$t").cast("double")
+          val idf = ((col("n_docs").cast("double") - df) + lit(0.5d)) / (df + lit(0.5d))
+          idf * ((tf * lit(k1 + 1.0d)) / (tf + lit(k1) * col("normv")))
+        }.reduceLeft(_ + _)
+        val lexTop = scored.select(col("doc_id"), termScore.as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(HybridK)
+        // unpartitioned window is safe HERE ONLY: input is the ≤HybridK-row
+        // result of the top-k above, not corpus-sized
+        val lex = lexTop
+          .withColumn("lex_rank",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+          .select(col("doc_id"), col("lex_rank"))
+        // vector arm — exact cosine vs query vector HybridQueryVec
+        val n = normed(spark, dir)
+        val q = n.where(col("vec_id") === HybridQueryVec)
+          .select(col("v").as("qv"), col("nrm").as("qn"))
+        val vecScored = n.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= HybridQueryVec)
+          .select(lit(0L).as("query_id"), col("vec_id"), col("label"),
+                  (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+        val vec = perQueryTopK(spark, vecScored, HybridK)
+          .select(col("vec_id").as("doc_id"), col("rank").as("vec_rank"))
+        // fusion: exact fixed-point RRF, absent arm contributes 0
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+                  (when(col("lex_rank").isNull, lit(0L))
+                     .otherwise(expr(s"$RrfScale div ($RrfK + lex_rank)")) +
+                   when(col("vec_rank").isNull, lit(0L))
+                     .otherwise(expr(s"$RrfScale div ($RrfK + vec_rank)"))).as("rrf_fx"))
+          .orderBy(col("rrf_fx").desc, col("doc_id").asc)
+          .limit(HybridTop)
+      },
+      Some {
+        import graft.queries.{TextQueries => TQ}
+        import graft.text.TextAnalysis
+        val (k1, b) = (TQ.Bm25K1, TQ.Bm25B)
+        val tfCols = TQ.Bm25Terms.map(t =>
+          s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n  ")
+        val dfCols = TQ.Bm25Terms.map(t =>
+          s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n  ")
+        val score = TQ.Bm25Terms.map { t =>
+          val idf = s"(((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE)) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))"
+          s"($idf * ((CAST(tf_$t AS DOUBLE) * ${k1 + 1.0d}) / (CAST(tf_$t AS DOUBLE) + $k1 * normv)))"
+        }.reduceLeft((a, x) => s"($a + $x)")
+        s"""WITH d AS (
+           |  SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks FROM documents
+           |), tf AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
+           |  $tfCols
+           |  FROM d
+           |), st AS (
+           |  SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len,
+           |  $dfCols
+           |  FROM tf
+           |), sc AS (
+           |  SELECT doc_id,
+           |         (${1.0d - b} + $b * (CAST(len AS DOUBLE) /
+           |            (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS normv,
+           |         n_docs, ${TQ.Bm25Terms.map(t => s"tf_$t, df_$t").mkString(", ")}
+           |  FROM tf CROSS JOIN st
+           |), lex AS (
+           |  SELECT doc_id, CAST(row_number() OVER (ORDER BY $score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+           |  FROM sc ORDER BY $score DESC, doc_id ASC LIMIT $HybridK
+           |),
+           |$normedSql,
+           |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = $HybridQueryVec),
+           |vs AS (
+           |  SELECT n.vec_id AS doc_id,
+           |         (${Vectors.dotSql("qv", "v")} / (qn * nrm)) AS cosine
+           |  FROM n CROSS JOIN q WHERE n.vec_id <> $HybridQueryVec
+           |), vec AS (
+           |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS vec_rank
+           |  FROM vs ORDER BY cosine DESC, doc_id ASC LIMIT $HybridK
+           |)
+           |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+           |       CAST(CASE WHEN lex_rank IS NULL THEN 0 ELSE $RrfScale // ($RrfK + lex_rank) END +
+           |            CASE WHEN vec_rank IS NULL THEN 0 ELSE $RrfScale // ($RrfK + vec_rank) END
+           |            AS BIGINT) AS rrf_fx
+           |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+           |ORDER BY rrf_fx DESC, doc_id ASC LIMIT $HybridTop""".stripMargin
+      }
     )
   )
 }

@@ -44,6 +44,9 @@ object TextQueries {
   val SpanMinDocs: Int = 2
   val SpanTop: Int = 20
 
+  /** text_bpe_pairs: how many top character pairs the report carries. */
+  val BpeTop: Int = 30
+
   /** Co-occurrence parameters: vocabulary size (top-V by document
     * frequency) and minimum pair support for text_cooccurrence_pmi.
     */
@@ -703,6 +706,44 @@ object TextQueries {
            |GROUP BY t.span_hash, t.n_docs
            |ORDER BY n_docs DESC, t.span_hash ASC""".stripMargin
       }
+    ),
+
+    // BPE trainer inner loop, iteration 0: corpus-weighted adjacent
+    // character-pair counts within words — the statistic a byte-pair-
+    // encoding tokenizer maximizes at each merge. Two hash aggs, both
+    // bounded: words collapse to the VOCABULARY first (so a word repeated
+    // 10^9 times at 100 TB is one row with a weight, not 10^9 pair
+    // explosions), then pairs generate map-side from the vocab rows and
+    // aggregate to at most |alphabet|² keys. Integer counts throughout.
+    QueryDef(
+      "text_bpe_pairs",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val vocab = Tables.documents(spark, dir)
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+          .where(length(col("word")) >= 2)
+        vocab
+          .select(col("wn"), explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+          .groupBy(col("pair"))
+          .agg(sum(col("wn")).cast("long").as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("pair").asc)
+          .limit(BpeTop)
+      },
+      Some(s"""WITH w AS (
+              |  SELECT word, COUNT(*) AS wn FROM (
+              |    SELECT unnest(${tokensSql("text")}) AS word FROM documents)
+              |  GROUP BY word HAVING length(word) >= 2
+              |),
+              |p AS (
+              |  SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+              |                               i -> substr(word, i, 2))) AS pair, wn
+              |  FROM w
+              |)
+              |SELECT pair, CAST(SUM(wn) AS BIGINT) AS n_pairs
+              |FROM p GROUP BY pair
+              |ORDER BY n_pairs DESC, pair ASC LIMIT $BpeTop""".stripMargin)
     )
   )
 }

@@ -224,6 +224,14 @@ class PlanSpec extends SparkTestBase {
            s"the pruned probe must not full-shuffle against the filter:\n$plan")
   }
 
+  test("hybrid search: both arms end in bounded top-k operators") {
+    val plan = planOf("q_hybrid_search")
+    assert(plan.contains("TakeOrderedAndProject"),
+           s"lexical arm must top-k via TakeOrderedAndProject, not a full sort:\n$plan")
+    assert(plan.contains("TopKByScore") || plan.contains("ObjectHashAggregate"),
+           s"vector arm must use the bounded map-side top-k aggregator:\n$plan")
+  }
+
   test("scd2 intervals reuse one user_id exchange for all three windows") {
     val plan = planOf("q_scd2_intervals")
     // lag-mark, running-sum version and lead(valid_to) all partition by
