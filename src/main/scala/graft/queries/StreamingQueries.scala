@@ -30,6 +30,9 @@ object StreamingQueries {
     */
   private val runId = new AtomicInteger(0)
 
+  /** One document in the replayed stream (q_streaming_dedup). */
+  final case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_streaming_sessionize",
@@ -136,6 +139,43 @@ object StreamingQueries {
               | AND c.ts >= p.ts - INTERVAL ${Streaming.AttributionDays} DAY
               |WHERE p.event_type = 'purchase'
               |GROUP BY p.event_id""".stripMargin)
+    ),
+
+    // the REAL watermark-bounded streaming dedup
+    // ([[Streaming.streamingDedup]], `dropDuplicatesWithinWatermark` on the
+    // normalized content hash) replayed over the documents table. WHICH
+    // physical row survives per hash is arrival/partition-order dependent,
+    // so the oracle-checked result is the surviving KEY SET — exactly one
+    // row per distinct content hash, no duplicate leaked, no key lost —
+    // which is the dedup contract itself and is deterministic. The batch
+    // twin is dedup_exact's distinct-hash set.
+    QueryDef(
+      "q_streaming_dedup",
+      (spark, dir) => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[StreamDoc]
+        val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        val docs = graft.Tables.documents(spark, dir)
+          .select(col("doc_id").cast("long").as("_1"), col("text").as("_2"))
+          .as[(Long, String)]
+          .collect().toIndexedSeq
+          .map { case (id, text) =>
+            StreamDoc(id, text, new Timestamp(base.getTime + id * 1000L))
+          }
+        input.addData(docs: _*)
+        val sink = s"streaming_dedup_${runId.incrementAndGet()}"
+        val q = Streaming.streamingDedup(input.toDF())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
+        val out = spark.table(sink).select(col("content_md5"))
+        val resolved = out.localCheckpoint(eager = true)
+        spark.catalog.dropTempView(sink)
+        resolved
+      },
+      Some(s"""SELECT DISTINCT ${graft.text.TextAnalysis.contentHashSql("text")} AS content_md5
+              |FROM documents""".stripMargin)
     ),
 
     QueryDef(
