@@ -722,6 +722,46 @@ object SimilarityQueries {
       Some(semanticSql)
     ),
 
+    // model-based quality filtering (the FineWeb-edu / DCLM shape): a
+    // fixed linear probe scored over every embedding, keep iff the logit
+    // clears 0. The probe weight vector is the shared ±1 hyperplane
+    // Planes(0) — already defined identically on both engines for LSH —
+    // and the logit is the norm-scaled projection via the strict-order
+    // DotProduct, so scores are bit-identical cross-engine (no exp/sigmoid
+    // anywhere: sigmoid is monotone, thresholding the logit IS
+    // thresholding the probability at ½). Map-only over the corpus — at
+    // 100 TB this is a pure scan-bound scoring pass, the exact shape of a
+    // production classifier filter (weights broadcast, one pass, no
+    // shuffle except the per-label rollup).
+    QueryDef(
+      "q_classifier_filter",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val w = array(Vectors.Planes(0).map(x => lit(x.toDouble)): _*)
+        val n = normed(spark, dir)
+          .withColumn("logit", Vectors.dot(col("v"), w) / col("nrm"))
+        n.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_total"),
+               sum(when(col("logit") > 0.0d, 1L).otherwise(0L)).cast("long").as("n_kept"),
+               min(when(col("logit") > 0.0d, col("vec_id"))).as("first_kept_id"))
+          .orderBy(col("label"))
+      },
+      Some {
+        val wLit = Vectors.Planes(0).mkString("[", ", ", "]::DOUBLE[]")
+        s"""WITH $normedSql,
+           |w AS (SELECT $wLit AS wv),
+           |s AS (
+           |  SELECT vec_id, label,
+           |         (${Vectors.dotSql("v", "wv")} / nrm) AS logit
+           |  FROM n CROSS JOIN w
+           |)
+           |SELECT label, COUNT(*) AS n_total,
+           |       CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |       MIN(CASE WHEN logit > 0 THEN vec_id END) AS first_kept_id
+           |FROM s GROUP BY label ORDER BY label""".stripMargin
+      }
+    ),
+
     // hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
     // vector (exact cosine) arms — the RAG-stack shape where both indexes
     // vote. The id spaces align 1:1 (doc_id = vec_id in the testdata), so
