@@ -21,8 +21,18 @@ object DedupQueries {
     * behind `dedup_minhash_lsh`, shared by `dedup_clusters`. See the
     * QueryDef comments for the staging/persist rationale.
     */
-  private def minhashPairsSpark(spark: org.apache.spark.sql.SparkSession,
-                                dir: String): org.apache.spark.sql.DataFrame = {
+  /** (signatures, candidate pairs) behind `dedup_minhash_lsh` — the
+    * candidate stage is exposed (like [[ngramStages]]) so the scale rig can
+    * grade per-candidate cost: banded LSH candidate volume carries an
+    * n²·E[j²] random-collision term that is invisible at 10⁴–10⁵ docs and
+    * measured dominant by 5·10⁵ (the ×100 stress) — a parameter property
+    * of 8×2 banding at est-jaccard ≥ 0.5, not a per-pair cost regression.
+    * The ≥10⁶-doc production setting uses more rows per band (e.g. 128
+    * perms as 16×8) to push that term back under the linear one, trading
+    * recall at the low end of the similarity range.
+    */
+  private[graft] def minhashStages(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val docs = Tables.documents(spark, dir)
     // Staged projections, then persist. The stages matter: each binds an
     // intermediate array ONCE per row before the next stage's lambdas
@@ -46,6 +56,12 @@ object DedupQueries {
               col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    (sigs, pairs)
+  }
+
+  private def minhashPairsSpark(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
+    val (sigs, pairs) = minhashStages(spark, dir)
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
