@@ -655,34 +655,43 @@ object TextQueries {
 
     // cross-document repeated-span mining: the boilerplate/template
     // detector of LLM data curation — every SpanK-token window that
-    // recurs in ≥ SpanMinDocs distinct documents, ranked by spread. Two
-    // passes, both scale-shaped: pass 1 explodes HASHES only (8 bytes per
-    // shingle through the shuffle, never span strings) into a hash-keyed
-    // agg; pass 2 re-derives the span TEXT for just the top SpanTop hashes
-    // by streaming the corpus map-side against the broadcast winner set —
-    // the join-back pattern, so the expensive wide rows exist only for
-    // rows that made the cut. Deterministic: ranked by (n_docs, n_occ,
-    // span_hash) with min(span) as the representative (all spans of one
-    // 32-bit hash are equal modulo md5 collision).
+    // recurs in ≥ SpanMinDocs distinct documents, ranked by spread. Scale
+    // shape: one persisted per-doc shingle stage (the shingle table,
+    // written once at cluster scale) feeds both the hash-keyed spread agg
+    // — column pruning keeps span STRINGS out of that shuffle, only
+    // (doc_id, span_hash) flows — and the representative-text derivation,
+    // which joins the broadcast top-SpanTop winner set map-side so wide
+    // rows exist only for spans that made the cut. Deterministic: ranked
+    // by (n_docs, span_hash) with min(span) as the representative (all
+    // spans of one 32-bit hash are equal modulo md5 collision).
     QueryDef(
       "text_repeated_spans",
       (spark, dir) => {
         GraftSession.tune(spark)
         spark.catalog.clearCache()
         val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-        val hashed = graft.dedup.Dedup
-          .shingleHashSets(docs, SpanK) // distinct per doc: n_docs counts DOCS
-          .select(col("doc_id"), explode(col("hs")).as("span_hash"))
+        // ONE persisted shingle stage feeding both passes. The persist is a
+        // materialization barrier BEFORE the explodes — exploding a
+        // computed array column re-evaluates its expression chain per
+        // generated element (measured: 7.4s for the bare explode vs 0.3s
+        // packed at sf0.1; the same trap minhashPairsSpark documents), and
+        // at cluster scale this stage is the shingle table written once.
+        val sp = docs
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= SpanK)
+          .select(col("doc_id"), array_distinct(shinglesOf(col("toks"), SpanK)).as("sps"))
+          .persist()
+        sp.count() // eager: both explodes below must read the cache
+        val hashed = sp // distinct per doc: n_docs counts DOCS
+          .select(col("doc_id"), explode(col("sps")).as("span"))
+          .select(col("doc_id"), col("span"),
+                  graft.functions.Hashing.h32(col("span")).as("span_hash"))
         val top = hashed.groupBy(col("span_hash"))
           .agg(countDistinct(col("doc_id")).as("n_docs"))
           .where(col("n_docs") >= SpanMinDocs)
           .orderBy(col("n_docs").desc, col("span_hash").asc)
           .limit(SpanTop)
-        val spans = docs
-          .select(col("doc_id"), explode(array_distinct(shingles(col("text"), SpanK))).as("span"))
-          .select(col("doc_id"), col("span"),
-                  graft.functions.Hashing.h32(col("span")).as("span_hash"))
-        spans.join(broadcast(top), "span_hash")
+        hashed.join(broadcast(top), "span_hash")
           .groupBy(col("span_hash"), col("n_docs"))
           .agg(min(col("span")).as("span"))
           .select(col("span_hash"), col("span"), col("n_docs"))
