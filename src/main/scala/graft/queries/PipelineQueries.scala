@@ -55,6 +55,12 @@ object PipelineQueries {
     */
   val AlphaBudget = 200
 
+  /** q_upsample_repeat: repeat factor per source in permille (2500 = each
+    * doc appears 2 or 3 times, expectation 2.5); unlisted sources 1.0.
+    */
+  val RepeatPermille: Seq[(String, Int)] =
+    Seq("src0" -> 2500, "src1" -> 1300, "src2" -> 1000)
+
   val defs: Seq[QueryDef] = Seq(
 
     // end-to-end corpus curation: the composition a training-data build
@@ -407,6 +413,55 @@ object PipelineQueries {
            |       CAST(q.lang_take AS BIGINT) AS lang_take
            |FROM r JOIN quota q ON r.lang = q.lang
            |WHERE rn <= q.lang_take""".stripMargin
+      }
+    ),
+
+    // fractional-repeat upsampling (epoch mixing): high-quality sources
+    // repeat a non-integer number of times (e.g. ×2.5) — every doc gets
+    // floor(f) copies and one more with probability frac(f), decided by a
+    // content-independent hash, so the materialized dataset is exactly
+    // reproducible and the expected source mix matches the recipe. The
+    // repeat materializes map-side as explode(sequence(1, m)) — no
+    // shuffle touches the repeated rows; the rollup checks both the
+    // multiplicity accounting and an epoch-0 invariant (every doc appears
+    // at least once when f ≥ 1). At 100 TB this is the standard
+    // deterministic alternative to RNG-based upsampling, stable across
+    // retries/re-partitioning.
+    QueryDef(
+      "q_upsample_repeat",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val fPermille = RepeatPermille.foldRight(lit(1000)) { case ((s, f), acc) =>
+          when(col("source") === s, lit(f)).otherwise(acc)
+        }
+        val m = Tables.documents(spark, dir)
+          .select(col("source"), col("doc_id"), fPermille.as("f"))
+          .select(col("source"), col("doc_id"), col("f"),
+                  (expr("f div 1000") +
+                    when(pmod(Hashing.h32(concat(lit("rep:"), col("doc_id"))), lit(1000L))
+                           < col("f") % 1000, 1L).otherwise(0L)).as("m"))
+        val rows = m.select(col("source"), col("doc_id"), col("m"),
+                            explode(expr("sequence(1, m)")).as("copy"))
+        rows.groupBy(col("source"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+               count(lit(1)).as("n_rows"),
+               max(col("copy")).cast("long").as("max_copies"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val f = RepeatPermille.foldRight("1000") { case ((s, p), acc) =>
+          s"CASE WHEN source = '$s' THEN $p ELSE $acc END"
+        }
+        val h = Hashing.h32Sql("concat('rep:', doc_id)")
+        s"""WITH m AS (
+           |  SELECT source, doc_id, f,
+           |         (f // 1000) + (CASE WHEN ($h % 1000) < (f % 1000) THEN 1 ELSE 0 END) AS m
+           |  FROM (SELECT source, doc_id, $f AS f FROM documents)
+           |),
+           |r AS (SELECT source, doc_id, m, unnest(generate_series(1, m)) AS copy FROM m)
+           |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |       COUNT(*) AS n_rows, CAST(MAX(copy) AS BIGINT) AS max_copies
+           |FROM r GROUP BY source ORDER BY source""".stripMargin
       }
     )
   )
