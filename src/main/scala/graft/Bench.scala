@@ -113,9 +113,15 @@ object Bench {
       named.map { case (name, _) => name -> Vector.empty[Double] }: _*)
     var budgetExhausted = false
 
-    // One stdout JSON line in the FINAL schema, from whatever has completed
-    // so far. Only queries with ≥1 completed rep appear, so a killed run's
-    // last line is a valid per-query partial artifact.
+    // One stdout JSON line from whatever has completed so far. Only queries
+    // with ≥1 completed rep appear, so a killed run's last line is a valid
+    // per-query partial artifact. Partial (streamed) lines carry the full
+    // per-rep arrays; the FINAL line drops them and keeps only per-query
+    // mins — round 6's final line (87 queries × rep arrays) outgrew the
+    // driver's tail capture, truncating the head of the line and leaving
+    // BENCH_r06.json unparseable (`parsed: null`) despite rc 0. The rep
+    // detail still reaches the log via the last partial line, which is
+    // printed immediately before the compact final one.
     def emit(partial: Boolean): Unit = {
       val done = named.map(_._1).filter(n => times(n).nonEmpty)
       val results = done.map { name =>
@@ -124,12 +130,14 @@ object Bench {
       }
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val repArrays = done.map { name =>
-        s"\"" + name + "\":" + times(name).mkString("[", ",", "]")
-      }.mkString("{", ",", "}")
+      val repArrays =
+        if (!partial) "" // compact final line: driver-parseable tail
+        else "\"reps\":" + done.map { name =>
+          s"\"" + name + "\":" + times(name).mkString("[", ",", "]")
+        }.mkString("{", ",", "}") + ","
       // failures keep their -1 marker per query but must not shrink the total
       val total = results.map(_._2).filter(_ >= 0).sum
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repArrays,"sf":"$sfDir","partial":$partial,"elapsed_sec":${"%.1f".format(elapsed)},"budget_exhausted":$budgetExhausted}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$repArrays"sf":"$sfDir","partial":$partial,"elapsed_sec":${"%.1f".format(elapsed)},"budget_exhausted":$budgetExhausted}""")
       System.out.flush()
     }
 

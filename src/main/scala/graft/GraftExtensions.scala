@@ -39,7 +39,7 @@ object GraftExtensions {
 
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     unary("h32_array", H32Array.apply),
-    unary("minhash_signature", MinHashSignature.apply),
+    unary("minhash_signature", e => MinHashSignature(e)),
     unary("simhash32", SimHash32.apply),
     ("dot_product",
      new ExpressionInfo(classOf[GraftExtensions].getName, "dot_product"),

@@ -54,19 +54,21 @@ object Dedup {
       .select(col("doc_id"),
               array_distinct(graft.expressions.SignatureExpressions.h32Array(col("shn"))).as("hs"))
 
-  /** MinHash signature: for each of the [[Hashing.NumPerms]] affine
+  /** MinHash signature: for each of the first `numPerms` affine
     * permutations, the minimum permuted shingle hash. NULL entries iff the
     * document has no shingles (fewer than k tokens) — callers filter those.
     * Backed by the one-pass custom expression
     * ([[graft.expressions.SignatureExpressions.MinHashSignature]]); the
     * equivalent built-in form is `array(array_min(transform(hs, perm_i)) …)`
-    * — same values, 16 interpreted passes instead of one primitive loop.
+    * — same values, numPerms interpreted passes instead of one primitive
+    * loop. Width defaults to the narrow [[Hashing.NumPerms]] prefix; the
+    * 16×8-banded near-dup path passes [[Hashing.NumPermsWide]].
     */
-  def minhashSignature(hashSet: Column): Column =
-    graft.expressions.SignatureExpressions.minhashSignature(hashSet)
+  def minhashSignature(hashSet: Column, numPerms: Int = NumPerms): Column =
+    graft.expressions.SignatureExpressions.minhashSignature(hashSet, numPerms)
 
-  def minhashSignatureSql(hs: String): String =
-    (0 until NumPerms)
+  def minhashSignatureSql(hs: String, numPerms: Int = NumPerms): String =
+    (0 until numPerms)
       .map(i => s"list_min(list_transform($hs, h -> ${permSql(i, "h")}))")
       .mkString("[", ", ", "]")
 
@@ -75,29 +77,29 @@ object Dedup {
     * their signatures agree on all r entries of that band — P = jaccard^r
     * per band, so recall = 1-(1-j^r)^(numPerms/r).
     */
-  def bandKeys(sig: Column, r: Int): Column =
-    array((0 until NumPerms / r).map { b =>
+  def bandKeys(sig: Column, r: Int, numPerms: Int = NumPerms): Column =
+    array((0 until numPerms / r).map { b =>
       concat_ws(":", (0 until r).map(i => element_at(sig, b * r + i + 1)): _*)
     }: _*)
 
-  def bandKeysSql(sig: String, r: Int): String =
-    (0 until NumPerms / r)
+  def bandKeysSql(sig: String, r: Int, numPerms: Int = NumPerms): String =
+    (0 until numPerms / r)
       .map { b =>
         (0 until r).map(i => s"CAST($sig[${b * r + i + 1}] AS VARCHAR)").mkString(" || ':' || ")
       }
       .mkString("[", ", ", "]")
 
   /** Fraction of agreeing signature positions — the MinHash estimate of
-    * Jaccard similarity. Exact dyadic rational (n/NumPerms), so the double
+    * Jaccard similarity. Exact dyadic rational (n/numPerms), so the double
     * is bit-identical across engines.
     */
-  def estJaccard(sigA: Column, sigB: Column): Column =
-    size(filter(sequence(lit(1), lit(NumPerms)), i => element_at(sigA, i) === element_at(sigB, i)))
-      .cast("double") / lit(NumPerms.toDouble)
+  def estJaccard(sigA: Column, sigB: Column, numPerms: Int = NumPerms): Column =
+    size(filter(sequence(lit(1), lit(numPerms)), i => element_at(sigA, i) === element_at(sigB, i)))
+      .cast("double") / lit(numPerms.toDouble)
 
-  def estJaccardSql(sigA: String, sigB: String): String =
-    s"(CAST(len(list_filter(generate_series(1, $NumPerms), i -> $sigA[i] = $sigB[i])) AS DOUBLE)" +
-      s" / CAST($NumPerms AS DOUBLE))"
+  def estJaccardSql(sigA: String, sigB: String, numPerms: Int = NumPerms): String =
+    s"(CAST(len(list_filter(generate_series(1, $numPerms), i -> $sigA[i] = $sigB[i])) AS DOUBLE)" +
+      s" / CAST($numPerms AS DOUBLE))"
 
   /** Exact Jaccard similarity of two pre-distinct arrays. */
   def jaccard(a: Column, b: Column): Column =

@@ -60,22 +60,23 @@ object SignatureExpressions {
       copy(child = newChild)
   }
 
-  /** `array<long>` → `array<long>`: the [[Hashing.NumPerms]]-entry MinHash
-    * signature — min over the array of `(a_p*h + b_p) mod P` for each
-    * permutation p — in one pass.
+  /** `array<long>` → `array<long>`: the `numPerms`-entry MinHash signature
+    * — min over the array of `(a_p*h + b_p) mod P` for each permutation p
+    * — in one pass. Width defaults to the narrow [[Hashing.NumPerms]]
+    * prefix; the wide [[Hashing.NumPermsWide]] form backs the 16×8-banded
+    * near-dup path.
 
     * Empty input yields an all-NULL signature (matching
     * `array_min(empty) = NULL`); callers filter empty docs.
     */
-  case class MinHashSignature(child: Expression)
+  case class MinHashSignature(child: Expression, numPerms: Int = Hashing.NumPerms)
       extends UnaryExpression with CodegenFallback {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = true)
     override def prettyName: String = "minhash_signature"
 
-    private val permA = Hashing.PermA.toArray
-    private val permB = Hashing.PermB.toArray
-    private val numPerms = Hashing.NumPerms
+    private val permA = Hashing.PermA.take(numPerms).toArray
+    private val permB = Hashing.PermB.take(numPerms).toArray
 
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -86,12 +87,12 @@ object SignatureExpressions {
       while (i < n) {
         if (!arr.isNullAt(i)) {
           any = true
-          val h = arr.getLong(i)
+          val h = arr.getLong(i) % Hashing.M
           var p = 0
           while (p < numPerms) {
-            // h ∈ [0,2^32), a < 2^30 ⇒ a*h+b < 2^63: exact; operands
+            // h' < M, a < M ⇒ a*h'+b < (M-1)²+M < 2^62: exact; operands
             // non-negative ⇒ % == pmod
-            val v = (permA(p) * h + permB(p)) % Hashing.P
+            val v = (permA(p) * h + permB(p)) % Hashing.M
             if (v < mins(p)) mins(p) = v
             p += 1
           }
@@ -151,8 +152,8 @@ object SignatureExpressions {
   def h32Array(c: Column): Column =
     ColumnBridge.column(H32Array(ColumnBridge.expression(c)))
 
-  def minhashSignature(c: Column): Column =
-    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c)))
+  def minhashSignature(c: Column, numPerms: Int = Hashing.NumPerms): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), numPerms))
 
   def simhash32(c: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(c)))

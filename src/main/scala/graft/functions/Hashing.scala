@@ -31,28 +31,54 @@ object Hashing {
   def h32Sql(expr: String): String =
     s"CAST(concat('0x', substr(md5($expr), 1, 8)) AS BIGINT)"
 
-  /** Mersenne prime 2^61-1: modulus of the affine minhash permutations.
-    * a*h + b stays < 2^63 for a < 2^30, h < 2^32.
+  /** Mersenne prime 2^31-1: modulus of the affine minhash permutations.
+    * The hash is first reduced mod M, and multipliers range over [1, M),
+    * so `a * (h mod M)` wraps the modulus ~10⁹ times — a genuinely mixing
+    * universal-hash family. (An earlier family used modulus 2^61-1 with
+    * multipliers < 2^30 to keep `a*h` in Long range, but then `a*h+b`
+    * wraps AT MOST ONCE for 32-bit `h`: the map is close to
+    * order-preserving, its argmins rank-correlate across "permutations",
+    * and dissimilar documents agree on large signature prefixes — measured
+    * as est-jaccard ≈ 0.57 on pairs with true jaccard < 0.01, which is
+    * also the real driver of the ×100 banded-candidate explosion the
+    * round-6 stress log attributed to banding shape alone.) Products stay
+    * exact: (M-1)² < 2^62.
     */
-  val P: Long = 2305843009213693951L
+  val M: Long = 2147483647L
 
-  /** Fixed affine permutation constants (prime multipliers < 2^30, so
-    * `a*h` stays < 2^62 for 32-bit `h`). Derived from small primes; any
-    * fixed values work, they just must match the oracle side ([[permSql]]).
+  /** Fixed affine permutation constants: `a_i ∈ [1, M)`, `b_i ∈ [0, M)`,
+    * generated from golden-ratio Weyl sequences (deterministic,
+    * well-mixed, pairwise distinct). Any fixed values work — they just
+    * must match the oracle side ([[permSql]]), which renders from these
+    * same arrays.
     */
-  val PermA: Seq[Long] = Seq(
-    98317L, 196613L, 393241L, 786433L, 1572869L, 3145739L, 6291469L, 12582917L,
-    25165843L, 50331653L, 100663319L, 201326611L, 402653189L, 805306457L, 268435399L, 536870909L)
-  val PermB: Seq[Long] = Seq(
-    53L, 97L, 193L, 389L, 769L, 1543L, 3079L, 6151L,
-    12289L, 24593L, 49157L, 98317L, 196613L, 393241L, 786433L, 1572869L)
-  val NumPerms: Int = PermA.size
+  val PermA: IndexedSeq[Long] =
+    (0 until 128).map(i => (((0x9E3779B97F4A7C15L * (i + 1)) >>> 3) % (M - 1)) + 1)
+  val PermB: IndexedSeq[Long] =
+    (0 until 128).map(i => ((0xC2B2AE3D27D4EB4FL * (i + 1)) >>> 3) % M)
 
-  /** Affine permutation `perm(i, h) = (a_i * h + b_i) mod P` of a hash. */
+  /** Narrow signature width: the 16-perm prefix used by the r=2
+    * low-threshold banding paths (`dedup_ngram_jaccard`) and the
+    * SQL-injected `minhash_signature`.
+    */
+  val NumPerms: Int = 16
+
+  /** Wide signature width for high-threshold LSH banding (16 bands × 8
+    * rows — see `DedupQueries.minhashStages`): the ×100 stress run measured
+    * 8×2 banding's n²·E[j²] random-collision term going quadratic by 5·10⁵
+    * docs; 8 rows per band pushes random collisions (≈ E[j⁸] per band)
+    * back under the linear term at the cost of recall below j ≈ 0.7.
+    */
+  val NumPermsWide: Int = 128
+  require(PermA.size == NumPermsWide && PermB.size == NumPermsWide)
+  require(PermA.distinct.size == NumPermsWide, "permutation multipliers must be distinct")
+  require(PermA.forall(a => a > 0 && a < M) && PermB.forall(b => b >= 0 && b < M))
+
+  /** Affine permutation `perm(i, h) = (a_i * (h mod M) + b_i) mod M`. */
   def perm(i: Int, h: Column): Column =
-    pmod(h * lit(PermA(i)) + lit(PermB(i)), lit(P))
+    pmod(pmod(h, lit(M)) * lit(PermA(i)) + lit(PermB(i)), lit(M))
 
   /** DuckDB rendering of [[perm]]. */
   def permSql(i: Int, hExpr: String): String =
-    s"(($hExpr * ${PermA(i)} + ${PermB(i)}) % $P)"
+    s"((($hExpr % $M) * ${PermA(i)} + ${PermB(i)}) % $M)"
 }

@@ -23,7 +23,23 @@ class DedupSpec extends SparkTestBase {
       .select(Dedup.minhashSignature(Dedup.shingleHashSet(col("text"), 3)).as("sig"))
       .head().getSeq[Long](0)
     assert(sig.length == Hashing.NumPerms)
-    assert(sig.forall(h => h >= 0L && h < Hashing.P))
+    assert(sig.forall(h => h >= 0L && h < Hashing.M))
+  }
+
+  test("wide minhash signature has NumPermsWide entries and extends the narrow prefix") {
+    val row = docs
+      .select(
+        Dedup.minhashSignature(Dedup.shingleHashSet(col("text"), 3), Hashing.NumPermsWide).as("wide"),
+        Dedup.minhashSignature(Dedup.shingleHashSet(col("text"), 3)).as("narrow"))
+      .head()
+    val wide = row.getSeq[Long](0)
+    val narrow = row.getSeq[Long](1)
+    assert(wide.length == Hashing.NumPermsWide)
+    assert(wide.forall(h => h >= 0L && h < Hashing.M))
+    // the wide family's first NumPerms permutations ARE the narrow family,
+    // so legacy 16-perm consumers (ngram banding, SQL extension) are
+    // unchanged by the widening
+    assert(wide.take(Hashing.NumPerms) == narrow)
   }
 
   test("near-duplicate docs agree on most minhash positions; unrelated docs on none") {
