@@ -21,8 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  private val NumQueries = 10
-  private val K = 10
+  private[graft] val NumQueries = 10
+  private[graft] val K = 10
 
   /** q_hybrid_search: per-arm list depth, fused report depth, the standard
     * RRF damping constant k=60, the ×10^6 fixed-point scale, and which
@@ -37,7 +37,7 @@ object SimilarityQueries {
   // IVF parameters, shared by the Spark build and the oracle SQL so the
   // two sides cannot drift independently
   private val IvfCells = 16
-  private val IvfProbe = 4
+  private[graft] val IvfProbe = 4
   private val IvfFx = 1L << 20
 
   // semantic-dedup blocking: each vector joins its SemProbe nearest IVF
@@ -79,7 +79,7 @@ object SimilarityQueries {
     * oracles' ORDER BY cosine DESC (NaN first). [[Vectors.finitePositive]]
     * keeps every downstream score finite, which TopKByScore requires.
     */
-  private def normed(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def normed(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
@@ -266,9 +266,16 @@ object SimilarityQueries {
   /** One-Lloyd-iteration IVF cell assignment over a [[normed]] corpus:
     * (vec_id, cid, rk) for each vector's `keep` nearest refined centroids.
     * Shared by `ann_ivf_topk` (retrieval probing) and `dedup_semantic`
-    * (pair blocking); the SQL twin is [[ivfAssignCtes]].
+    * (pair blocking); the SQL twin is [[ivfAssignCtes]]. `iters` > 1 runs
+    * additional Lloyd refinements (assign rk=1 → recompute means) before
+    * the final keep-assignment — exposed for the
+    * [[graft.tools.IvfLloydCompare]] measurement rig; the production
+    * queries use 1 — measured (tools/ivf_lloyd_compare_r07.log): extra
+    * iterations do NOT move the frontier on this corpus (recall@10
+    * 0.90→0.87→0.86 at sf0.01, 0.98→0.98→0.95 at sf0.1, candidate
+    * fraction flat ~0.25), so the cheaper single iteration wins.
     */
-  private def ivfAssignment(n: DataFrame, keep: Int): DataFrame = {
+  private[graft] def ivfAssignment(n: DataFrame, keep: Int, iters: Int = 1): DataFrame = {
     val Fx = IvfFx
     // stage v·v once per vector and c·c once per centroid — the dist
     // expression reads the bound columns with the oracle's association
@@ -287,18 +294,23 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(wAssign))
         .where(col("rk") <= keep)
         .select(col("vec_id"), col("cid"), col("rk"))
-    val cell0 = nearest(seeds, 1)
-      .join(n.select(col("vec_id"), col("v")), "vec_id")
-    val cents = cell0
-      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cid"), col("pos"))
-      .agg(sum(floor(col("x") * Fx).cast("long")).as("sx"), count(lit(1)).as("cnt"))
-      .select(col("cid"), col("pos"),
-              (col("sx").cast("double") / col("cnt").cast("double") / lit(Fx.toDouble)).as("cx"))
-      .groupBy(col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-                     s => s.getField("cx")).as("cv"))
-      .withColumn("cvv", Vectors.dot(col("cv"), col("cv")))
+    var cents = seeds
+    var it = 0
+    while (it < iters) {
+      val cell = nearest(cents, 1)
+        .join(n.select(col("vec_id"), col("v")), "vec_id")
+      cents = cell
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(floor(col("x") * Fx).cast("long")).as("sx"), count(lit(1)).as("cnt"))
+        .select(col("cid"), col("pos"),
+                (col("sx").cast("double") / col("cnt").cast("double") / lit(Fx.toDouble)).as("cx"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+                       s => s.getField("cx")).as("cv"))
+        .withColumn("cvv", Vectors.dot(col("cv"), col("cv")))
+      it += 1
+    }
     nearest(cents, keep)
   }
 
