@@ -574,6 +574,106 @@ object DedupQueries {
              |FROM t""".stripMargin)
     ),
 
+    // banding-recall grade for dedup_minhash_lsh, in-query (the
+    // fuzzy_recall/ann_recall pattern applied to the 16×8 wide banding):
+    // the banding deliberately trades recall below j ≈ (1/16)^(1/8) ≈ 0.7
+    // for linear candidate volume — this query MEASURES what that trade
+    // costs on the actual corpus. Truth arm: all pairs with EXACT shingle
+    // jaccard ≥ 0.5, surfaced by the containment prefix filter — exact
+    // recall for this class by pigeonhole, since j ≥ 0.5 ⇒ c(A→B) ≥ 0.5 —
+    // so the grader is the linear-ish inverted-index pass, NOT an O(n²)
+    // arm. Reported: banding recall (truth pairs that banded together) and
+    // end-to-end emission recall (truth pairs in dedup_minhash_lsh's
+    // output). The oracle recomputes both counts independently; on this
+    // corpus every true pair has j ≥ 0.9, where 16×8 recall is
+    // 1-(1-j⁸)¹⁶ ≥ 0.999 — a measured claim, rechecked per scale factor.
+    QueryDef(
+      "dedup_minhash_recall",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache()
+        val docs = Tables.documents(spark, dir)
+        val hs = Dedup.shingleHashSets(docs, ShingleK).persist()
+        hs.count() // eager: candidate stage + two jaccard join-backs
+        val truth = containmentCandidates(hs)
+          .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+          .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+          .where(Dedup.jaccard(col("hs_a"), col("hs_b")) >= lit(0.5))
+          .select(col("doc_a"), col("doc_b"))
+          .persist()
+        truth.count() // shared by three counting arms below
+        val (sigs, band) = minhashStages(spark, dir)
+        val emitted = band
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          .where(Dedup.estJaccard(col("sig_a"), col("sig_b"), MinhashPerms) >= lit(0.5))
+          .select(col("doc_a"), col("doc_b"))
+        val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
+        val nBand = truth.join(band, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_band_hit"))
+        val nEmit = truth.join(emitted, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_emit_hit"))
+        nTrue.crossJoin(nBand).crossJoin(nEmit)
+          .select(col("n_true_pairs"), col("n_band_hit"),
+                  (col("n_band_hit").cast("double") / col("n_true_pairs").cast("double"))
+                    .as("band_recall"),
+                  col("n_emit_hit"),
+                  (col("n_emit_hit").cast("double") / col("n_true_pairs").cast("double"))
+                    .as("emit_recall"))
+      },
+      Some {
+        val hsSql = Dedup.shingleHashSetSql("text", ShingleK)
+        s"""WITH hs0 AS (
+           |  SELECT doc_id, $hsSql AS hs FROM documents
+           |), hs2 AS (
+           |  SELECT doc_id, hs FROM hs0 WHERE len(hs) > 0
+           |), ex AS (
+           |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n, unnest(hs) AS sh FROM hs2
+           |), dfreq AS (
+           |  SELECT sh, COUNT(*) AS df FROM ex GROUP BY 1
+           |), rk AS (
+           |  SELECT e.doc_id, e.sh, e.n,
+           |         row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.sh) AS rn
+           |  FROM ex e JOIN dfreq d USING (sh)
+           |), pf AS (
+           |  SELECT doc_id, sh FROM rk WHERE rn <= n // 2 + 1
+           |), cand AS (
+           |  SELECT DISTINCT least(p.doc_id, i.doc_id) AS doc_a,
+           |                  greatest(p.doc_id, i.doc_id) AS doc_b
+           |  FROM pf p JOIN ex i USING (sh)
+           |  WHERE p.doc_id <> i.doc_id
+           |), truth AS (
+           |  SELECT c.doc_a, c.doc_b
+           |  FROM cand c
+           |  JOIN hs2 ha ON ha.doc_id = c.doc_a
+           |  JOIN hs2 hb ON hb.doc_id = c.doc_b
+           |  WHERE ${Dedup.jaccardSql("ha.hs", "hb.hs")} >= CAST(0.5 AS DOUBLE)
+           |), sigs AS (
+           |  SELECT doc_id, ${Dedup.minhashSignatureSql("hs", MinhashPerms)} AS sig FROM hs2
+           |), bands AS (
+           |  SELECT doc_id, b, (${Dedup.bandKeysSql("sig", MinhashBandRows, MinhashPerms)})[b + 1] AS bkey
+           |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${MinhashPerms / MinhashBandRows})) AS b) bs
+           |), bpairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |), emitted AS (
+           |  SELECT p.doc_a, p.doc_b
+           |  FROM bpairs p
+           |  JOIN sigs sa ON sa.doc_id = p.doc_a
+           |  JOIN sigs sb ON sb.doc_id = p.doc_b
+           |  WHERE ${Dedup.estJaccardSql("sa.sig", "sb.sig", MinhashPerms)} >= CAST(0.5 AS DOUBLE)
+           |), t AS (SELECT COUNT(*) AS n FROM truth),
+           |bh AS (SELECT COUNT(*) AS n FROM truth JOIN bpairs USING (doc_a, doc_b)),
+           |eh AS (SELECT COUNT(*) AS n FROM truth JOIN emitted USING (doc_a, doc_b))
+           |SELECT t.n AS n_true_pairs, bh.n AS n_band_hit,
+           |       CAST(bh.n AS DOUBLE) / t.n AS band_recall,
+           |       eh.n AS n_emit_hit,
+           |       CAST(eh.n AS DOUBLE) / t.n AS emit_recall
+           |FROM t, bh, eh""".stripMargin
+      }
+    ),
+
     // blocked exact n-gram Jaccard: r=2 LSH bands (8 bands of 2; collision
     // P = j² per band, so candidate volume scales with similarity instead of
     // exploding as n²), then exact set jaccard >= 0.3 over the HASHED
