@@ -34,6 +34,12 @@ object PipelineQueries {
   val DecontamK = 8
   val EvalMaxId = 50L
 
+  /** Exact-substring cut window length (tokens) for `q_substring_cuts`.
+    * Published exact-substring dedup uses ~50 BPE tokens; 15 word tokens
+    * is the same order of evidence on this corpus's ~100-200-token docs.
+    */
+  val CutL = 15
+
   /** Context-window chunking: tokens per chunk and the stride between
     * chunk starts (overlap = ChunkTokens - ChunkStride). The chunk count
     * rule is the standard sliding-window one (HF `return_overflowing_tokens`
@@ -462,6 +468,105 @@ object PipelineQueries {
            |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            |       COUNT(*) AS n_rows, CAST(MAX(copy) AS BIGINT) AS max_copies
            |FROM r GROUP BY source ORDER BY source""".stripMargin
+      }
+    ),
+
+    // exact-substring cut ranges (the "deduplicating training data" exact
+    // dedup shape): for every document, the token ranges covered by any
+    // CutL-token window that also occurs verbatim in another document —
+    // the byte spans an exact-substring dedup pass would cut before
+    // training. Pipeline: (1) one row per token window, hash-only
+    // (doc_id, pos, 8-byte window hash) — linear in corpus tokens, never
+    // text through the shuffle; (2) cross-doc window set = hashes whose
+    // doc range spans ≥ 2 docs (min(doc) != max(doc), one hash-agg — no
+    // count-distinct state); (3) join-back marks positions; (4) per-doc
+    // interval merge of overlapping/adjacent [p, p+L-1] windows via the
+    // q_sessionize running-max pattern (one window sort per doc, the only
+    // per-doc stage). Output: per affected doc, the merged range list
+    // (rendered "s-e" 0-based token offsets), range/token counts, and cut
+    // fraction. At 100 TB every stage is an equi-join or hash-agg on
+    // 8-byte keys; the dup-window set is corpus-duplication-sized, not
+    // corpus-sized. Within-doc-only repeats are deliberately NOT cut
+    // (self-repetition is text_repetition's signal, not plagiarized text).
+    QueryDef(
+      "q_substring_cuts",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val L = CutL
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= L)
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+                  col("toks"))
+        val wins = toks
+          .select(col("doc_id"), col("n_tokens"),
+                  TextAnalysis.shinglesOf(col("toks"), L).as("shn"))
+          .select(col("doc_id"), col("n_tokens"),
+                  posexplode(graft.expressions.SignatureExpressions.h32Array(col("shn")))
+                    .as(Seq("p0", "wh")))
+        val dup = wins.groupBy(col("wh"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .where(col("mn") =!= col("mx"))
+          .select(col("wh"))
+        val marked = wins.join(dup, "wh")
+          .select(col("doc_id"), col("n_tokens"),
+                  col("p0").cast("long").as("s"), (col("p0") + lit(L - 1)).cast("long").as("e"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+        val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val ranges = marked
+          .withColumn("new_seg", when(col("s") > coalesce(prevMax, lit(-2L)) + 1, 1L).otherwise(0L))
+          .withColumn("seg", sum(col("new_seg")).over(w))
+          .groupBy(col("doc_id"), col("n_tokens"), col("seg"))
+          .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+        ranges.groupBy(col("doc_id"), col("n_tokens"))
+          .agg(count(lit(1)).as("n_cut_ranges"),
+               sum(col("re") - col("rs") + 1).as("n_cut_tokens"),
+               array_join(transform(array_sort(collect_list(struct(col("rs"), col("re")))),
+                                    r => concat(r.getField("rs"), lit("-"), r.getField("re"))),
+                          ",").as("ranges_str"))
+          .select(col("doc_id"), col("n_tokens"), col("n_cut_ranges"), col("n_cut_tokens"),
+                  (col("n_cut_tokens").cast("double") / col("n_tokens").cast("double"))
+                    .as("cut_frac"),
+                  col("ranges_str"))
+      },
+      Some {
+        val L = CutL
+        val toksSql = TextAnalysis.tokensSql("text")
+        val whs = s"list_transform(${TextAnalysis.shinglesSql("text", L)}, s -> ${Hashing.h32Sql("s")})"
+        s"""WITH tk AS (
+           |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens, $whs AS whs
+           |  FROM documents WHERE len($toksSql) >= $L
+           |), wins AS (
+           |  SELECT doc_id, n_tokens, k AS p0, whs[k + 1] AS wh
+           |  FROM tk, unnest(range(0, len(whs))) AS u(k)
+           |), dup AS (
+           |  SELECT wh FROM wins GROUP BY wh HAVING MIN(doc_id) <> MAX(doc_id)
+           |), marked AS (
+           |  SELECT doc_id, n_tokens, CAST(p0 AS BIGINT) AS s, CAST(p0 + ${L - 1} AS BIGINT) AS e
+           |  FROM wins JOIN dup USING (wh)
+           |), pm AS (
+           |  SELECT doc_id, n_tokens, s, e,
+           |         COALESCE(MAX(e) OVER (
+           |           PARTITION BY doc_id ORDER BY s, e
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) AS prev_max
+           |  FROM marked
+           |), segd AS (
+           |  SELECT doc_id, n_tokens, s, e,
+           |         SUM(CASE WHEN s > prev_max + 1 THEN 1 ELSE 0 END) OVER (
+           |           PARTITION BY doc_id ORDER BY s, e
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+           |  FROM pm
+           |), ranges AS (
+           |  SELECT doc_id, n_tokens, seg, MIN(s) AS rs, MAX(e) AS re
+           |  FROM segd GROUP BY doc_id, n_tokens, seg
+           |)
+           |SELECT doc_id, n_tokens,
+           |       COUNT(*) AS n_cut_ranges,
+           |       CAST(SUM(re - rs + 1) AS BIGINT) AS n_cut_tokens,
+           |       CAST(SUM(re - rs + 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS cut_frac,
+           |       string_agg(rs || '-' || re, ',' ORDER BY rs) AS ranges_str
+           |FROM ranges
+           |GROUP BY doc_id, n_tokens""".stripMargin
       }
     )
   )

@@ -127,4 +127,27 @@ class PipelineSpec extends SparkTestBase {
     val mean = rows.map(_.getDouble(2)).sum / rows.length
     assert(mean >= 0.7, s"mean recall@10 $mean")
   }
+
+  test("substring cuts: a copied paragraph is cut in both docs, unique text is not") {
+    import spark.implicits._
+    // 20-token shared paragraph (>= CutL=15) embedded in two docs at
+    // different offsets; doc 3 is all-unique and must not appear
+    val para = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val d1 = "alpha beta gamma " + para + " " + (1 to 30).map(i => s"u1t$i").mkString(" ")
+    val d2 = (1 to 10).map(i => s"u2t$i").mkString(" ") + " " + para
+    val d3 = (1 to 40).map(i => s"u3t$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    spark.catalog.dropTempView("__subcut_docs__") // no-op if absent
+    val outDir = java.nio.file.Files.createTempDirectory("subcut").toString
+    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val out = SparkEntry.queries("q_substring_cuts")(spark, outDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.contains(1L) && out.contains(2L), "both copy-holders are cut")
+    assert(!out.contains(3L), "unique doc is untouched")
+    // doc 1: paragraph occupies tokens 3..22 => every CutL-window inside
+    // it is shared; the merged range must cover exactly those tokens
+    assert(out(1L).getAs[String]("ranges_str") == "3-22")
+    assert(out(2L).getAs[String]("ranges_str") == "10-29")
+    assert(out(1L).getAs[Long]("n_cut_tokens") == 20L)
+  }
 }
