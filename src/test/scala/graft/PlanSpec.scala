@@ -241,4 +241,31 @@ class PlanSpec extends SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 2, s"expected ≤2 hash exchanges, got $exchanges in:\n$plan")
   }
+
+  test("substring cuts: window table ships hash-only columns through the dup join") {
+    val plan = planOf("q_substring_cuts")
+    // the join-back of windows to the cross-doc dup set must not carry
+    // token arrays or shingle strings — only (doc_id, n_tokens, p0, wh)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+           s"dup join must be an equi-join on the window hash:\n$plan")
+    // the interval merge is the single per-doc window sort
+    val winSorts = "Window ".r.findAllIn(plan).size
+    assert(winSorts <= 2, s"expected the one interval-merge window (got $winSorts):\n$plan")
+  }
+
+  test("bmp decode is map-only: no exchange in the plan") {
+    val plan = planOf("media_bmp_decode")
+    assert(!plan.contains("Exchange"),
+           s"encode->decode round-trip must not shuffle:\n$plan")
+  }
+
+  test("wide minhash banding joins ids+keys only (no signature arrays through the band join)") {
+    val plan = planOf("dedup_minhash_lsh")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+           s"band collision must be an equi-join:\n$plan")
+    // signatures join back by id AFTER the distinct pair stage: the band
+    // self-join inputs are the posexploded (doc_id, band, bkey) projections
+    assert(plan.contains("posexplode") || plan.contains("Generate"),
+           s"expected the band explode feeding the self-join:\n$plan")
+  }
 }
