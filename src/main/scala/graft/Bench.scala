@@ -47,7 +47,7 @@ object Bench {
   private val HeavyComposites: Set[String] = Set(
     "q_curation_pipeline", "dedup_clusters", "q_streaming_sessionize",
     "ann_recall", "ann_quantized_recall", "ann_ivf_topk", "q_approx_quantiles",
-    "dedup_fuzzy_recall", "dedup_semantic",
+    "dedup_fuzzy_recall", "dedup_semantic", "dedup_minhash_recall",
     "q_streaming_click_attribution", "q_triangles")
 
   def main(args: Array[String]): Unit = {
