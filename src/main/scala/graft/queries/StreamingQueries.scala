@@ -178,6 +178,44 @@ object StreamingQueries {
               |FROM documents""".stripMargin)
     ),
 
+    // the REAL stream-static enrichment join ([[Streaming.enrich]]): the
+    // event stream broadcast-joined per microbatch to the static customer
+    // dimension — stateless, no watermark, the canonical dimension-attach
+    // stage. The sink holds the enriched ROWS (append mode, no in-stream
+    // agg); the per-segment rollup below is batch-side over the sink, and
+    // the oracle recomputes it from a plain batch join. Value rides as
+    // exact integer cents so the rollup sum is arrival-order-independent.
+    QueryDef(
+      "q_streaming_enrich",
+      (spark, dir) => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[Streaming.Event]
+        input.addData(Streaming.eventsBatch(spark, dir).collect().toIndexedSeq: _*)
+        val dim = graft.Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val sink = s"streaming_enrich_${runId.incrementAndGet()}"
+        val q = Streaming.enrich(input.toDF(), dim)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
+        val out = spark.table(sink)
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).cast(LongType).as("n_events"),
+               countDistinct(col("user_id")).cast(LongType).as("n_users"),
+               sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+                 .cast(LongType).as("total_cents"))
+        val resolved = out.localCheckpoint(eager = true)
+        spark.catalog.dropTempView(sink)
+        resolved
+      },
+      Some("""SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+             |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+             |       CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1""".stripMargin)
+    ),
+
     QueryDef(
       "q_streaming_window_counts",
       (spark, dir) => {

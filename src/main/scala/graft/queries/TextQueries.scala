@@ -47,6 +47,15 @@ object TextQueries {
   /** text_bpe_pairs: how many top character pairs the report carries. */
   val BpeTop: Int = 30
 
+  /** text_bigram_lm: fixed-point scale for the bigram probability and the
+    * keep threshold (avg bigram probability ≥ LmKeepFx/LmFx). The
+    * threshold is calibrated to split this corpus: repeated/template text
+    * (high bigram predictability) clears it, shuffled or high-entropy
+    * text does not.
+    */
+  val LmFx: Long = 1000000L
+  val LmKeepFx: Long = 33000L
+
   /** Co-occurrence parameters: vocabulary size (top-V by document
     * frequency) and minimum pair support for text_cooccurrence_pmi.
     */
@@ -753,6 +762,71 @@ object TextQueries {
               |SELECT pair, CAST(SUM(wn) AS BIGINT) AS n_pairs
               |FROM p GROUP BY pair
               |ORDER BY n_pairs DESC, pair ASC LIMIT $BpeTop""".stripMargin)
+    ),
+
+    // corpus-bigram language-model quality score (the perplexity-filter
+    // shape, log-free): train bigram/prefix counts on the corpus itself
+    // (two hash-aggs), then score every document by its average bigram
+    // probability P(w2|w1) = c(w1 w2)/c(w1·) in exact ×10^6 fixed point —
+    // floor(c12·10^6/c1) summed over bigram OCCURRENCES, integer-divided
+    // by the bigram count, so the whole number is integer arithmetic and
+    // bit-identical cross-engine (avg probability is monotone in the
+    // geometric-mean/perplexity score for ranking purposes without a
+    // cross-engine log). Self-trained counts mean no unseen bigram
+    // (c12 ≥ 1), so no smoothing constant to keep in sync. keep = score
+    // above the corpus-splitting threshold — fluent template-ish text
+    // scores high, shuffled/noisy text low. Scale shape: the bigram stats
+    // table is corpus-vocabulary-sized and joins the per-doc bigram table
+    // by an equi-key; per-doc agg is one hash-agg. At 100 TB the stats
+    // table is written once and reused across scoring runs.
+    QueryDef(
+      "text_bigram_lm",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val docs = Tables.documents(spark, dir)
+        val toks = docs
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= 2)
+        val bg = toks
+          .select(col("doc_id"), explode(shinglesOf(col("toks"), 2)).as("bg"))
+        val bgCounts = bg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+        val prefCounts = bgCounts
+          .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(sum(col("c12")).as("c1"))
+        val stats = bgCounts
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .join(prefCounts, "w1")
+          .select(col("bg"), expr(s"c12 * ${LmFx}L div c1").as("p_fx"))
+        bg.join(stats, "bg")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fx")).as("sum_p_fx"))
+          .select(col("doc_id"), col("n_bigrams"),
+                  expr("sum_p_fx div n_bigrams").as("score_fx"))
+          .withColumn("keep", col("score_fx") >= lit(LmKeepFx))
+      },
+      Some {
+        val toksSql = tokensSql("text")
+        s"""WITH tk AS (
+           |  SELECT doc_id, $toksSql AS t FROM documents WHERE len($toksSql) >= 2
+           |), bg AS (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+           |                                       i -> t[i] || ' ' || t[i + 1])) AS bg
+           |  FROM tk
+           |), bgc AS (
+           |  SELECT bg, COUNT(*) AS c12 FROM bg GROUP BY bg
+           |), pref AS (
+           |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+           |  FROM bgc GROUP BY 1
+           |), stats AS (
+           |  SELECT bg, (c12 * $LmFx) // c1 AS p_fx
+           |  FROM bgc JOIN pref ON split_part(bgc.bg, ' ', 1) = pref.w1
+           |)
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |       CAST(CAST(SUM(p_fx) AS BIGINT) // COUNT(*) AS BIGINT) AS score_fx,
+           |       (CAST(SUM(p_fx) AS BIGINT) // COUNT(*)) >= $LmKeepFx AS keep
+           |FROM bg JOIN stats USING (bg)
+           |GROUP BY doc_id""".stripMargin
+      }
     )
   )
 }

@@ -160,6 +160,21 @@ object Streaming {
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $AttributionDays DAYS"))
   }
 
+  /** Stream–static dimension enrichment: the event stream broadcast-hash-
+    * joined to a static dimension (the canonical "attach the customer
+    * segment to every event" pipeline stage). Stateless — no watermark, no
+    * state store; the static side is broadcast and the join is re-planned
+    * per microbatch, which is exactly how a slowly-refreshed dimension
+    * behaves in production (a new broadcast per batch picks up dim
+    * updates). Inner join: events without a dimension row are dropped,
+    * matching the batch twin.
+    */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+                col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+              col("c_mktsegment").as("segment"))
+
   /** Batch-read the events table with the stream's schema (for parity tests
     * and for replaying history through the same code path).
     */
