@@ -574,6 +574,67 @@ object DedupQueries {
              |FROM t""".stripMargin)
     ),
 
+    // INCREMENTAL dedup (the production arrival shape): a new batch of
+    // documents checked against the EXISTING corpus — new×old candidate
+    // pairs only, never old×old. The batch split is a deterministic
+    // content-independent hash of doc_id (~20% "new"), so the same docs
+    // are the batch on every engine and every run. At 100 TB this is the
+    // shape that actually runs daily: the old side's signatures and band
+    // keys are a precomputed index table (here rebuilt for the oracle's
+    // sake; the plan is identical when they're read from storage), only
+    // the new batch is signed per run, and the band join touches only
+    // colliding buckets. Same wide 16×8 banding + est-jaccard ≥ 0.5
+    // verification as dedup_minhash_lsh.
+    QueryDef(
+      "dedup_incremental",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache()
+        val (sigs, _) = minhashStages(spark, dir)
+        val isNew = pmod(Hashing.h32(concat(lit("inc:"), col("doc_id"))), lit(5L)) === 0L
+        val bands = sigs.select(col("doc_id"), isNew.as("is_new"),
+                                posexplode(Dedup.bandKeys(col("sig"), MinhashBandRows, MinhashPerms))
+                                  .as(Seq("band", "bkey")))
+        val cand = bands.where(col("is_new")).as("a")
+          .join(bands.where(!col("is_new")).as("b"),
+                col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+          .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("old_doc"))
+          .distinct()
+        cand
+          .join(sigs.select(col("doc_id").as("new_doc"), col("sig").as("sig_n")), "new_doc")
+          .join(sigs.select(col("doc_id").as("old_doc"), col("sig").as("sig_o")), "old_doc")
+          .select(col("new_doc"), col("old_doc"),
+                  Dedup.estJaccard(col("sig_n"), col("sig_o"), MinhashPerms).as("est_jaccard"))
+          .where(col("est_jaccard") >= lit(0.5))
+      },
+      Some {
+        val hs = Dedup.shingleHashSetSql("text", ShingleK)
+        val isNew = s"(${Hashing.h32Sql("concat('inc:', doc_id)")} % 5) = 0"
+        s"""WITH hs AS (
+           |  SELECT doc_id, $hs AS hs FROM documents
+           |), sigs AS (
+           |  SELECT doc_id, ${Dedup.minhashSignatureSql("hs", MinhashPerms)} AS sig,
+           |         $isNew AS is_new
+           |  FROM hs WHERE len(hs) > 0
+           |), bands AS (
+           |  SELECT doc_id, is_new, b,
+           |         (${Dedup.bandKeysSql("sig", MinhashBandRows, MinhashPerms)})[b + 1] AS bkey
+           |  FROM sigs CROSS JOIN (SELECT unnest(range(0, ${MinhashPerms / MinhashBandRows})) AS b) bs
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+           |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+           |  WHERE a.is_new AND NOT b.is_new
+           |)
+           |SELECT new_doc, old_doc, est_jaccard FROM (
+           |  SELECT c.new_doc, c.old_doc,
+           |         ${Dedup.estJaccardSql("sn.sig", "so.sig", MinhashPerms)} AS est_jaccard
+           |  FROM cand c
+           |  JOIN sigs sn ON sn.doc_id = c.new_doc
+           |  JOIN sigs so ON so.doc_id = c.old_doc
+           |) WHERE est_jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin
+      }
+    ),
+
     // banding-recall grade for dedup_minhash_lsh, in-query (the
     // fuzzy_recall/ann_recall pattern applied to the 16×8 wide banding):
     // the banding deliberately trades recall below j ≈ (1/16)^(1/8) ≈ 0.7

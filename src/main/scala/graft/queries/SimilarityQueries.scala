@@ -40,6 +40,12 @@ object SimilarityQueries {
   private[graft] val IvfProbe = 4
   private val IvfFx = 1L << 20
 
+  /** ann_filtered_topk: the metadata predicate value (label to search
+    * within) — label 3 is the largest class on the test corpus, so every
+    * query still has ≥ K candidates after filtering.
+    */
+  private val FilterLabel = 3L
+
   // semantic-dedup blocking: each vector joins its SemProbe nearest IVF
   // cells; only pairs sharing at least one cell are cosine-verified. The
   // 0.4 threshold is the same literal `dedup_embedding_cosine` uses, so
@@ -509,6 +515,45 @@ object SimilarityQueries {
         topkSpark(spark, dir).select("query_id", "vec_id", "rank", "cosine")
       },
       Some(s"""$topkSql
+              |SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= $K""".stripMargin)
+    ),
+
+    // FILTERED vector search (the metadata-predicate + ANN shape every
+    // production vector store serves: "nearest docs WHERE label = X").
+    // Pre-filtering is the Spark-native strategy: the label predicate is a
+    // plain Column filter that prunes the corpus BEFORE any distance math
+    // — it reaches the parquet scan as a pushed filter, so a selective
+    // predicate cuts scan volume itself, something post-filtering top-k
+    // (retrieve then discard) cannot do and which avoids its
+    // recall-starvation failure mode (a top-k computed before the filter
+    // can end up with < k survivors). Scoring and the bounded map-side
+    // top-k are unchanged from ann_bruteforce_topk.
+    QueryDef(
+      "ann_filtered_topk",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val n = normed(spark, dir)
+        val q = n.where(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val corpus = n.where(col("label") === lit(FilterLabel) && col("vec_id") >= NumQueries)
+        val scored = corpus.crossJoin(broadcast(q))
+          .select(col("query_id"), col("vec_id"), col("label").cast("string").as("label"),
+                  (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+        perQueryTopK(spark, scored, K)
+          .select("query_id", "vec_id", "rank", "cosine")
+      },
+      Some(s"""WITH $normedSql,
+              |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+              |c AS (SELECT vec_id, v, nrm FROM n WHERE label = $FilterLabel AND vec_id >= $NumQueries),
+              |s AS (
+              |  SELECT query_id, c.vec_id,
+              |         (${Vectors.dotSql("qv", "v")} / (qn * nrm)) AS cosine
+              |  FROM c CROSS JOIN q
+              |), r AS (
+              |  SELECT query_id, vec_id, cosine,
+              |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+              |  FROM s
+              |)
               |SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= $K""".stripMargin)
     ),
 
