@@ -24,13 +24,13 @@ object DedupQueries {
     * occurrences must be removed/substituted), so ED(a,b) ≤ τ implies
     * bit_count(cm_a & ~cm_b) ≤ τ and symmetrically.
     */
-  private def charSetMask(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def charSetMask(name: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     aggregate(split(name, ""), lit(0L),
               (acc, ch) => acc.bitwiseOR(
                 call_function("shiftleft", lit(1L), pmod(ascii(ch), lit(64)).cast("int"))))
 
   /** ED ≤ 3 necessary condition over two [[charSetMask]]s. */
-  private def charSetBound(cmA: org.apache.spark.sql.Column,
+  private[graft] def charSetBound(cmA: org.apache.spark.sql.Column,
                            cmB: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bit_count(cmA.bitwiseAND(cmB.bitwiseXOR(lit(-1L)))) <= 3 &&
       bit_count(cmB.bitwiseAND(cmA.bitwiseXOR(lit(-1L)))) <= 3

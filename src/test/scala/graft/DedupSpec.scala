@@ -179,4 +179,49 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.where(col("est_jaccard") < 0.5).count() == 0)
     assert(ngram.where(col("jaccard") < 0.3).count() == 0)
   }
+
+  test("wide est-jaccard of dissimilar docs is near zero (the family actually mixes)") {
+    // regression pin for the mod-2^61-1 near-order-preserving family: its
+    // rank-correlated "permutations" estimated jaccard ~0.57 on pairs with
+    // true jaccard < 0.01, which silently exploded banded candidates at
+    // scale. A mixing family must estimate ~j on dissimilar docs.
+    val est = docs.as("a").crossJoin(docs.as("b"))
+      .where(col("a.doc_id") === 1 && col("b.doc_id") === 3)
+      .select(Dedup.estJaccard(
+        Dedup.minhashSignature(Dedup.shingleHashSet(col("a.text"), 3), Hashing.NumPermsWide),
+        Dedup.minhashSignature(Dedup.shingleHashSet(col("b.text"), 3), Hashing.NumPermsWide),
+        Hashing.NumPermsWide).as("e"))
+      .head().getDouble(0)
+    assert(est <= 0.1, s"disjoint shingle sets must estimate ~0 jaccard, got $est")
+  }
+
+  test("char-set-mask ED bound never drops a true ED<=3 pair (sound prefilter)") {
+    import spark.implicits._
+    // 200 seeded pairs within edit distance <= 3 (random subs/ins/del over
+    // a small alphabet); the mask bound is a NECESSARY condition for
+    // ED <= 3, so zero pairs may fail it
+    val rnd = new scala.util.Random(13)
+    val alpha = "abcdefghijklmnopqrstuvwxyz "
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val pairs = (1 to 200).map { _ =>
+      val a = randStr(8 + rnd.nextInt(25))
+      var b = a
+      (1 to rnd.nextInt(4)).foreach { _ =>
+        val op = rnd.nextInt(3)
+        val i = if (b.isEmpty) 0 else rnd.nextInt(b.length)
+        b = op match {
+          case 0 if b.nonEmpty => b.updated(i, alpha(rnd.nextInt(alpha.length))) // sub
+          case 1 => b.take(i) + alpha(rnd.nextInt(alpha.length)) + b.drop(i)     // ins
+          case _ if b.nonEmpty => b.take(i) + b.drop(i + 1)                      // del
+          case _ => b
+        }
+      }
+      (a, b)
+    }
+    val df = pairs.toDF("a", "b")
+      .select(graft.queries.DedupQueries.charSetMask(col("a")).as("ca"),
+              graft.queries.DedupQueries.charSetMask(col("b")).as("cb"))
+    val violations = df.where(!graft.queries.DedupQueries.charSetBound(col("ca"), col("cb"))).count()
+    assert(violations == 0, s"$violations ED<=3 pairs failed the mask bound - prefilter unsound")
+  }
 }

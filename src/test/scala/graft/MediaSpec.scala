@@ -96,4 +96,16 @@ class MediaSpec extends SparkTestBase {
     // distinct ids yield distinct pixel hashes (the formula varies by id)
     assert(rows.values.map(_.pixels_md5).toSet.size == 5)
   }
+
+  test("BMP codec round-trips 50 random images (seeded)") {
+    import graft.media.Bmp
+    val rnd = new scala.util.Random(29)
+    (1 to 50).foreach { _ =>
+      val w = 1 + rnd.nextInt(12)
+      val h = 1 + rnd.nextInt(9)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val (dw, dh, decoded) = Bmp.decode(Bmp.encode(w, h, rgb))
+      assert(dw == w && dh == h && decoded.toSeq == rgb.toSeq, s"round-trip failed at ${w}x$h")
+    }
+  }
 }
