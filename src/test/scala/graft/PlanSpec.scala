@@ -268,4 +268,20 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("posexplode") || plan.contains("Generate"),
            s"expected the band explode feeding the self-join:\n$plan")
   }
+
+  test("filtered ANN pushes the label predicate to the embeddings scan") {
+    val plan = planOf("ann_filtered_topk")
+    // pre-filtering means the metadata predicate prunes at the SOURCE: the
+    // parquet reader must receive the label filter, so a selective
+    // predicate cuts scan volume before any distance math
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)")
+             || plan.contains("EqualTo(label,3)"),
+           s"expected label=3 pushed to the embeddings scan:\n$plan")
+  }
+
+  test("incremental dedup joins new-batch bands against old-corpus bands as an equi-join") {
+    val plan = planOf("dedup_incremental")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+           s"band collision must be an equi-join:\n$plan")
+  }
 }
