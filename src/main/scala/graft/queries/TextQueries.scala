@@ -764,6 +764,80 @@ object TextQueries {
               |ORDER BY n_pairs DESC, pair ASC LIMIT $BpeTop""".stripMargin)
     ),
 
+    // BPE trainer iteration 1: take the argmax pair from the iteration-0
+    // count (computed IN-QUERY with the count-desc/pair-asc tiebreak, so
+    // the oracle verifies the choice too), apply ONE merge sweep to the
+    // space-separated symbol representation of the vocabulary, and
+    // recount adjacent pairs — the loop body a full BPE trainer iterates
+    // to its vocab size. The merge is the leftmost-non-overlapping
+    // replace of " p1 p2 " with " p1p2 " over the sentinel-padded symbol
+    // string: for p1 ≠ p2 (any natural corpus argmax) occurrences cannot
+    // overlap and one sweep IS the exact BPE merge; for the p1 = p2 edge
+    // both engines share scan-past-replacement semantics, and re-analysis
+    // of adjacent runs belongs to the next iteration anyway. Everything
+    // stays at vocabulary grain (a 10⁹-repeat word is one weighted row),
+    // pair generation is map-side, agg keys ≤ symbol-alphabet².
+    QueryDef(
+      "text_bpe_merge",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val vocab = Tables.documents(spark, dir)
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+          .where(length(col("word")) >= 2)
+          .select(col("wn"),
+                  concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+        def pairRows(df: org.apache.spark.sql.DataFrame, extra: Seq[String]) =
+          df.select((extra.map(col) :+ col("wn") :+ split(trim(col("s")), " ").as("sy")): _*)
+            .select((extra.map(col) :+ col("wn") :+ explode(expr(
+              "transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+              .as("pair")): _*)
+        val top = pairRows(vocab, Seq.empty)
+          .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+          .orderBy(col("n").desc, col("pair").asc).limit(1)
+          .select(col("pair").as("merged_pair"))
+        val merged = vocab.crossJoin(broadcast(top))
+          .select(col("wn"), col("merged_pair"),
+                  expr("replace(s, concat(' ', merged_pair, ' '), " +
+                       "concat(' ', replace(merged_pair, ' ', ''), ' '))").as("s"))
+        pairRows(merged, Seq("merged_pair"))
+          .groupBy(col("merged_pair"), col("pair"))
+          .agg(sum(col("wn")).cast("long").as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("pair").asc)
+          .limit(BpeTop)
+          .select(col("pair"), col("n_pairs"), col("merged_pair"))
+      },
+      Some(s"""WITH w AS (
+              |  SELECT word, COUNT(*) AS wn FROM (
+              |    SELECT unnest(${tokensSql("text")}) AS word FROM documents)
+              |  GROUP BY word HAVING length(word) >= 2
+              |), v AS (
+              |  SELECT wn, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s FROM w
+              |), p0 AS (
+              |  SELECT pair, SUM(wn) AS n FROM (
+              |    SELECT wn, unnest(list_transform(generate_series(1, len(sy) - 1),
+              |                                     i -> sy[i] || ' ' || sy[i + 1])) AS pair
+              |    FROM (SELECT wn, string_split(trim(s), ' ') AS sy FROM v))
+              |  GROUP BY pair
+              |), top AS (
+              |  SELECT pair AS merged_pair FROM p0 ORDER BY n DESC, pair ASC LIMIT 1
+              |), m AS (
+              |  SELECT wn, merged_pair,
+              |         replace(s, ' ' || merged_pair || ' ',
+              |                 ' ' || replace(merged_pair, ' ', '') || ' ') AS s
+              |  FROM v CROSS JOIN top
+              |), p1 AS (
+              |  SELECT merged_pair, pair, CAST(SUM(wn) AS BIGINT) AS n_pairs FROM (
+              |    SELECT wn, merged_pair,
+              |           unnest(list_transform(generate_series(1, len(sy) - 1),
+              |                                 i -> sy[i] || ' ' || sy[i + 1])) AS pair
+              |    FROM (SELECT wn, merged_pair, string_split(trim(s), ' ') AS sy FROM m))
+              |  GROUP BY merged_pair, pair
+              |)
+              |SELECT pair, n_pairs, merged_pair FROM p1
+              |ORDER BY n_pairs DESC, pair ASC LIMIT $BpeTop""".stripMargin)
+    ),
+
     // corpus-bigram language-model quality score (the perplexity-filter
     // shape, log-free): train bigram/prefix counts on the corpus itself
     // (two hash-aggs), then score every document by its average bigram
