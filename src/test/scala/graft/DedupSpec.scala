@@ -224,4 +224,34 @@ class DedupSpec extends SparkTestBase {
     val violations = df.where(!graft.queries.DedupQueries.charSetBound(col("ca"), col("cb"))).count()
     assert(violations == 0, s"$violations ED<=3 pairs failed the mask bound - prefilter unsound")
   }
+
+  test("minhash signature index round-trips through parquet (the written-once index)") {
+    // the 100-TB story says the signature stage is written to a table once
+    // and reused by every downstream pass (dedup_incremental reads it per
+    // new batch); this pins that a parquet round-trip preserves signatures
+    // bit-exactly, so the stored-index path equals the inline path
+    val (sigs, pairs) = graft.queries.DedupQueries.minhashStages(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("sig_index").toString
+    sigs.write.mode("overwrite").parquet(s"$dir/signatures.parquet")
+    val stored = spark.read.parquet(s"$dir/signatures.parquet")
+    assert(stored.count() == sigs.count())
+    // bit-exact: anti-join in both directions is empty on (doc_id, sig)
+    import org.apache.spark.sql.functions.col
+    assert(sigs.join(stored, Seq("doc_id", "sig"), "left_anti").count() == 0)
+    assert(stored.join(sigs, Seq("doc_id", "sig"), "left_anti").count() == 0)
+    // and the banded pair stage rebuilt FROM the stored index lands on the
+    // same candidate set
+    import org.apache.spark.sql.functions.{posexplode, col => c}
+    val bands = stored.select(c("doc_id"),
+      posexplode(graft.dedup.Dedup.bandKeys(c("sig"), 8, graft.functions.Hashing.NumPermsWide))
+        .as(Seq("band", "bkey")))
+    val rebuilt = bands.as("a")
+      .join(bands.as("b"),
+            c("a.band") === c("b.band") && c("a.bkey") === c("b.bkey") &&
+              c("a.doc_id") < c("b.doc_id"))
+      .select(c("a.doc_id").as("doc_a"), c("b.doc_id").as("doc_b"))
+      .distinct()
+    assert(rebuilt.join(pairs, Seq("doc_a", "doc_b"), "left_anti").count() == 0)
+    assert(pairs.join(rebuilt, Seq("doc_a", "doc_b"), "left_anti").count() == 0)
+  }
 }
