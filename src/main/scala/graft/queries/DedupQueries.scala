@@ -17,6 +17,22 @@ object DedupQueries {
 
   private val ShingleK = 3
 
+  /** Shingle width for the CONTAINMENT family (`dedup_containment`),
+    * distinct from the corpus-wide [[ShingleK]]: the round-7 ×10 stress
+    * measured the prefix filter's candidate volume over 3-shingles
+    * growing ~118× at 10× docs (512k → 60.4M pairs — natural-language
+    * 3-grams collide across unrelated documents at a rate that rises
+    * with corpus size, an n²·P(shared shingle) term), and the wall ratio
+    * broke the 15× budget at 16.5×. Measured alternatives on the same
+    * synthesized decade: k=4 still quadratic-flavored (317 → 1.3M), k=5
+    * LINEAR (256 → 2,878 = 11.2× at 10× docs). Five-token shingles are
+    * also stronger quote/subset evidence than noisy 3-grams (published
+    * exact-substring dedup uses far longer windows). The pigeonhole
+    * exact-recall guarantee is width-independent, so containment ≥ 0.5
+    * over 5-shingles keeps the same unconditional-recall property.
+    */
+  private val ContainK = 5
+
   /** 64-bit character-set mask of a name (bit `ascii(ch) % 64` set for
     * every char present), computed map-side once per row. Lower-bound
     * prefilter for edit distance: every distinct char present in one
@@ -333,7 +349,7 @@ object DedupQueries {
         GraftSession.tune(spark)
         spark.catalog.clearCache() // queries run sequentially; drop stale persists
         val docs = Tables.documents(spark, dir)
-        val hs = Dedup.shingleHashSets(docs, ShingleK).persist()
+        val hs = Dedup.shingleHashSets(docs, ContainK).persist()
         hs.count() // eager: shared by the candidate stage + 2 join-backs
         val pairs = containmentCandidates(hs)
         val inter = size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
@@ -346,7 +362,7 @@ object DedupQueries {
           .where(col("c_a_in_b") >= 0.5d || col("c_b_in_a") >= 0.5d)
       },
       Some {
-        val hsSql = Dedup.shingleHashSetSql("text", ShingleK)
+        val hsSql = Dedup.shingleHashSetSql("text", ContainK)
         val inter = "CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)"
         s"""WITH hs AS (
            |  SELECT doc_id, $hsSql AS hs FROM documents

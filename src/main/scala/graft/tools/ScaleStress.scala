@@ -51,10 +51,20 @@ object ScaleStress {
     * low-threshold LSH, so the engine claim there is flat per-candidate
     * cost, not input linearity.
     */
+  // dedup_minhash_recall is deliberately NOT a wall-ratio target: its
+  // truth arm is the exact-recall containment pass over the minhash
+  // family's 3-shingles, whose candidate volume the round-7 ×10 run
+  // measured growing ~118× at 10× docs (n²·P(shared 3-gram) — unrelated
+  // natural-language documents share 3-grams at a rate that rises with
+  // corpus size). That arm is the GRADER, quadratic by construction like
+  // dedup_fuzzy_recall's plain join and ann_recall's brute force; the
+  // production path it grades (dedup_minhash_lsh) is a Target.
   val Targets: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_clusters", "ann_bruteforce_topk", "ann_lsh_topk", "ann_quantized_recall",
-    "text_token_counts", "text_tfidf", "text_quality_filter", "q_curation_pipeline",
+    "dedup_clusters", "dedup_containment", "dedup_incremental",
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_quantized_recall", "ann_filtered_topk",
+    "text_token_counts", "text_tfidf", "text_quality_filter", "text_bigram_lm",
+    "text_bpe_merge", "q_substring_cuts", "media_bmp_decode", "q_curation_pipeline",
     "q_decontaminate", "q_chunk_documents", "q_stratified_sample")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
