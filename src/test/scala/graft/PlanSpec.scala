@@ -284,4 +284,12 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
            s"band collision must be an equi-join:\n$plan")
   }
+
+  test("partitioned sink re-read prunes partitions by source") {
+    val plan = planOf("q_partitioned_sink")
+    // the two-source filter must bind to the partition column: directories
+    // outside src0/src3 are never listed or scanned
+    assert(plan.contains("PartitionFilters") && plan.contains("src0"),
+           s"expected source partition pruning in:\n$plan")
+  }
 }
