@@ -9,8 +9,12 @@ import org.apache.spark.sql.SparkSession
   * per-rep arrays, "partial":true). A run killed at ANY point — the round-5
   * driver run hit its time budget (`rc: 124`) and the end-only emission turned
   * "slow run" into "no data" — still leaves the last line as a complete
-  * per-query partial artifact for whatever finished. The final line is
-  * identical in shape with "partial":false.
+  * per-query partial artifact for whatever finished. The final emission is
+  * TWO lines: a per-query detail line ("partial":false, mins only), then a
+  * compact total-only line (same "metric"/"value"/"unit" keys plus
+  * "n_queries", NO per-query map) sized well under the driver's ~2 KB tail
+  * capture — the per-query map outgrew that capture in rounds 6 and 7 and
+  * left BENCH_r0{6,7}.json with parsed:null despite rc 0.
   *
   * Methodology (each query, each repetition):
   *   - caches cleared BEFORE (queries persist intermediates internally) and
@@ -115,13 +119,14 @@ object Bench {
 
     // One stdout JSON line from whatever has completed so far. Only queries
     // with ≥1 completed rep appear, so a killed run's last line is a valid
-    // per-query partial artifact. Partial (streamed) lines carry the full
-    // per-rep arrays; the FINAL line drops them and keeps only per-query
-    // mins — round 6's final line (87 queries × rep arrays) outgrew the
-    // driver's tail capture, truncating the head of the line and leaving
-    // BENCH_r06.json unparseable (`parsed: null`) despite rc 0. The rep
-    // detail still reaches the log via the last partial line, which is
-    // printed immediately before the compact final one.
+    // per-query partial artifact. Partial (streamed) lines carry per-query
+    // mins AND the full per-rep arrays. The FINAL emission is TWO lines:
+    // a penultimate detail line (per-query mins, no rep arrays) and a LAST
+    // line that is tiny — total/n_queries/sf only, ~150 bytes. The driver's
+    // tail capture is ~2 KB; rounds 6 AND 7 both ended with a single final
+    // line carrying the per-query map (~2.9 KB at 97 queries), so the tail
+    // started mid-line and BENCH_r0{6,7}.json parsed as null despite rc 0.
+    // Whatever the capture window, a sub-200-byte last line survives intact.
     def emit(partial: Boolean): Unit = {
       val done = named.map(_._1).filter(n => times(n).nonEmpty)
       val results = done.map { name =>
@@ -131,13 +136,17 @@ object Bench {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val repArrays =
-        if (!partial) "" // compact final line: driver-parseable tail
+        if (!partial) ""
         else "\"reps\":" + done.map { name =>
           s"\"" + name + "\":" + times(name).mkString("[", ",", "]")
         }.mkString("{", ",", "}") + ","
       // failures keep their -1 marker per query but must not shrink the total
       val total = results.map(_._2).filter(_ >= 0).sum
       println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$repArrays"sf":"$sfDir","partial":$partial,"elapsed_sec":${"%.1f".format(elapsed)},"budget_exhausted":$budgetExhausted}""")
+      if (!partial)
+        // the driver-parseable artifact: keep this line SMALL (no per-query
+        // map) so any tail capture contains it complete
+        println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","partial":false,"elapsed_sec":${"%.1f".format(elapsed)},"budget_exhausted":$budgetExhausted}""")
       System.out.flush()
     }
 

@@ -320,7 +320,17 @@ object DedupQueries {
     // MinHash signatures + banded LSH: near-dup pairs with estimated
     // jaccard >= 0.5 (128 perms, 16 bands of 8 => P(candidate) =
     // 1-(1-j^8)^16 — the scale-safe banding the ×100 stress prescribed;
-    // see MinhashBandRows)
+    // see MinhashBandRows).
+    //
+    // EFFECTIVE SIMILARITY FLOOR: the 0.5 in the emission filter is the
+    // est-jaccard threshold applied to pairs the banding SURFACES, not a
+    // recall floor. With 16×8 banding, P(candidate) at j = 0.5 is only
+    // ~6%; candidate probability doesn't approach 1 until j ≈ 0.7
+    // ((1/16)^(1/8) ≈ 0.707). Consumers needing dependable recall should
+    // read this query's operating point as "pairs with j ≳ 0.7, plus a
+    // thinning tail down to 0.5" — a deliberate, measured trade
+    // (dedup_minhash_recall grades it; this corpus's planted pairs all
+    // measure j ≥ 0.9, where band recall is ~1).
     QueryDef(
       "dedup_minhash_lsh",
       (spark, dir) => {
@@ -554,10 +564,17 @@ object DedupQueries {
           .select(col("p_partkey"), col("p_brand"), col("p_name"),
                   length(col("p_name")).cast("long").as("len"),
                   charSetMask(col("p_name")).as("cm"))
+        // the ONE trim the truth arm allows: |len(a)−len(b)| ≤ 3 is IMPLIED
+        // by ED ≤ 3 (each edit changes length by at most 1), so the bound
+        // cannot drop a true pair — it is a theorem about the metric, not a
+        // blocking heuristic, and is independent of the graded char-set
+        // prefilter. It cuts the levenshtein volume several-fold (this row
+        // was 9.54 s / 8% of the full bench before the bound).
         val plain = p.as("a")
           .join(p.as("b"),
                 col("a.p_brand") === col("b.p_brand") &&
-                  col("a.p_partkey") < col("b.p_partkey"))
+                  col("a.p_partkey") < col("b.p_partkey") &&
+                  abs(col("a.len") - col("b.len")) <= 3)
           .where(levenshtein(col("a.p_name"), col("b.p_name"), 3).between(0, 3))
           .agg(count(lit(1)).as("n_true_pairs"))
         val bside = p.select(col("p_partkey"), col("p_brand"), col("p_name"), col("cm"),
@@ -576,6 +593,8 @@ object DedupQueries {
                   (col("n_blocked_pairs").cast("double") /
                     col("n_true_pairs").cast("double")).as("recall"))
       },
+      // the oracle mirrors the sound length bound (implied by ED ≤ 3, so
+      // the ground-truth pair set is unchanged — see the Spark-side note)
       Some("""WITH p AS (
              |  SELECT p_partkey, p_brand, p_name FROM part
              |),
@@ -583,6 +602,7 @@ object DedupQueries {
              |  SELECT COUNT(*) AS n
              |  FROM p a JOIN p b
              |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             |   AND abs(length(a.p_name) - length(b.p_name)) <= 3
              |  WHERE levenshtein(a.p_name, b.p_name) <= 3
              |)
              |SELECT n AS n_true_pairs, n AS n_blocked_pairs,

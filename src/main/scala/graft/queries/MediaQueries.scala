@@ -5,9 +5,13 @@ import graft.media.Media
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries: opaque binary payloads + typed metadata over
-  * the documents corpus (media payloads are a deterministic stand-in — see
-  * [[graft.media.Media]]). Both queries are map-only: payload never crosses
-  * a shuffle, and the metadata columns prune independently of it.
+  * the documents corpus. `media_features` exercises the binary Column
+  * plumbing over a text-derived payload; `media_bmp_decode`, `media_decode`
+  * and `media_resize` run a REAL pure-JVM 24-bit BMP codec (decode, and for
+  * resize an exact box downscale + re-encode + second decode) — see
+  * [[graft.media.Media]] and [[graft.media.Bmp]]. All queries are map-only:
+  * payload never crosses a shuffle, and the metadata columns prune
+  * independently of it.
   */
 object MediaQueries {
 
@@ -42,39 +46,52 @@ object MediaQueries {
       }
     ),
 
-    // typed resize path (stubbed scaler): halve dims until both fit maxDim,
-    // subsample payload by the same power-of-2 factor. The oracle rebuilds
-    // the byte subsample with list arithmetic and matches the md5 — proving
-    // the typed mapPartitions resize plumbing byte-exact.
+    // REAL resize over REAL pixels (round-8: retires the byte-subsample
+    // stub): per doc, synthesize deterministic pixels → encode as an actual
+    // BMP → decode with the real parser → exact 2×2 box downscale (integer
+    // floor-mean — a float resampler would make the rounding mode
+    // observable) → re-encode as BMP → decode AGAIN → hash the final
+    // pixels. The second decode means the output checks the scaler AND the
+    // re-encode round-trip. The oracle recomputes the output dims and every
+    // output pixel from the generating formulas — never through BMP or the
+    // scaler. The bmpDims2 fixture (9..16 per axis vs maxDim 8) guarantees
+    // exactly ONE halving step, which is what makes the output pixel
+    // formula closed-form in SQL.
     QueryDef(
       "media_resize",
       (spark, dir) => {
         GraftSession.tune(spark)
         import spark.implicits._
-        val m = Media.mediaTable(Tables.documents(spark, dir)).as[graft.media.MediaRecord]
-        Media.resizeAll(m, Media.ResizeMaxDim).toDF()
-          .select(col("doc_id"), col("media_type"), col("width"), col("height"),
-                  octet_length(col("payload")).cast("long").as("n_bytes"),
-                  md5(col("payload")).as("payload_md5"))
+        val ids = Tables.documents(spark, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        Media.bmpResizedFeatures(ids, Media.BmpHalfMaxDim).toDF()
       },
       Some {
-        val maxDim = Media.ResizeMaxDim
-        // generated CASE over enough powers of 2 to cover ANY 31-bit
-        // dimension (2^31 / 2^24 < maxDim), so the oracle can never fall
-        // behind resizeStub's unbounded halving loop
-        val fac = (0 to 24).map(p => 1L << p)
-          .map(f => s"WHEN greatest(width, height) // $f <= $maxDim THEN $f")
-          .mkString("CASE ", " ", s" ELSE ${1L << 25} END")
-        val sampled = "list_aggregate(list_transform(generate_series(0, length(payload) // fac - 1), " +
-          "i -> substring(payload, i * fac + 1, 1)), 'string_agg', '')"
-        s"""SELECT doc_id, media_type,
-           |       CAST(width // fac AS INT) AS width,
-           |       CAST(height // fac AS INT) AS height,
-           |       CAST(length(payload) // fac AS BIGINT) AS n_bytes,
-           |       md5(CASE WHEN fac = 1 THEN payload ELSE coalesce($sampled, '') END) AS payload_md5
+        // output pixel j (row-major y,x,c over the halved dims) = floor
+        // mean of the four covered input samples, each from the closed-form
+        // input byte: f(k) = (doc_id*31 + k*7 + 13) % 256 at
+        // k = (yy*w_in + xx)*3 + c
+        def f(k: String) = s"(doc_id*31 + ($k)*7 + 13) % 256"
+        def kidx(yy: String, xx: String) = s"(($yy)*w + ($xx))*3 + (j%3)"
+        val y = "(j // (ow*3))"
+        val x = "((j % (ow*3)) // 3)"
+        val v = s"(${f(kidx(s"2*$y", s"2*$x"))} + ${f(kidx(s"2*$y", s"2*$x+1"))} + " +
+          s"${f(kidx(s"2*$y+1", s"2*$x"))} + ${f(kidx(s"2*$y+1", s"2*$x+1"))}) // 4"
+        val hex = "list_aggregate(list_transform(generate_series(0, ow*oh*3 - 1), " +
+          s"j -> printf('%02x', $v)), 'string_agg', '')"
+        s"""SELECT doc_id,
+           |       CAST(ow AS INT) AS width,
+           |       CAST(oh AS INT) AS height,
+           |       CAST(ow AS BIGINT) * oh AS n_pixels,
+           |       md5($hex) AS pixels_md5
            |FROM (
-           |  SELECT *, $fac AS fac
-           |  FROM ${Media.mediaTableSql} m
+           |  SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh
+           |  FROM (
+           |    SELECT doc_id,
+           |           9 + doc_id % 8 AS w,
+           |           9 + (doc_id*3) % 8 AS h
+           |    FROM documents
+           |  )
            |)""".stripMargin
       }
     ),
@@ -114,23 +131,33 @@ object MediaQueries {
       }
     ),
 
-    // typed mapPartitions decode path (stubbed codec): the oracle reproduces
-    // the stub arithmetic, proving the partition-iterator plumbing is exact
+    // REAL typed mapPartitions decode path (round-8: retires the stub
+    // codec): payload is an actual 24-bit BMP; every output feature is
+    // computed from the PARSER's output bytes, none from the synthesis
+    // inputs. The oracle recomputes n_bytes/mean/first byte from the
+    // generating formulas directly — never through BMP — so any header,
+    // stride, channel-order, or row-order defect mismatches.
     QueryDef(
       "media_decode",
       (spark, dir) => {
         GraftSession.tune(spark)
-        Media.decodedFeatures(spark, Tables.documents(spark, dir)).toDF()
+        import spark.implicits._
+        val ids = Tables.documents(spark, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        Media.bmpDecodedFeatures(ids).toDF()
       },
       Some {
-        val bytes = "list_transform(generate_series(1, length(payload)), i -> ascii(substring(payload, i, 1)))"
-        s"""SELECT doc_id, media_type,
-           |       CAST(length(payload) AS BIGINT) AS n_bytes,
+        val bytes = "list_transform(generate_series(0, w*h*3 - 1), k -> (doc_id*31 + k*7 + 13) % 256)"
+        s"""SELECT doc_id, 'image' AS media_type,
+           |       CAST(w*h*3 AS BIGINT) AS n_bytes,
            |       (CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), $bytes), (a, x) -> a + x) AS DOUBLE)
-           |          / CAST(length(payload) AS DOUBLE)) AS mean_byte,
-           |       CAST(ascii(substring(payload, 1, 1)) AS INT) AS first_byte,
-           |       n_frames AS frame_count
-           |FROM ${Media.mediaTableSql} m""".stripMargin
+           |          / CAST(w*h*3 AS DOUBLE)) AS mean_byte,
+           |       CAST((doc_id*31 + 13) % 256 AS INT) AS first_byte,
+           |       CAST(1 AS INT) AS frame_count
+           |FROM (
+           |  SELECT doc_id, 9 + doc_id % 8 AS w, 9 + (doc_id*3) % 8 AS h
+           |  FROM documents
+           |)""".stripMargin
       }
     )
   )

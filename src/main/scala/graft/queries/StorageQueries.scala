@@ -10,6 +10,28 @@ import org.apache.spark.sql.functions._
   */
 object StorageQueries {
 
+  /** Per-process sink root. A fixed shared path raced when two driver JVMs
+    * ran concurrently (Verify and Bench, or parallel CI jobs): one
+    * overwrites while the other reads, producing flaky oracle mismatches —
+    * and a stale dir owned by another user fails the write outright. Unique
+    * per JVM, reused across reps within it (mode=overwrite keeps reps
+    * idempotent), best-effort removed on exit.
+    */
+  private lazy val sinkRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_sink_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+
+  private def target(name: String): String =
+    sinkRoot.resolve(name).toAbsolutePath.toString
+
   val defs: Seq[QueryDef] = Seq(
 
     // partitioned parquet sink + partition-pruned re-read, oracle-checked:
@@ -29,12 +51,10 @@ object StorageQueries {
       "q_partitioned_sink",
       (spark, dir) => {
         GraftSession.tune(spark)
-        val target = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          "graft_partitioned_sink").getAbsolutePath
+        val tgt = target("partitioned_sink")
         Tables.documents(spark, dir)
-          .write.mode("overwrite").partitionBy("source").parquet(target)
-        spark.read.parquet(target)
+          .write.mode("overwrite").partitionBy("source").parquet(tgt)
+        spark.read.parquet(tgt)
           .where(col("source").isin("src0", "src3"))
           .groupBy(col("source"), col("lang"))
           .agg(count(lit(1)).as("n_docs"),
@@ -58,15 +78,13 @@ object StorageQueries {
       "q_ctas_roundtrip",
       (spark, dir) => {
         GraftSession.tune(spark)
-        val target = new java.io.File(
-          System.getProperty("java.io.tmpdir"),
-          "graft_ctas_roundtrip").getAbsolutePath
+        val tgt = target("ctas_roundtrip")
         Tables.lineitem(spark, dir)
           .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz"))
           .select(col("l_orderkey"), col("l_returnflag"),
                   Money.cents(col("l_extendedprice")).as("price_cents"))
-          .write.mode("overwrite").parquet(target)
-        spark.read.parquet(target)
+          .write.mode("overwrite").parquet(tgt)
+        spark.read.parquet(tgt)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n_rows"),
                sum(col("price_cents")).cast("long").as("sum_price_cents"),

@@ -65,7 +65,13 @@ object ScaleStress {
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_quantized_recall", "ann_filtered_topk",
     "text_token_counts", "text_tfidf", "text_quality_filter", "text_bigram_lm",
     "text_bpe_merge", "q_substring_cuts", "media_bmp_decode", "q_curation_pipeline",
-    "q_decontaminate", "q_chunk_documents", "q_stratified_sample")
+    "q_decontaminate", "q_chunk_documents", "q_stratified_sample",
+    // graph + span surfaces (round-8): q_pagerank/q_triangles read the
+    // synthesized orders/lineitem replicas (disjoint key-shifted copies —
+    // edges, wedges, and triangles all scale exactly linearly by
+    // construction, so a super-linear wall ratio is an engine defect, not
+    // a data artifact); text_repeated_spans reads documents like the rest
+    "q_pagerank", "q_triangles", "text_repeated_spans")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
@@ -123,6 +129,42 @@ object ScaleStress {
           .cast("array<float>").as("embedding"),
         col("label"))
     emb.repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // graph tables (q_pagerank / q_triangles): disjoint key-shifted replicas.
+    // Every key column shifts by rep × (max(key)+1), so replica subgraphs
+    // share no node — per-replica structure is byte-identical to the base
+    // and |edges|, |wedges|, |triangles| scale EXACTLY ×factor. A super-
+    // linear wall ratio on this corpus is therefore an engine property, not
+    // a data artifact (unlike naive duplication, which would multiply
+    // per-key join fan-out by factor²). Only the columns the graph queries
+    // read are materialized; Tables.load normalizes per-field, so narrow
+    // tables round-trip cleanly.
+    val ord = Tables.orders(spark, baseDir)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+              col("o_custkey").cast("long").as("o_custkey"),
+              col("o_orderpriority"))
+    val li = Tables.lineitem(spark, baseDir)
+      .select(col("l_orderkey").cast("long").as("l_orderkey"),
+              col("l_suppkey").cast("long").as("l_suppkey"),
+              col("l_partkey").cast("long").as("l_partkey"))
+    val om = ord.agg(max("o_orderkey"), max("o_custkey")).head
+    val lm = li.agg(max("l_suppkey"), max("l_partkey")).head
+    val (okShift, ckShift) = (om.getLong(0) + 1, om.getLong(1) + 1)
+    val (skShift, pkShift) = (lm.getLong(0) + 1, lm.getLong(1) + 1)
+    // q_pagerank keeps customer and supplier node-id spaces apart by a fixed
+    // 10^7 offset; shifted custkeys must stay below it
+    require(ckShift * factor < 10000000L,
+      s"custkey shift $ckShift × $factor collides with the supplier id space")
+    ord.select(col("*"), reps)
+      .select((col("o_orderkey") + col("rep") * okShift).as("o_orderkey"),
+              (col("o_custkey") + col("rep") * ckShift).as("o_custkey"),
+              col("o_orderpriority"))
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    li.select(col("*"), reps)
+      .select((col("l_orderkey") + col("rep") * okShift).as("l_orderkey"),
+              (col("l_suppkey") + col("rep") * skShift).as("l_suppkey"),
+              (col("l_partkey") + col("rep") * pkShift).as("l_partkey"))
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
   /** Forced evaluation identical to graft.Bench: count + xxhash over every
