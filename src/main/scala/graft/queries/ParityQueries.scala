@@ -1,12 +1,16 @@
 package graft.queries
 
-import graft.{GraftSession, ReferencePipeline, Tables}
+import graft.{GraftExtensions, GraftSession, ReferencePipeline, Tables}
+import graft.dedup.Dedup
 import graft.functions.BqFunctions
+import graft.similarity.Vectors
+import graft.text.TextAnalysis
 import org.apache.spark.sql.functions._
 
 /** Queries exercising the reference's own semantics (SURVEY.md §2 O1–O12):
-  * the parse_datetime UDF over all five format arms, and the flagship
-  * TVF → datamart pipeline.
+  * the parse_datetime UDF over all five format arms, the flagship
+  * TVF → datamart pipeline, and the `SparkSessionExtensions` SQL-function
+  * surface end-to-end.
   */
 object ParityQueries {
 
@@ -58,6 +62,55 @@ object ParityQueries {
               |       ${BqFunctions.parseDatetimeDuckDbExpr("column2")} AS datetime
               |FROM test_table WHERE id = '13'
               |ORDER BY column1""".stripMargin)
+    ),
+
+    // the SparkSessionExtensions SQL-function surface, oracle-gated: the
+    // engine's custom Catalyst expressions (h32_array, minhash_signature,
+    // simhash32, dot_product) invoked VIA `spark.sql` through the injected
+    // function registry — the path a SQL-only user takes — rather than the
+    // DataFrame Column API the dedup/ANN queries use. Token/shingle prep is
+    // the same staged DataFrame pipeline as everywhere else (it is not what
+    // this query tests); the signature kernels all run inside the SQL
+    // string. The oracle recomputes every value from the established DuckDB
+    // twins, so a registry mis-wire (wrong builder, wrong arg order, wrong
+    // default width) hash-mismatches. Array outputs are collapsed to scalar
+    // digests (the driver comparator cannot sort array columns).
+    QueryDef(
+      "q_sql_functions",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        GraftExtensions.register(spark)
+        val k = 3 // corpus-wide shingle width (DedupQueries.ShingleK)
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= k)
+          .select(col("doc_id"), TextAnalysis.shinglesOf(col("toks"), k).as("shn"))
+          .createOrReplaceTempView("graft_sqlfn_docs")
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .createOrReplaceTempView("graft_sqlfn_emb")
+        spark.sql(
+          """SELECT d.doc_id,
+            |       simhash32(d.hs) AS simhash_lo,
+            |       md5(concat_ws(',', transform(minhash_signature(d.hs), x -> CAST(x AS STRING)))) AS minhash_digest,
+            |       dot_product(e.v, e.v) AS self_dot
+            |FROM (SELECT doc_id, array_distinct(h32_array(shn)) AS hs
+            |      FROM graft_sqlfn_docs) d
+            |JOIN graft_sqlfn_emb e ON d.doc_id = e.vec_id""".stripMargin)
+      },
+      Some {
+        val mh = Dedup.minhashSignatureSql("hs") // default width, as the 1-arg SQL builder
+        s"""WITH hs0 AS (
+           |  SELECT doc_id, ${Dedup.shingleHashSetSql("text", 3)} AS hs FROM documents
+           |),
+           |d AS (SELECT doc_id, hs FROM hs0 WHERE len(hs) > 0),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+           |SELECT d.doc_id,
+           |       ${Dedup.simhashSql("hs")} AS simhash_lo,
+           |       md5(list_aggregate(list_transform($mh, x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS minhash_digest,
+           |       ${Vectors.dotSql("v", "v")} AS self_dot
+           |FROM d JOIN e ON d.doc_id = e.vec_id""".stripMargin
+      }
     )
   )
 }
