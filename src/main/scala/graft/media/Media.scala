@@ -302,6 +302,29 @@ object Media {
     }
   }
 
+  /** [[bmpRoundTrip]] through the PPM codec instead — same deterministic
+    * pixel fixture, same feature shape, a completely different container
+    * format ([[Ppm]]). The oracle for both is the SAME closed-form SQL
+    * (it recomputes from the generating formulas, never through a codec),
+    * so the two queries agreeing is a cross-codec consistency proof: any
+    * format-specific parse defect breaks exactly one of them.
+    */
+  def ppmRoundTrip(ids: Dataset[java.lang.Long]): Dataset[BmpFeatures] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val (w, h) = bmpDims(id)
+        val rgb = Array.tabulate(w * h * 3)(k => bmpPixelByte(id, k))
+        val (dw, dh, decoded) = Ppm.decode(Ppm.encode(w, h, rgb))
+        md.reset()
+        val digest = md.digest(hexLower(decoded).getBytes("UTF-8"))
+        BmpFeatures(id, dw, dh, dw.toLong * dh, hexLower(digest))
+      }
+    }
+  }
+
   // ------------------------------------- real decode / resize pipelines
 
   /** Dims for the decode/resize fixtures: 9..16 per axis. Strictly above

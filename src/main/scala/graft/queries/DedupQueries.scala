@@ -174,6 +174,21 @@ object DedupQueries {
     * transitivity is provable on a hand-built graph in DedupSpec without a
     * parquet fixture.
     */
+  /** Min-label propagation until fixpoint. Cost model (what the ×100 rig's
+    * ratio SHOULD be, so a regression is self-explaining): sweeps to
+    * converge = max component DIAMETER + 1 (labels travel one hop per
+    * sweep; the +1 sweep observes the unchanged label sum). Per sweep: one
+    * equi-join + one hash-agg over the edge list — linear in |edges|. So
+    * wall ≈ (D+1) × c×|edges|, and on the stress corpus — where duplicate
+    * groups are planted WITHIN a replica and the per-replica token shuffle
+    * destroys cross-replica shingles — component structure is
+    * scale-invariant: D(scaled) = D(base), |edges| ×factor ⇒ expected
+    * ratio ≈ factor before fixed overhead. Measured 6.17× at ×100
+    * (scale_stress_x100_r07.log) = overhead-dominated, consistent. A
+    * future super-linear ratio therefore means D grew (banding surfacing
+    * long chains — check dedup_minhash_recall) or a sweep stopped being
+    * edge-linear, not "CC is like that".
+    */
   private[graft] def propagateMinLabels(pairs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val edges = pairs.toDF("doc_a", "doc_b")

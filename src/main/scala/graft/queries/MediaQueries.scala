@@ -131,6 +131,36 @@ object MediaQueries {
       }
     ),
 
+    // second REAL codec over the SAME fixture and the SAME oracle: binary
+    // PPM (ASCII header + top-down raw RGB — nothing in common with BMP's
+    // binary little-endian headers, bottom-up BGR rows, or stride padding).
+    // The oracle recomputes from the generating formulas, so this query and
+    // media_bmp_decode agreeing with it is a cross-codec consistency proof
+    // that the media frame is codec-generic, not shaped around one parser.
+    QueryDef(
+      "media_ppm_decode",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val ids = Tables.documents(spark, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        Media.ppmRoundTrip(ids).toDF()
+      },
+      Some {
+        val hex = "list_aggregate(list_transform(generate_series(0, width * height * 3 - 1), " +
+          "k -> printf('%02x', (doc_id * 31 + k * 7 + 13) % 256)), 'string_agg', '')"
+        s"""SELECT doc_id, width, height,
+           |       CAST(width AS BIGINT) * height AS n_pixels,
+           |       md5($hex) AS pixels_md5
+           |FROM (
+           |  SELECT doc_id,
+           |         CAST(4 + doc_id % 5 AS INT) AS width,
+           |         CAST(3 + doc_id % 4 AS INT) AS height
+           |  FROM documents
+           |)""".stripMargin
+      }
+    ),
+
     // REAL typed mapPartitions decode path (round-8: retires the stub
     // codec): payload is an actual 24-bit BMP; every output feature is
     // computed from the PARSER's output bytes, none from the synthesis

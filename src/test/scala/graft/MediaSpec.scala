@@ -108,4 +108,81 @@ class MediaSpec extends SparkTestBase {
       assert(dw == w && dh == h && decoded.toSeq == rgb.toSeq, s"round-trip failed at ${w}x$h")
     }
   }
+
+  test("BMP decoder rejects corrupt dimension headers cleanly (no overflow)") {
+    import graft.media.Bmp
+    val good = Bmp.encode(4, 2, Array.fill(24)(1.toByte))
+    def withInt(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(off, v)
+      b
+    }
+    // huge width × height used to overflow stride*height in Int, letting the
+    // truncation check pass and the decode throw Negative/OOB instead of a
+    // clean reject — all of these must now fail the require, not crash
+    intercept[IllegalArgumentException](Bmp.decode(withInt(18, Int.MaxValue))) // huge width
+    intercept[IllegalArgumentException](Bmp.decode(withInt(18, -4)))           // negative width
+    intercept[IllegalArgumentException](Bmp.decode(withInt(22, Int.MinValue))) // |height| overflow
+    intercept[IllegalArgumentException](Bmp.decode(withInt(18, 0)))            // zero width
+    intercept[IllegalArgumentException](Bmp.decode(withInt(10, good.length + 1))) // offset past EOF
+  }
+
+  test("boxHalve is the exact floor-mean of each 2x2 block, odd edges dropped") {
+    // 5x3 input: out dims 2x1; verify every output sample by hand arithmetic
+    val w = 5; val h = 3
+    val rgb = Array.tabulate(w * h * 3)(k => ((k * 53 + 7) % 256).toByte)
+    val (ow, oh, out) = Media.boxHalve(w, h, rgb)
+    assert(ow == 2 && oh == 1 && out.length == ow * oh * 3)
+    for (x <- 0 until ow; c <- 0 until 3) {
+      val expect = ((rgb((2 * x) * 3 + c) & 0xff) + (rgb((2 * x + 1) * 3 + c) & 0xff) +
+        (rgb((w + 2 * x) * 3 + c) & 0xff) + (rgb((w + 2 * x + 1) * 3 + c) & 0xff)) / 4
+      assert((out(x * 3 + c) & 0xff) == expect, s"sample x=$x c=$c")
+    }
+  }
+
+  test("bmpResize decodes, halves real pixels to fit, and re-encodes") {
+    import graft.media.Bmp
+    val (w, h) = (16, 10)
+    val rgb = Array.tabulate(w * h * 3)(k => ((k * 31 + 5) % 256).toByte)
+    val rec = MediaRecord(1L, "image", w, h, 1, Bmp.encode(w, h, rgb))
+    val out = Media.bmpResize(rec, maxDim = 8)
+    val (dw, dh, decoded) = Bmp.decode(out.payload)
+    assert(dw == 8 && dh == 5 && out.width == 8 && out.height == 5)
+    val (ew, eh, expected) = Media.boxHalve(w, h, rgb)
+    assert(ew == dw && eh == dh && decoded.toSeq == expected.toSeq)
+  }
+
+  test("PPM codec round-trips pixels exactly and parses header whitespace/comments") {
+    import graft.media.Ppm
+    for ((w, h) <- Seq((5, 3), (1, 1), (8, 6))) {
+      val rgb = Array.tabulate(w * h * 3)(k => ((k * 41 + 3) % 256).toByte)
+      val (dw, dh, decoded) = Ppm.decode(Ppm.encode(w, h, rgb))
+      assert(dw == w && dh == h && decoded.toSeq == rgb.toSeq, s"round-trip at ${w}x$h")
+    }
+    // a spec-legal header with comments and mixed whitespace parses the same
+    val rgb = Array.tabulate(2 * 2 * 3)(k => (k * 9).toByte)
+    val wild = ("P6 # magic\n# a comment line\n 2\t2 # dims\n255\n").getBytes("US-ASCII") ++ rgb
+    val (dw, dh, decoded) = Ppm.decode(wild)
+    assert(dw == 2 && dh == 2 && decoded.toSeq == rgb.toSeq)
+  }
+
+  test("PPM decoder rejects malformed input instead of mis-parsing") {
+    import graft.media.Ppm
+    val good = Ppm.encode(4, 2, Array.fill(24)(1.toByte))
+    val badMagic = good.clone(); badMagic(1) = '5'.toByte // P5 = grayscale
+    intercept[IllegalArgumentException](Ppm.decode(badMagic))
+    intercept[IllegalArgumentException](Ppm.decode(good.dropRight(3)))  // truncated pixels
+    intercept[IllegalArgumentException](Ppm.decode("P6\n4 2\n65535\n".getBytes("US-ASCII") ++
+      Array.fill(48)(1.toByte)))                                        // 2-byte maxval
+    intercept[IllegalArgumentException](Ppm.decode("P6\n4 x\n255\n".getBytes("US-ASCII")))
+  }
+
+  test("BMP and PPM decode the same fixture to identical features (cross-codec)") {
+    import spark.implicits._
+    val ids = spark.createDataset((0L to 9L).map(java.lang.Long.valueOf))
+    val viaBmp = Media.bmpRoundTrip(ids).collect().map(f => f.doc_id -> f).toMap
+    val viaPpm = Media.ppmRoundTrip(ids).collect().map(f => f.doc_id -> f).toMap
+    for (id <- 0L to 9L)
+      assert(viaBmp(id) == viaPpm(id), s"codec disagreement at doc $id")
+  }
 }
