@@ -607,8 +607,12 @@ object DedupQueries {
         // by ED ≤ 3 (each edit changes length by at most 1), so the bound
         // cannot drop a true pair — it is a theorem about the metric, not a
         // blocking heuristic, and is independent of the graded char-set
-        // prefilter. It cuts the levenshtein volume several-fold (this row
-        // was 9.54 s / 8% of the full bench before the bound).
+        // prefilter. Measured outcome (r8): on THIS corpus it keeps 96.7%
+        // of within-brand pairs (p_name is 7–12 chars, so a ±3 window
+        // covers nearly the whole length distribution) and the bench row
+        // is ~unchanged — kept anyway because it is free, and on a corpus
+        // with real length variance it prunes. The arm's cost is its
+        // definition: the plain quadratic-per-brand grader.
         val plain = p.as("a")
           .join(p.as("b"),
                 col("a.p_brand") === col("b.p_brand") &&
