@@ -82,6 +82,19 @@ class PlanSpec extends SparkTestBase {
            s"expected pruned ReadSchema in:\n$plan")
   }
 
+  test("media codec pipelines are map-only and prune to doc_id") {
+    // the Media contract: payload passes through at most one map stage and
+    // NEVER a shuffle — at 100 TB the payload column dominates storage, so
+    // any Exchange here ships it across the cluster
+    for (name <- Seq("media_bmp_decode", "media_ppm_decode", "media_decode", "media_resize")) {
+      val plan = planOf(name)
+      assert(!plan.contains("Exchange"),
+             s"$name must not shuffle payload bytes:\n$plan")
+      assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+             s"$name synthesizes from ids only — expected doc_id-pruned scan in:\n$plan")
+    }
+  }
+
   test("decontamination broadcasts the eval shingle index (no sort-merge join)") {
     val df = SparkEntry.queries("q_decontaminate")(spark, sf)
     df.collect() // AQE: final adaptive plan only exists after execution
