@@ -36,6 +36,13 @@ object TextQueries {
   val HhK: Int = 64
   val HhTop: Int = 20
 
+  /** Count-min sketch parameters: depth (hash rows), width (buckets per
+    * row), and how many exact top terms the grade reports over.
+    */
+  val CmsD: Int = 4
+  val CmsW: Int = 1024
+  val CmsTop: Int = 20
+
   /** Repeated-span mining parameters: span length in tokens, minimum
     * distinct-document spread to call a span "repeated", and how many
     * top spans the report carries.
@@ -407,6 +414,85 @@ object TextQueries {
               |       TRUE AS ok
               |FROM sel CROSS JOIN tot
               |ORDER BY n_exact DESC, term ASC""".stripMargin)
+    ),
+
+    // count-min sketch graded against exact, in-query — the FOURTH graded
+    // sketch (HLL distinct, percentile, Misra–Gries frequency, and now CMS
+    // point-frequency). The sketch is CmsD×CmsW counters: every token
+    // occurrence increments one bucket per hash row, so the build is a
+    // single hash-agg over the token stream whose map-side combine reduces
+    // each partition to ≤ D×W partial rows — bounded state where a full
+    // term groupBy carries the whole vocabulary; the finished sketch
+    // (≤ 4096 rows) broadcasts to answer point queries. Grading exposes
+    // the THEOREM (deterministic, per instance): every row's counter
+    // includes every occurrence of the term, so est = min(counters) ≥
+    // exact — the oracle PINS never_undercounts TRUE, so an engine that
+    // ever undercounts hash-mismatches. The overestimate magnitude is
+    // data-dependent (fixed md5-derived hashes), so it is REPORTED and
+    // compared value-for-value rather than pinned: within_bound applies
+    // the 2N/W Markov-style yardstick identically on both engines.
+    QueryDef(
+      "q_countmin",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import graft.functions.Hashing
+        val terms = Tables.documents(spark, dir)
+          .select(explode(tokens(col("text"))).as("term"))
+        def rowBuckets = array((0 until CmsD).map { di =>
+          struct(lit(di).as("d"),
+                 pmod(Hashing.h32(concat_ws(":", col("term"), lit(di))),
+                      lit(CmsW.toLong)).as("bucket"))
+        }: _*)
+        val counters = terms.select(explode(rowBuckets).as("e"))
+          .groupBy(col("e.d").as("d"), col("e.bucket").as("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+        val tot = cnt.agg(sum(col("n_exact")).cast("long").as("n_total"))
+        val top = cnt.orderBy(col("n_exact").desc, col("term").asc).limit(CmsTop)
+        val probes = top
+          .select(col("term"), col("n_exact"), explode(rowBuckets).as("p"))
+          .select(col("term"), col("n_exact"),
+                  col("p.d").as("d"), col("p.bucket").as("bucket"))
+        probes.join(broadcast(counters), Seq("d", "bucket"))
+          .groupBy(col("term"), col("n_exact"))
+          .agg(min(col("c")).cast("long").as("cms_estimate"))
+          .crossJoin(broadcast(tot))
+          .select(col("term"), col("n_exact"), col("cms_estimate"),
+                  (col("cms_estimate") - col("n_exact")).as("overestimate"),
+                  (col("cms_estimate") >= col("n_exact")).as("never_undercounts"),
+                  ((col("cms_estimate") - col("n_exact")) * lit(CmsW.toLong / 2) <=
+                    col("n_total")).as("within_bound"))
+          .orderBy(col("n_exact").desc, col("term").asc)
+      },
+      Some {
+        val h = graft.functions.Hashing.h32Sql("term || ':' || d")
+        s"""WITH t AS (
+           |  SELECT unnest(${tokensSql("text")}) AS term FROM documents
+           |),
+           |ds AS (SELECT unnest(range(0, $CmsD)) AS d),
+           |cnt AS (SELECT term, COUNT(*) AS n_exact FROM t GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n_exact) AS BIGINT) AS n_total FROM cnt),
+           |counters AS (
+           |  SELECT d, $h % $CmsW AS bucket, COUNT(*) AS c
+           |  FROM t CROSS JOIN ds GROUP BY 1, 2
+           |),
+           |top AS (
+           |  SELECT term, n_exact FROM cnt ORDER BY n_exact DESC, term ASC LIMIT $CmsTop
+           |),
+           |probes AS (
+           |  SELECT term, n_exact, d, $h % $CmsW AS bucket FROM top CROSS JOIN ds
+           |),
+           |est AS (
+           |  SELECT term, n_exact, CAST(MIN(c) AS BIGINT) AS cms_estimate
+           |  FROM probes JOIN counters USING (d, bucket) GROUP BY 1, 2
+           |)
+           |SELECT term, n_exact, cms_estimate,
+           |       cms_estimate - n_exact AS overestimate,
+           |       TRUE AS never_undercounts,
+           |       (cms_estimate - n_exact) * ${CmsW / 2} <= n_total AS within_bound
+           |FROM est CROSS JOIN tot
+           |ORDER BY n_exact DESC, term ASC""".stripMargin
+      }
     ),
 
     // per-group heavy hitters: one Misra–Gries summary per `source` — the
