@@ -207,6 +207,36 @@ object Udafs {
     override def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
   }
 
+  /** One (group, hash) row as fed to [[MinKLong]] via `groupByKey(_.grp)
+    * .mapValues(_.h)` — the grouping column rides outside the buffer.
+    */
+  final case class KeyedHash(grp: String, h: Long)
+
+  /** KMV (k-minimum-values) sketch buffer: the k smallest DISTINCT hash
+    * values seen. min-k over a set is associative and duplicate-insensitive
+    * (the buffer invariant is sorted-distinct), so reduce/merge produce the
+    * same k survivors for any partitioning or merge order — identical to
+    * `ORDER BY h LIMIT k` over the distinct hashes.
+    *
+    * This is the scale shape for distinct-cardinality sketching: O(k) state
+    * map-side, ≤ groups × partitions × k longs through the shuffle, and the
+    * finished sketches COMPOSE — the union sketch of two sets is the k
+    * smallest of the two sketches' concatenation, no second pass over data
+    * (used by `q_kmv_overlap` for union/intersection estimates).
+    */
+  final case class MinKLong(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    private def trim(s: Seq[Long]): Seq[Long] = s.distinct.sorted.take(k)
+    override def zero: Seq[Long] = Nil
+    override def reduce(b: Seq[Long], h: Long): Seq[Long] =
+      // buffer kept sorted-distinct by trim; skip the re-sort when full
+      // and the candidate is no better than the current worst survivor
+      if (b.length >= k && h >= b.last) b else trim(h +: b)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = trim(a ++ b)
+    override def finish(b: Seq[Long]): Seq[Long] = b
+    override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
   /** Exact long-sum of the minimum element per group — a tiny example of a
     * custom order-insensitive aggregate (used by specs to pin Aggregator
     * registration + SQL call paths).

@@ -43,6 +43,16 @@ object TextQueries {
   val CmsW: Int = 1024
   val CmsTop: Int = 20
 
+  /** KMV sketch size for q_kmv_overlap (k smallest distinct hash values).
+    * The (k-1)·2³²/h₍ₖ₎ estimator's relative standard error is ≈ 1/√(k-2)
+    * ≈ 9% at k=128 — the error the query grades in permille. The sketched
+    * universe is 3-token shingles, not single terms: the corpus vocabulary
+    * (~31 terms) is smaller than k, which would leave the estimator branch
+    * dead; the shingle universe is ~10k per half at sf0.01.
+    */
+  val KmvK: Int = 128
+  val KmvShingleK: Int = 3
+
   /** Repeated-span mining parameters: span length in tokens, minimum
     * distinct-document spread to call a span "repeated", and how many
     * top spans the report carries.
@@ -492,6 +502,139 @@ object TextQueries {
            |       (cms_estimate - n_exact) * ${CmsW / 2} <= n_total AS within_bound
            |FROM est CROSS JOIN tot
            |ORDER BY n_exact DESC, term ASC""".stripMargin
+      }
+    ),
+
+    // KMV (k-minimum-values, Beyer et al. SIGMOD'07) distinct-cardinality
+    // sketch with SET OPERATIONS, graded against exact in-query — the FIFTH
+    // graded sketch (HLL distinct, percentile, Misra–Gries, CMS, and now
+    // KMV union/intersection). The corpus splits into two source halves;
+    // each half's sketch is the k smallest distinct 3-shingle hashes, built by
+    // the bounded MinKLong aggregator (O(k) map-side state — a vocabulary
+    // groupBy is NOT needed beyond the distinct). The union sketch is then
+    // COMPOSED from the two finished sketches with no second data pass (the
+    // k smallest of a union are the k smallest of the member sketches'
+    // concatenation — each is within its own set's k smallest), which is
+    // the property that makes KMV the right overlap estimator at 100 TB:
+    // per-corpus sketches persist as ~1 KB rows and any pair's overlap is
+    // answerable sketch-vs-sketch. Intersection: any union-sketch member
+    // belonging to A is necessarily in A's sketch, so the sketch-join
+    // membership test is EXACT for union-sketch members and ρ·est_union is
+    // the Beyer et al. intersection estimator. All estimator arithmetic is
+    // exact integer ((k-1)·2³² div h₍ₖ₎) so both engines produce identical
+    // values; the observed error vs exact is REPORTED in permille (expected
+    // ≈ 1/√(k-2) ≈ 9% for the union; larger for the intersection, whose
+    // Jaccard factor ρ adds binomial noise).
+    QueryDef(
+      "q_kmv_overlap",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        import graft.functions.{Hashing, Udafs}
+        val num = (KmvK - 1).toLong * Hashing.H32Max // estimator numerator (k-1)·2³²
+        spark.catalog.clearCache() // queries run sequentially; drop stale persists
+        val gt = Tables.documents(spark, dir)
+          .select(when(substring(col("source"), 4, 10).cast("int") < 10, lit("a"))
+                    .otherwise(lit("b")).as("grp"),
+                  explode(shingles(col("text"), KmvShingleK)).as("term"))
+          .distinct()
+          .persist()
+        gt.count() // eager: exact counts AND hashes consume this
+        val exact = gt.agg(
+          sum(when(col("grp") === "a", 1L).otherwise(0L)).cast("long").as("n_exact_a"),
+          sum(when(col("grp") === "b", 1L).otherwise(0L)).cast("long").as("n_exact_b"),
+          countDistinct(col("term")).cast("long").as("n_exact_union"))
+          .withColumn("n_exact_inter",
+                      (col("n_exact_a") + col("n_exact_b") - col("n_exact_union")).cast("long"))
+        val sk = gt.select(col("grp"), Hashing.h32(col("term")).as("h")).distinct()
+          .as[Udafs.KeyedHash]
+          .groupByKey(_.grp).mapValues(_.h)
+          .agg(Udafs.MinKLong(KmvK).toColumn.name("sketch"))
+          .toDF("grp", "sketch")
+        val skRow = sk.agg(
+          first(when(col("grp") === "a", col("sketch")), ignoreNulls = true).as("ska"),
+          first(when(col("grp") === "b", col("sketch")), ignoreNulls = true).as("skb"))
+        exact.crossJoin(broadcast(skRow))
+          .withColumn("sku", expr(s"slice(array_sort(array_distinct(concat(ska, skb))), 1, $KmvK)"))
+          .withColumn("n_sku", expr("size(sku)"))
+          .withColumn("kmv_matched", expr(
+            "CAST(size(filter(sku, x -> array_contains(ska, x) AND array_contains(skb, x))) AS BIGINT)"))
+          .withColumn("kmv_est_a", expr(
+            s"CASE WHEN size(ska) < $KmvK THEN CAST(size(ska) AS BIGINT) ELSE CAST($num div element_at(ska, $KmvK) AS BIGINT) END"))
+          .withColumn("kmv_est_b", expr(
+            s"CASE WHEN size(skb) < $KmvK THEN CAST(size(skb) AS BIGINT) ELSE CAST($num div element_at(skb, $KmvK) AS BIGINT) END"))
+          .withColumn("kmv_est_union", expr(
+            s"CASE WHEN n_sku < $KmvK THEN CAST(n_sku AS BIGINT) ELSE CAST($num div element_at(sku, $KmvK) AS BIGINT) END"))
+          .withColumn("kmv_est_inter", expr(
+            "CASE WHEN n_sku = 0 THEN CAST(0 AS BIGINT) ELSE CAST((kmv_matched * kmv_est_union) div n_sku AS BIGINT) END"))
+          .withColumn("err_union_permille", expr(
+            "CASE WHEN n_exact_union = 0 THEN CAST(0 AS BIGINT) ELSE CAST(abs(kmv_est_union - n_exact_union) * 1000 div n_exact_union AS BIGINT) END"))
+          .withColumn("err_inter_permille", expr(
+            "CASE WHEN n_exact_inter = 0 THEN CAST(0 AS BIGINT) ELSE CAST(abs(kmv_est_inter - n_exact_inter) * 1000 div n_exact_inter AS BIGINT) END"))
+          .select(lit(KmvK.toLong).as("k"),
+                  col("n_exact_a"), col("n_exact_b"),
+                  col("n_exact_union"), col("n_exact_inter"),
+                  col("kmv_est_a"), col("kmv_est_b"),
+                  col("kmv_est_union"), col("kmv_est_inter"),
+                  col("kmv_matched"),
+                  col("err_union_permille"), col("err_inter_permille"))
+      },
+      Some {
+        val num = (KmvK - 1).toLong * graft.functions.Hashing.H32Max
+        val h = graft.functions.Hashing.h32Sql("term")
+        s"""WITH toks AS (
+           |  SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'a' ELSE 'b' END AS grp,
+           |         unnest(${shinglesSql("text", KmvShingleK)}) AS term
+           |  FROM documents
+           |),
+           |gt AS (SELECT DISTINCT grp, term FROM toks),
+           |exact AS (
+           |  SELECT CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_a,
+           |         CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_b,
+           |         CAST(COUNT(DISTINCT term) AS BIGINT) AS n_exact_union,
+           |         CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)
+           |              + SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)
+           |              - COUNT(DISTINCT term) AS BIGINT) AS n_exact_inter
+           |  FROM gt
+           |),
+           |gh AS (SELECT DISTINCT grp, $h AS h FROM gt),
+           |ska_t AS (SELECT list(h ORDER BY h) AS ska
+           |          FROM (SELECT h FROM gh WHERE grp = 'a' ORDER BY h LIMIT $KmvK)),
+           |skb_t AS (SELECT list(h ORDER BY h) AS skb
+           |          FROM (SELECT h FROM gh WHERE grp = 'b' ORDER BY h LIMIT $KmvK)),
+           |m AS (
+           |  SELECT *, (list_sort(list_distinct(list_concat(ska, skb))))[1:$KmvK] AS sku
+           |  FROM exact CROSS JOIN ska_t CROSS JOIN skb_t
+           |),
+           |m2 AS (
+           |  SELECT *, len(sku) AS n_sku,
+           |         CAST(len(list_filter(sku, x -> list_contains(ska, x) AND list_contains(skb, x))) AS BIGINT) AS kmv_matched,
+           |         CASE WHEN len(ska) < $KmvK THEN CAST(len(ska) AS BIGINT)
+           |              ELSE CAST($num // ska[$KmvK] AS BIGINT) END AS kmv_est_a,
+           |         CASE WHEN len(skb) < $KmvK THEN CAST(len(skb) AS BIGINT)
+           |              ELSE CAST($num // skb[$KmvK] AS BIGINT) END AS kmv_est_b
+           |  FROM m
+           |),
+           |m3 AS (
+           |  SELECT *,
+           |         CASE WHEN n_sku < $KmvK THEN CAST(n_sku AS BIGINT)
+           |              ELSE CAST($num // sku[$KmvK] AS BIGINT) END AS kmv_est_union
+           |  FROM m2
+           |),
+           |m4 AS (
+           |  SELECT *,
+           |         CASE WHEN n_sku = 0 THEN CAST(0 AS BIGINT)
+           |              ELSE CAST((kmv_matched * kmv_est_union) // n_sku AS BIGINT) END AS kmv_est_inter
+           |  FROM m3
+           |)
+           |SELECT CAST($KmvK AS BIGINT) AS k,
+           |       n_exact_a, n_exact_b, n_exact_union, n_exact_inter,
+           |       kmv_est_a, kmv_est_b, kmv_est_union, kmv_est_inter, kmv_matched,
+           |       CASE WHEN n_exact_union = 0 THEN CAST(0 AS BIGINT)
+           |            ELSE CAST(abs(kmv_est_union - n_exact_union) * 1000 // n_exact_union AS BIGINT) END AS err_union_permille,
+           |       CASE WHEN n_exact_inter = 0 THEN CAST(0 AS BIGINT)
+           |            ELSE CAST(abs(kmv_est_inter - n_exact_inter) * 1000 // n_exact_inter AS BIGINT) END AS err_inter_permille
+           |FROM m4""".stripMargin
       }
     ),
 

@@ -100,6 +100,29 @@ class UdafSpec extends SparkTestBase {
     }
   }
 
+  test("MinKLong equals sorted-distinct-take-k, is partition-insensitive, and composes") {
+    // duplicate-heavy stream: id*31 mod 97 yields repeats across groups
+    val rows = spark.range(500).select(
+      concat(lit("g"), col("id") % 2).as("grp"),
+      (col("id") * 31 % 97).as("h"))
+    val expected = rows.collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).distinct.sorted.take(7).toSeq).toMap
+    for (parts <- Seq(1, 8)) {
+      val got = rows.repartition(parts)
+        .as[Udafs.KeyedHash]
+        .groupByKey(_.grp).mapValues(_.h)
+        .agg(Udafs.MinKLong(7).toColumn.name("sketch"))
+        .collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+    // composability: the union sketch is the trim of the member sketches'
+    // concatenation — the identity q_kmv_overlap relies on
+    val unionExpected = rows.collect().map(_.getLong(1)).distinct.sorted.take(7).toSeq
+    val composed = (expected("g0") ++ expected("g1")).distinct.sorted.take(7)
+    assert(composed == unionExpected)
+  }
+
   test("MisraGries honors the heavy-hitter guarantee under any partitioning") {
     // skewed stream: three dominant terms well above N/(k+1), a graded
     // mid-tail below it, and singleton noise
