@@ -67,6 +67,17 @@ object PipelineQueries {
   val RepeatPermille: Seq[(String, Int)] =
     Seq("src0" -> 2500, "src1" -> 1300, "src2" -> 1000)
 
+  /** q_weighted_sample: number of systematic-sampling pointers (= exact
+    * total picks emitted) and the prefix-sum bucket width. WsK is sized so
+    * the pointer spacing (total÷WsK) straddles the corpus's 90–577-char
+    * weight range at the gated scale factors: at sf0.01 (step ≈ 15) every
+    * document multi-picks, at sf0.1 (step ≈ 148) light documents drop and
+    * heavy ones repeat — all three outcomes (0 / 1 / >1 picks) are
+    * exercised by the gates, not just the degenerate 1-pick band.
+    */
+  val WsK = 10000
+  val WsBucket = 4096
+
   val defs: Seq[QueryDef] = Seq(
 
     // end-to-end corpus curation: the composition a training-data build
@@ -567,6 +578,88 @@ object PipelineQueries {
            |       string_agg(rs || '-' || re, ',' ORDER BY rs) AS ranges_str
            |FROM ranges
            |GROUP BY doc_id, n_tokens""".stripMargin
+      }
+    ),
+
+    // weight-proportional sampling — the "sample bytes, not documents"
+    // primitive a mixing recipe needs (uniform-hash selection over-weights
+    // short docs). Systematic sampling over the cumulative weight axis:
+    // lay documents end-to-end by weight (n_chars) in doc_id order, then
+    // drop WsK equally-spaced pointers pos_j = off + (j·total) div WsK
+    // (Bresenham spacing — the EXACT rational j·total/WsK floored per
+    // pointer, so spacing error never accumulates; a precomputed integer
+    // step = total div WsK would under-cover by up to a full step·WsK
+    // when total/WsK is small, leaving a tail of documents unpickable)
+    // and pick the document under each pointer. Exactly WsK picks always
+    // (every pointer is < total and lands in one document's interval); a
+    // document's pick count is within ±1 of WsK·w/total, so inclusion is
+    // weight-proportional and heavy documents MULTI-pick (n_picks doubles
+    // as the epoch-repeat factor, q_upsample_repeat's contract). Fully
+    // deterministic — no RNG, no floats: pointer membership inverts to an
+    // integer floor-division range [j_lo, j_hi], so no per-pointer join is
+    // materialized at all. The inversion products WsK·(cb+w) stay inside
+    // Long while WsK·total < 2⁶³ — at a true 100 TB cumulative axis pick
+    // WsK per partition-group or lift the two products to DECIMAL(38,0);
+    // the shape is unchanged. Scale shape: the only non-map work is the
+    // cumulative weight, the same two-level prefix sum as q_pack_sequences
+    // (intra-bucket window over ≤ WsBucket rows, then a bucket-total
+    // prefix — n/4096 rows; recurse the trick if that level ever
+    // saturates); everything after it is a map over (cb, w) against the
+    // broadcast 1-row total.
+    QueryDef(
+      "q_weighted_sample",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache() // queries run sequentially; drop stale persists
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+          .withColumn("bucket", expr(s"doc_id div $WsBucket"))
+          .persist()
+        docs.count() // eager: the intra window, offsets, and total all consume this
+        val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val intra = docs.withColumn("cum_in", coalesce(sum(col("w")).over(wIn), lit(0L)))
+        val wOff = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = docs.groupBy(col("bucket")).agg(sum(col("w")).as("btot"))
+          .select(col("bucket"), coalesce(sum(col("btot")).over(wOff), lit(0L)).as("boff"))
+        val tot = docs.agg(sum(col("w")).cast("long").as("total"))
+        intra.join(broadcast(offsets), Seq("bucket"))
+          .crossJoin(broadcast(tot))
+          .withColumn("cb", col("cum_in") + col("boff")) // cumulative weight before this doc
+          .withColumn("off", expr(s"total div ${2L * WsK}"))
+          // pointers j with off + (j*total) div K ∈ [cb, cb+w): an integer range
+          .withColumn("j_lo", expr(
+            s"CASE WHEN cb <= off THEN CAST(0 AS BIGINT) ELSE (CAST($WsK AS BIGINT) * (cb - off) + total - 1) div total END"))
+          .withColumn("j_hi", expr(
+            s"CASE WHEN cb + w <= off THEN CAST(-1 AS BIGINT) ELSE least((CAST($WsK AS BIGINT) * (cb + w - off) - 1) div total, CAST(${WsK - 1} AS BIGINT)) END"))
+          .filter(col("j_hi") >= col("j_lo"))
+          .select(col("doc_id"), col("w").as("weight"),
+                  (col("j_hi") - col("j_lo") + 1).cast("long").as("n_picks"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH w AS (
+           |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+           |         COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+           |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           |  FROM documents
+           |),
+           |t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM documents),
+           |p AS (
+           |  SELECT doc_id, w, cb, total, total // ${2L * WsK} AS off
+           |  FROM w CROSS JOIN t
+           |),
+           |c AS (
+           |  SELECT doc_id, w,
+           |         CASE WHEN cb <= off THEN 0 ELSE ($WsK * (cb - off) + total - 1) // total END AS j_lo,
+           |         CASE WHEN cb + w <= off THEN -1
+           |              ELSE LEAST(($WsK * (cb + w - off) - 1) // total, ${WsK - 1}) END AS j_hi
+           |  FROM p
+           |)
+           |SELECT doc_id, w AS weight, CAST(j_hi - j_lo + 1 AS BIGINT) AS n_picks
+           |FROM c WHERE j_hi >= j_lo
+           |ORDER BY doc_id""".stripMargin
       }
     )
   )

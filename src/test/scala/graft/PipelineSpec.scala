@@ -91,6 +91,25 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("q_weighted_sample conserves pointers exactly and picks weight-proportionally") {
+    val k = PipelineQueries.WsK.toLong
+    val picks = run("q_weighted_sample")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every pointer lands in exactly one document interval
+    assert(picks.map(_._3).sum == k, "total picks = WsK")
+    // weight-proportionality: n_picks within ±1 of the exact share k·w/total
+    val total = Tables.documents(spark, sf)
+      .agg(sum(col("n_chars"))).head().getLong(0)
+    picks.foreach { case (docId, w, n) =>
+      val share = k * w / total
+      assert(n >= share - 1 && n <= share + 1, s"doc $docId: $n vs $share")
+    }
+    // deterministic across re-runs (hash-free systematic scheme)
+    val again = run("q_weighted_sample")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(picks.toSeq == again.toSeq)
+  }
+
   test("q_bm25_search favors the rare query term and returns a full top-K") {
     import graft.queries.TextQueries
     val rows = run("q_bm25_search").collect()
