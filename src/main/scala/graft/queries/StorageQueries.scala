@@ -96,6 +96,143 @@ object StorageQueries {
               |FROM lineitem
               |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
               |GROUP BY 1""".stripMargin)
+    ),
+
+    // z-order (Morton-curve) data layout, graded by its zone maps — the
+    // multi-dimensional clustering that makes 100 TB selective scans
+    // possible on MORE THAN ONE column. A single-dim sort gives perfect
+    // file pruning on the sort key and NONE on everything else; writing
+    // files in z-value order keeps both dims locally clustered so each
+    // file's (min,max) zone map stays narrow on BOTH. The query computes
+    // the 16-bit Morton interleave of the two normalized dims (o_custkey ×
+    // order day) with pure div/mod arithmetic (bit-identical on both
+    // engines), models files as 64 fixed z-ranges (a deterministic stand-in
+    // for repartitionByRange(z)+sortWithinPartitions+write, whose sampled
+    // range bounds an oracle can't reproduce), builds each file's zone map
+    // (min/max of the ORIGINAL columns, the parquet row-group stats a real
+    // scan prunes with), and grades both layouts against both mid-range
+    // 1/16-selectivity predicates: files hit, rows read, rows actually
+    // matching. Expected shape — custkey_sort: ~4/64 files on x but ALL 64
+    // on y; zorder: ~8-16/64 on EACH dim. Everything is exact integer (the
+    // normalization and predicate bounds are floor-division expressions of
+    // in-query min/max), so the oracle reproduces the grade bit-for-bit.
+    QueryDef(
+      "q_zorder_layout",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val src0 = Tables.orders(spark, dir).select(
+          col("o_custkey").cast("long").as("x"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("y"))
+        val bb = src0
+          .agg(min("x").as("xmin"), max("x").as("xmax"),
+               min("y").as("ymin"), max("y").as("ymax"))
+          .withColumn("xlo", expr("xmin + (7 * (xmax - xmin + 1)) div 16"))
+          .withColumn("xhi", expr("xmin + (8 * (xmax - xmin + 1)) div 16 - 1"))
+          .withColumn("ylo", expr("ymin + (7 * (ymax - ymin + 1)) div 16"))
+          .withColumn("yhi", expr("ymin + (8 * (ymax - ymin + 1)) div 16 - 1"))
+        val src = src0.crossJoin(broadcast(bb))
+          .withColumn("x8", expr("((x - xmin) * 256) div (xmax - xmin + 1)"))
+          .withColumn("y8", expr("((y - ymin) * 256) div (ymax - ymin + 1)"))
+          .withColumn("z", expr(mortonText("x8", "y8", "div")))
+        def zmap(bucketExpr: String, layout: String) =
+          src.groupBy(expr(bucketExpr).as("bucket"))
+            .agg(min("x").as("mnx"), max("x").as("mxx"),
+                 min("y").as("mny"), max("y").as("mxy"),
+                 count(lit(1)).as("cnt"),
+                 // pred bounds are constant over the group; first() carries them
+                 first("xlo").as("xlo"), first("xhi").as("xhi"),
+                 first("ylo").as("ylo"), first("yhi").as("yhi"))
+            .withColumn("layout", lit(layout))
+        val zm = zmap("z div 1024", "zorder")
+          .unionByName(zmap("x8 div 4", "custkey_sort"))
+        def hit(dim: String) = {
+          val (mn, mx, lo, hi) = if (dim == "x") ("mnx", "mxx", "xlo", "xhi")
+                                 else ("mny", "mxy", "ylo", "yhi")
+          zm.groupBy(col("layout")).agg(
+              count(lit(1)).cast("long").as("n_buckets"),
+              sum(when(expr(s"$mx >= $lo AND $mn <= $hi"), 1L).otherwise(0L))
+                .cast("long").as("n_hit_buckets"),
+              sum(when(expr(s"$mx >= $lo AND $mn <= $hi"), col("cnt")).otherwise(0L))
+                .cast("long").as("rows_in_hit_buckets"))
+            .withColumn("pred_dim", lit(dim))
+        }
+        val matches = src.agg(
+          sum(when(expr("x >= xlo AND x <= xhi"), 1L).otherwise(0L))
+            .cast("long").as("match_x"),
+          sum(when(expr("y >= ylo AND y <= yhi"), 1L).otherwise(0L))
+            .cast("long").as("match_y"))
+        hit("x").unionByName(hit("y"))
+          .crossJoin(broadcast(matches))
+          .withColumn("n_rows_matching",
+                      when(col("pred_dim") === "x", col("match_x"))
+                        .otherwise(col("match_y")).cast("long"))
+          .select(col("layout"), col("pred_dim"), col("n_buckets"),
+                  col("n_hit_buckets"), col("rows_in_hit_buckets"),
+                  col("n_rows_matching"))
+          .orderBy(col("layout"), col("pred_dim"))
+      },
+      Some {
+        s"""WITH src0 AS (
+           |  SELECT CAST(o_custkey AS BIGINT) AS x,
+           |         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+           |  FROM orders
+           |),
+           |bb AS (
+           |  SELECT *, xmin + (7 * (xmax - xmin + 1)) // 16 AS xlo,
+           |         xmin + (8 * (xmax - xmin + 1)) // 16 - 1 AS xhi,
+           |         ymin + (7 * (ymax - ymin + 1)) // 16 AS ylo,
+           |         ymin + (8 * (ymax - ymin + 1)) // 16 - 1 AS yhi
+           |  FROM (SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax FROM src0)
+           |),
+           |src AS (
+           |  SELECT x, y, xlo, xhi, ylo, yhi,
+           |         ((x - xmin) * 256) // (xmax - xmin + 1) AS x8,
+           |         ((y - ymin) * 256) // (ymax - ymin + 1) AS y8
+           |  FROM src0 CROSS JOIN bb
+           |),
+           |srcz AS (SELECT *, ${mortonText("x8", "y8", "//")} AS z FROM src),
+           |zm AS (
+           |  SELECT 'zorder' AS layout, z // 1024 AS bucket,
+           |         MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, MAX(y) AS mxy,
+           |         COUNT(*) AS cnt, MIN(xlo) AS xlo, MIN(xhi) AS xhi, MIN(ylo) AS ylo, MIN(yhi) AS yhi
+           |  FROM srcz GROUP BY 2
+           |  UNION ALL
+           |  SELECT 'custkey_sort', x8 // 4,
+           |         MIN(x), MAX(x), MIN(y), MAX(y), COUNT(*), MIN(xlo), MIN(xhi), MIN(ylo), MIN(yhi)
+           |  FROM srcz GROUP BY 2
+           |),
+           |hx AS (
+           |  SELECT layout, 'x' AS pred_dim, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           |         CAST(SUM(CASE WHEN mxx >= xlo AND mnx <= xhi THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_buckets,
+           |         CAST(SUM(CASE WHEN mxx >= xlo AND mnx <= xhi THEN cnt ELSE 0 END) AS BIGINT) AS rows_in_hit_buckets
+           |  FROM zm GROUP BY 1, 2
+           |),
+           |hy AS (
+           |  SELECT layout, 'y' AS pred_dim, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           |         CAST(SUM(CASE WHEN mxy >= ylo AND mny <= yhi THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_buckets,
+           |         CAST(SUM(CASE WHEN mxy >= ylo AND mny <= yhi THEN cnt ELSE 0 END) AS BIGINT) AS rows_in_hit_buckets
+           |  FROM zm GROUP BY 1, 2
+           |),
+           |mt AS (
+           |  SELECT CAST(SUM(CASE WHEN x >= xlo AND x <= xhi THEN 1 ELSE 0 END) AS BIGINT) AS match_x,
+           |         CAST(SUM(CASE WHEN y >= ylo AND y <= yhi THEN 1 ELSE 0 END) AS BIGINT) AS match_y
+           |  FROM src
+           |)
+           |SELECT layout, pred_dim, n_buckets, n_hit_buckets, rows_in_hit_buckets,
+           |       CASE WHEN pred_dim = 'x' THEN match_x ELSE match_y END AS n_rows_matching
+           |FROM (SELECT * FROM hx UNION ALL SELECT * FROM hy) CROSS JOIN mt
+           |ORDER BY layout, pred_dim""".stripMargin
+      }
     )
   )
+
+  /** 16-bit Morton interleave of two 8-bit dims in pure div/mod arithmetic
+    * (engine-portable — no shift operators): bit i of x lands at position
+    * 2i, bit i of y at 2i+1.
+    */
+  private def mortonText(x: String, y: String, divOp: String): String =
+    (0 until 8).map { i =>
+      s"((($x) $divOp ${1 << i}) % 2) * ${1L << (2 * i)} + ((($y) $divOp ${1 << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
 }

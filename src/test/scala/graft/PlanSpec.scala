@@ -305,4 +305,22 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("src0"),
            s"expected source partition pruning in:\n$plan")
   }
+
+  test("z-order layout prunes both dims; single-dim sort fails the off-dim") {
+    val rows = SparkEntry.queries("q_zorder_layout")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+             (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val (xsB, xsHit, _, _) = rows(("custkey_sort", "x"))
+    val (_, ysHit, ysRows, ysMatch) = rows(("custkey_sort", "y"))
+    val (_, zxHit, _, _) = rows(("zorder", "x"))
+    val (zyB, zyHit, _, _) = rows(("zorder", "y"))
+    // the sort layout prunes its own key hard but reads EVERY bucket for
+    // the off-dim predicate; zorder stays partial on both dims
+    assert(xsHit <= xsB / 4, s"custkey_sort x: $xsHit of $xsB")
+    assert(ysHit == rows(("custkey_sort", "y"))._1, "custkey_sort y hits all buckets")
+    assert(zxHit < zyB / 2 && zyHit < zyB / 2, s"zorder partial on both: $zxHit/$zyHit of $zyB")
+    assert(ysRows >= ysMatch, "zone-map hits are a superset of matches")
+  }
 }
