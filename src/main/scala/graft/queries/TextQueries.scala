@@ -64,6 +64,12 @@ object TextQueries {
   /** text_bpe_pairs: how many top character pairs the report carries. */
   val BpeTop: Int = 30
 
+  /** text_bpe_encode: merge rounds the unrolled trainer learns before
+    * encoding (production runs the same dataflow in a driver loop; the
+    * unroll keeps the whole program oracle-expressible).
+    */
+  val BpeEncMerges: Int = 4
+
   /** text_bigram_lm: fixed-point scale for the bigram probability and the
     * keep threshold (avg bigram probability ≥ LmKeepFx/LmFx). The
     * threshold is calibrated to split this corpus: repeated/template text
@@ -1065,6 +1071,100 @@ object TextQueries {
               |)
               |SELECT pair, n_pairs, merged_pair FROM p1
               |ORDER BY n_pairs DESC, pair ASC LIMIT $BpeTop""".stripMargin)
+    ),
+
+    // BPE ENCODER at document grain: learn BpeEncMerges merges on the
+    // word-frequency table (the standard BPE-training grain — pair
+    // statistics weighted by word count, never per-document), then encode
+    // every document as the sum of its words' post-merge symbol counts and
+    // report the per-doc compression vs the character baseline in exact
+    // permille. Each round is the text_bpe_merge loop body: count pairs →
+    // argmax (count DESC, pair ASC — deterministic ties) → apply via the
+    // boundary-spaced replace (non-overlapping left-to-right in BOTH
+    // engines; adjacent occurrences share their boundary space, so a run
+    // 'a b a b' merges its first pair per pass — the same convention
+    // text_bpe_merge pinned). Scale shape: all BpeEncMerges rounds run at
+    // the BOUNDED vocabulary grain (each round one vocab-sized hash-agg +
+    // a 1-row broadcast argmax); encoding is a map-side join of exploded
+    // doc words against the broadcast word→symbol-count table — no
+    // per-document sequential state anywhere. Production loops the same
+    // dataflow M times from the driver; the unroll keeps the whole program
+    // one oracle-checkable query.
+    QueryDef(
+      "text_bpe_encode",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        var v = Tables.documents(spark, dir)
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+          .select(col("word"), col("wn"),
+                  concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+        for (_ <- 1 to BpeEncMerges) {
+          val top = v
+            .select(col("wn"), split(trim(col("s")), " ").as("sy"))
+            // single-symbol words carry no pairs — and Spark's
+            // sequence(1, 0) DESCENDS rather than being empty
+            .where(expr("size(sy) >= 2"))
+            .select(col("wn"), explode(expr(
+              "transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+              .as("pair"))
+            .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+            .orderBy(col("n").desc, col("pair").asc).limit(1)
+            .select(col("pair").as("mp"))
+          v = v.crossJoin(broadcast(top))
+            .select(col("word"), col("wn"),
+                    expr("replace(s, concat(' ', mp, ' '), " +
+                         "concat(' ', replace(mp, ' ', ''), ' '))").as("s"))
+        }
+        val wlen = v.select(col("word"),
+                            expr("size(split(trim(s), ' '))").cast("long").as("n_sym"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+          .join(broadcast(wlen), Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(sum(length(col("word"))).cast("long").as("n_tokens_chars"),
+               sum(col("n_sym")).cast("long").as("n_tokens_bpe"))
+          .withColumn("compression_permille",
+                      expr("(n_tokens_bpe * 1000) div n_tokens_chars").cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val rounds = (1 to BpeEncMerges).map { i =>
+          s"""p$i AS (
+             |  SELECT pair, SUM(wn) AS n FROM (
+             |    SELECT wn, unnest(list_transform(generate_series(1, len(sy) - 1),
+             |                                     j -> sy[j] || ' ' || sy[j + 1])) AS pair
+             |    FROM (SELECT wn, string_split(trim(s), ' ') AS sy FROM v${i - 1})
+             |    WHERE len(sy) >= 2)
+             |  GROUP BY pair
+             |),
+             |t$i AS (SELECT pair AS mp FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
+             |v$i AS (
+             |  SELECT word, wn,
+             |         replace(s, ' ' || mp || ' ', ' ' || replace(mp, ' ', '') || ' ') AS s
+             |  FROM v${i - 1} CROSS JOIN t$i
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v0 AS (
+           |  SELECT word, COUNT(*) AS wn,
+           |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+           |  FROM (SELECT unnest(${tokensSql("text")}) AS word FROM documents)
+           |  GROUP BY word
+           |),
+           |$rounds,
+           |wlen AS (
+           |  SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+           |  FROM v$BpeEncMerges
+           |),
+           |dw AS (SELECT doc_id, unnest(${tokensSql("text")}) AS word FROM documents)
+           |SELECT doc_id,
+           |       CAST(SUM(length(word)) AS BIGINT) AS n_tokens_chars,
+           |       CAST(SUM(n_sym) AS BIGINT) AS n_tokens_bpe,
+           |       CAST(SUM(n_sym) * 1000 // SUM(length(word)) AS BIGINT) AS compression_permille
+           |FROM dw JOIN wlen USING (word)
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin
+      }
     ),
 
     // corpus-bigram language-model quality score (the perplexity-filter
