@@ -539,20 +539,30 @@ object TextQueries {
         import graft.functions.{Hashing, Udafs}
         val num = (KmvK - 1).toLong * Hashing.H32Max // estimator numerator (k-1)·2³²
         spark.catalog.clearCache() // queries run sequentially; drop stale persists
+        // hash BEFORE the distinct: the shuffle carries (grp, int64), not
+        // (grp, shingle string) — ~5× less shuffle volume. The "exact"
+        // grading reference is therefore distinct-HASH cardinality, which
+        // is exactly the quantity the KMV estimator targets (and identical
+        // on both engines); it differs from distinct-shingle cardinality
+        // only by 32-bit collisions, E[n²/2³³] ≈ 10 of ~300k at sf0.1.
         val gt = Tables.documents(spark, dir)
           .select(when(substring(col("source"), 4, 10).cast("int") < 10, lit("a"))
                     .otherwise(lit("b")).as("grp"),
-                  explode(shingles(col("text"), KmvShingleK)).as("term"))
+                  // bind the token array BEFORE shingling: shinglesOf's
+                  // lambda re-evaluates its operand per shingle
+                  tokens(col("text")).as("toks"))
+          .select(col("grp"), explode(shinglesOf(col("toks"), KmvShingleK)).as("term"))
+          .select(col("grp"), Hashing.h32(col("term")).as("h"))
           .distinct()
           .persist()
-        gt.count() // eager: exact counts AND hashes consume this
+        gt.count() // eager: exact counts AND the sketches consume this
         val exact = gt.agg(
           sum(when(col("grp") === "a", 1L).otherwise(0L)).cast("long").as("n_exact_a"),
           sum(when(col("grp") === "b", 1L).otherwise(0L)).cast("long").as("n_exact_b"),
-          countDistinct(col("term")).cast("long").as("n_exact_union"))
+          countDistinct(col("h")).cast("long").as("n_exact_union"))
           .withColumn("n_exact_inter",
                       (col("n_exact_a") + col("n_exact_b") - col("n_exact_union")).cast("long"))
-        val sk = gt.select(col("grp"), Hashing.h32(col("term")).as("h")).distinct()
+        val sk = gt
           .as[Udafs.KeyedHash]
           .groupByKey(_.grp).mapValues(_.h)
           .agg(Udafs.MinKLong(KmvK).toColumn.name("sketch"))
@@ -593,17 +603,16 @@ object TextQueries {
            |         unnest(${shinglesSql("text", KmvShingleK)}) AS term
            |  FROM documents
            |),
-           |gt AS (SELECT DISTINCT grp, term FROM toks),
+           |gh AS (SELECT DISTINCT grp, $h AS h FROM toks),
            |exact AS (
            |  SELECT CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_a,
            |         CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_b,
-           |         CAST(COUNT(DISTINCT term) AS BIGINT) AS n_exact_union,
+           |         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact_union,
            |         CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)
            |              + SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)
-           |              - COUNT(DISTINCT term) AS BIGINT) AS n_exact_inter
-           |  FROM gt
+           |              - COUNT(DISTINCT h) AS BIGINT) AS n_exact_inter
+           |  FROM gh
            |),
-           |gh AS (SELECT DISTINCT grp, $h AS h FROM gt),
            |ska_t AS (SELECT list(h ORDER BY h) AS ska
            |          FROM (SELECT h FROM gh WHERE grp = 'a' ORDER BY h LIMIT $KmvK)),
            |skb_t AS (SELECT list(h ORDER BY h) AS skb

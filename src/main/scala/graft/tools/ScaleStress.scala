@@ -71,7 +71,15 @@ object ScaleStress {
     // edges, wedges, and triangles all scale exactly linearly by
     // construction, so a super-linear wall ratio is an engine defect, not
     // a data artifact); text_repeated_spans reads documents like the rest
-    "q_pagerank", "q_triangles", "text_repeated_spans")
+    "q_pagerank", "q_triangles", "text_repeated_spans",
+    // round-8 additions: KMV's per-group work is one distinct + a bounded
+    // min-k agg (the sketches themselves are O(k) however large the
+    // corpus); weighted sampling is the two-level prefix sum + a map;
+    // BPE encode's merge rounds run at the vocabulary grain (constant
+    // across replicas — the token shuffle permutes words, never invents
+    // them) so only the distinct and the encode join scale; zorder is two
+    // hash-aggs over the key-shifted orders replicas
+    "q_kmv_overlap", "q_weighted_sample", "text_bpe_encode", "q_zorder_layout")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
@@ -142,7 +150,11 @@ object ScaleStress {
     val ord = Tables.orders(spark, baseDir)
       .select(col("o_orderkey").cast("long").as("o_orderkey"),
               col("o_custkey").cast("long").as("o_custkey"),
-              col("o_orderpriority"))
+              col("o_orderpriority"),
+              // q_zorder_layout's second dim: dates replicate unshifted
+              // (the custkey shift already makes replicas disjoint; zone
+              // maps just see `factor`× the rows per (custkey, day) cell)
+              col("o_orderdate"))
     val li = Tables.lineitem(spark, baseDir)
       .select(col("l_orderkey").cast("long").as("l_orderkey"),
               col("l_suppkey").cast("long").as("l_suppkey"),
@@ -158,7 +170,7 @@ object ScaleStress {
     ord.select(col("*"), reps)
       .select((col("o_orderkey") + col("rep") * okShift).as("o_orderkey"),
               (col("o_custkey") + col("rep") * ckShift).as("o_custkey"),
-              col("o_orderpriority"))
+              col("o_orderpriority"), col("o_orderdate"))
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     li.select(col("*"), reps)
       .select((col("l_orderkey") + col("rep") * okShift).as("l_orderkey"),
