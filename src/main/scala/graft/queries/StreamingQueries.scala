@@ -3,8 +3,12 @@ package graft.queries
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
+import graft.Tables
+import graft.functions.{Hashing, Udafs}
 import graft.streaming.Streaming
+import graft.text.TextAnalysis
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.LongType
@@ -249,6 +253,92 @@ object StreamingQueries {
              |FROM events
              |GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)
+    ),
+
+    // streaming KMV distinct-cardinality over the document stream — the
+    // sketch × streaming crossover: per-(half, shard) bounded O(k) state
+    // via mapGroupsWithState ([[Streaming.kmvSketch]]), fed in FOUR
+    // separate micro-batches so cross-batch state folding is genuinely
+    // exercised, shard sketches merged on read (KMV composability), and
+    // the result checked bit-for-bat against a BATCH DuckDB oracle — valid
+    // because the k-min fold is order- and duplicate-insensitive, so the
+    // stream must land on exactly the batch sketch whatever the batch
+    // boundaries. Update-mode emissions accumulate in the memory sink;
+    // the latest per shard is selected by its monotone n_seen. The
+    // collect() feed is the MemoryStream harness boundary as documented in
+    // the object scaladoc; shingling/hashing run INSIDE the stream.
+    QueryDef(
+      "q_streaming_kmv",
+      (spark, dir) => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val K = TextQueries.KmvK
+        val num = (K - 1).toLong * Hashing.H32Max
+        val input = MemoryStream[TokenDoc]
+        val docs = Tables.documents(spark, dir)
+          .select(col("source"), col("text")).as[TokenDoc].collect()
+        val sink = s"streaming_kmv_${runId.incrementAndGet()}"
+        val hashes = input.toDF()
+          .select(when(substring(col("source"), 4, 10).cast("int") < 10, lit("a"))
+                    .otherwise(lit("b")).as("grp"),
+                  TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("grp"),
+                  explode(TextAnalysis.shinglesOf(col("toks"), TextQueries.KmvShingleK))
+                    .as("term"))
+          .select(col("grp"), Hashing.h32(col("term")).as("h"))
+          .select(col("grp"), pmod(col("h"), lit(8)).cast("int").as("sub"), col("h"))
+          .as[Streaming.SubHash]
+        val q = Streaming.kmvSketch(hashes, K)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable() // one micro-batch per chunk: real state folds
+        }
+        q.stop(); q.awaitTermination()
+        val w = Window.partitionBy(col("grp"), col("sub")).orderBy(col("n_seen").desc)
+        val latest = spark.table(sink)
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        val merged = latest
+          .select(col("grp"), explode(col("sketch")).as("h")).distinct()
+          .as[Udafs.KeyedHash].groupByKey(_.grp).mapValues(_.h)
+          .agg(Udafs.MinKLong(K).toColumn.name("sk")).toDF("grp", "sk")
+        val out = merged.select(
+            col("grp"),
+            expr("CAST(size(sk) AS BIGINT)").as("n_in_sketch"),
+            expr("element_at(sk, size(sk))").as("kth_hash"),
+            expr(s"CASE WHEN size(sk) < $K THEN CAST(size(sk) AS BIGINT) " +
+                 s"ELSE CAST($num div element_at(sk, $K) AS BIGINT) END").as("kmv_est"))
+          .orderBy(col("grp"))
+        val resolved = out.localCheckpoint(eager = true)
+        spark.catalog.dropTempView(sink)
+        resolved
+      },
+      Some {
+        val K = TextQueries.KmvK
+        val num = (K - 1).toLong * Hashing.H32Max
+        val h = Hashing.h32Sql("term")
+        s"""WITH toks AS (
+           |  SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'a' ELSE 'b' END AS grp,
+           |         unnest(${TextAnalysis.shinglesSql("text", TextQueries.KmvShingleK)}) AS term
+           |  FROM documents
+           |),
+           |gh AS (SELECT DISTINCT grp, $h AS h FROM toks),
+           |sk AS (
+           |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+           |  FROM gh
+           |)
+           |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+           |       CAST(MAX(h) AS BIGINT) AS kth_hash,
+           |       CASE WHEN COUNT(*) < $K THEN CAST(COUNT(*) AS BIGINT)
+           |            ELSE CAST($num // MAX(h) AS BIGINT) END AS kmv_est
+           |FROM sk WHERE rn <= $K
+           |GROUP BY grp
+           |ORDER BY grp""".stripMargin
+      }
     )
   )
+
+  /** One document in the KMV stream feed (source half + text only). */
+  final case class TokenDoc(source: String, text: String)
 }

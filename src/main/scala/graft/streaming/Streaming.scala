@@ -175,6 +175,47 @@ object Streaming {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
               col("c_mktsegment").as("segment"))
 
+  /** One keyed hash flowing into [[kmvSketch]]: the shard key `sub` spreads
+    * one group's state over several state-store partitions.
+    */
+  final case class SubHash(grp: String, sub: Int, h: Long)
+
+  /** KMV shard state (public for the same Janino reason as
+    * [[SessionState]]): items folded so far and the current k-min sketch.
+    */
+  final case class KmvState(n: Long, sketch: Seq[Long])
+
+  /** One sub-sketch emission: shard (grp, sub)'s state after a batch. */
+  final case class KmvSubSketch(grp: String, sub: Int, n_seen: Long, sketch: Seq[Long])
+
+  /** Streaming KMV distinct-cardinality sketch: O(k) state per shard
+    * however long the stream runs — the sketch that makes streaming
+    * distinct-counting bounded-state (keying raw values instead keeps one
+    * state row per distinct value forever). Because the k-min fold is
+    * ORDER- and DUPLICATE-INSENSITIVE, the final sketch is byte-identical
+    * to the batch KMV over the same multiset regardless of arrival order
+    * or micro-batch boundaries — which is what lets a batch oracle check
+    * the stream bit-for-bit (`q_streaming_kmv`). Sharding by `sub` is the
+    * production parallelism shape: each shard folds independently and the
+    * reader MERGES shard sketches (k smallest of their concatenation — the
+    * composability `q_kmv_overlap` relies on), so state is partitioned
+    * across executors like any keyed stream.
+    */
+  def kmvSketch(hashes: Dataset[SubHash], k: Int): Dataset[KmvSubSketch] = {
+    import hashes.sparkSession.implicits._
+    hashes
+      .groupByKey(r => (r.grp, r.sub))
+      .mapGroupsWithState[KmvState, KmvSubSketch](GroupStateTimeout.NoTimeout()) {
+        case ((grp, sub), it, state) =>
+          val st = state.getOption.getOrElse(KmvState(0L, Seq.empty))
+          val hs = it.map(_.h).toSeq
+          val next = KmvState(st.n + hs.length,
+                              (st.sketch ++ hs).distinct.sorted.take(k))
+          state.update(next)
+          KmvSubSketch(grp, sub, next.n, next.sketch)
+      }
+  }
+
   /** Batch-read the events table with the stream's schema (for parity tests
     * and for replaying history through the same code path).
     */

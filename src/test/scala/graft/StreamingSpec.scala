@@ -162,6 +162,36 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Map(10L -> "gold", 11L -> "silver"))
   }
 
+  test("streaming KMV is batch-split-invariant: 1 batch and 5 batches land on one sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 16
+    val values = (1 to 400).map(i => Streaming.SubHash(
+      if (i % 2 == 0) "a" else "b", (i * 31) % 4, (i.toLong * 2654435761L) % 100000L))
+    def run(chunks: Int): Map[(String, Int), Seq[Long]] = {
+      val input = MemoryStream[Streaming.SubHash]
+      val sink = s"kmv_split_${chunks}_${System.nanoTime()}"
+      val q = Streaming.kmvSketch(input.toDS(), k)
+        .writeStream.format("memory").queryName(sink).outputMode("update").start()
+      values.grouped(math.max(1, values.length / chunks)).foreach { c =>
+        input.addData(c: _*); q.processAllAvailable()
+      }
+      q.stop(); q.awaitTermination()
+      val rows = spark.table(sink).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getSeq[Long](3)))
+      spark.catalog.dropTempView(sink)
+      // latest emission per shard (n_seen is monotone)
+      rows.groupBy(_._1).view.mapValues(_.maxBy(_._2._1)._2._2.toSeq).toMap
+    }
+    val one = run(1)
+    val five = run(5)
+    assert(one == five, "final shard sketches must not depend on batch boundaries")
+    // and each equals the direct k-min of the shard's distinct values
+    values.groupBy(v => (v.grp, v.sub)).foreach { case (key, vs) =>
+      val expected = vs.map(_.h).distinct.sorted.take(k)
+      assert(one(key) == expected, s"shard $key")
+    }
+  }
+
   test("batch replay through eventsBatch has the stream schema") {
     val ds = Streaming.eventsBatch(spark, sf)
     assert(ds.count() > 0)
