@@ -74,6 +74,19 @@ class PlanSpec extends SparkTestBase {
            s"found serial per-source window spec(s): $sourceOnly")
   }
 
+  test("weighted sample's data-sized window partitions by bucket") {
+    val plan = SparkEntry.queries("q_weighted_sample")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected window specs in:\n$plan")
+    // the per-document cumulative window must be bucket-partitioned; the
+    // only unpartitioned window is over the n/4096 bucket TOTALS
+    val docSized = specs.filter(s => s.contains("doc_id") && !s.contains("bucket"))
+    assert(docSized.isEmpty,
+           s"found serial document-sized window spec(s): $docSized")
+  }
+
   test("quality filter is map-only: no exchange in the plan") {
     val plan = planOf("text_quality_filter")
     assert(!plan.contains("Exchange"),
