@@ -546,6 +546,99 @@ object RelationalQueries {
              |FROM maxes m JOIN quants q ON m.grp = q.grp""".stripMargin)
     ),
 
+    // robust per-group outlier detection via MAD (median absolute
+    // deviation) — the outlier rule that survives the outliers themselves
+    // (mean/stddev are dragged by the very rows being flagged; the
+    // breakdown point of median±k·MAD is 50%). Two rounds of the
+    // q_order_stats two-phase distributed median — the second round's
+    // input is |x − median| from the first — then one conditional agg
+    // counts rows with dev > 3·MAD. Everything stays integer cents, so
+    // both engines select identical elements. The ORACLE reaches the same
+    // numbers by a completely different algorithm (per-group row_number
+    // windows — affordable in DuckDB, a one-task-per-group straggler on a
+    // cluster), so the two-phase machinery is checked against an
+    // independent formulation, not itself. Scale shape: each median round
+    // is one hash-agg histogram + tiny prefix sums + bounded refinement of
+    // the single hit bucket; no per-group global sort anywhere.
+    QueryDef(
+      "q_mad_outliers",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val W = 1L << 16
+        // exact lower median (rank (n+1) div 2) of `v`, tie-broken by `k`:
+        // bucket histogram -> per-grp prefix sums -> rank only the hit bucket
+        def medianOf(df: DataFrame): DataFrame = {
+          val b = df.withColumn("bucket", expr(s"v div $W"))
+          val hist = b.groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
+          val wB = Window.partitionBy("grp").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val cum = hist.withColumn("cum", sum("cnt").over(wB).cast(LongType))
+          val idx = hist.groupBy("grp").agg(sum("cnt").cast(LongType).as("n"))
+            .select(col("grp"), expr("(n + 1) div 2").as("target"))
+          val hit = cum.join(broadcast(idx), "grp")
+            .where(col("cum") >= col("target") && col("cum") - col("cnt") < col("target"))
+            .select(col("grp"), col("bucket"),
+                    (col("target") - (col("cum") - col("cnt"))).as("offs"))
+          val wIn = Window.partitionBy("grp", "bucket").orderBy(col("v"), col("k"))
+          b.join(broadcast(hit), Seq("grp", "bucket"))
+            .withColumn("rn", row_number().over(wIn).cast(LongType))
+            .where(col("rn") === col("offs"))
+            .select(col("grp"), col("v").as("med"))
+        }
+        // events.value, not order totals: the synthetic prices are near-
+        // uniform (max deviation ~2 MAD - nothing to flag), while event
+        // values are heavy-tailed (max ~13-19 MAD), so the rule actually
+        // splits the data it grades on
+        val base = Tables.events(spark, dir)
+          .select(col("event_type").as("grp"),
+                  Money.cents(col("value")).as("v"), col("event_id").as("k"))
+        val med = medianOf(base)
+        val dev = base.join(broadcast(med), "grp")
+          .select(col("grp"), abs(col("v") - col("med")).as("v"), col("k"), col("med"))
+        val mad = medianOf(dev.select(col("grp"), col("v"), col("k")))
+          .withColumnRenamed("med", "mad")
+        dev.join(broadcast(mad), "grp")
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_rows"),
+               min(col("med")).cast(LongType).as("med_cents"),
+               min(col("mad")).cast(LongType).as("mad_cents"),
+               sum(when(col("v") > lit(3) * col("mad"), 1L).otherwise(0L))
+                 .cast(LongType).as("n_outliers"))
+          .withColumn("outlier_permille",
+                      expr("(n_outliers * 1000) div n_rows").cast(LongType))
+          .orderBy(col("grp"))
+      },
+      Some(s"""WITH base AS (
+             |  SELECT event_type AS grp, ${Money.centsSql("value")} AS v, event_id AS k
+             |  FROM events
+             |), m AS (
+             |  SELECT grp, v AS med FROM (
+             |    SELECT grp, v,
+             |           row_number() OVER (PARTITION BY grp ORDER BY v, k) AS rn,
+             |           COUNT(*) OVER (PARTITION BY grp) AS n
+             |    FROM base)
+             |  WHERE rn = (n + 1) // 2
+             |), d AS (
+             |  SELECT b.grp, abs(b.v - m.med) AS dev, b.k, m.med
+             |  FROM base b JOIN m USING (grp)
+             |), mad AS (
+             |  SELECT grp, dev AS mad FROM (
+             |    SELECT grp, dev,
+             |           row_number() OVER (PARTITION BY grp ORDER BY dev, k) AS rn,
+             |           COUNT(*) OVER (PARTITION BY grp) AS n
+             |    FROM d)
+             |  WHERE rn = (n + 1) // 2
+             |)
+             |SELECT d.grp, COUNT(*) AS n_rows,
+             |       CAST(MIN(d.med) AS BIGINT) AS med_cents,
+             |       CAST(MIN(mad.mad) AS BIGINT) AS mad_cents,
+             |       CAST(SUM(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |       CAST(SUM(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS outlier_permille
+             |FROM d JOIN mad USING (grp)
+             |GROUP BY d.grp
+             |ORDER BY d.grp""".stripMargin)
+    ),
+
     // O: calendar rollup — date_trunc month/quarter buckets (both engines
     // truncate identically; day-of-week is deliberately avoided: Spark and
     // DuckDB number weekdays differently).
