@@ -36,4 +36,20 @@ class EventsAnalyticsSpec extends SparkTestBase {
            "conv_from_first is the exact purchase/view ratio")
     spark.catalog.clearCache()
   }
+
+  test("MAD outliers: the rule is live and consistent with its own counts") {
+    val rows = SparkEntry.queries("q_mad_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, med, mad, out, pm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(med > 0 && mad > 0, "degenerate median/MAD")
+      assert(out < n, "the robust rule must not flag a majority")
+      assert(pm == out * 1000 / n, "permille is the exact integer ratio")
+    }
+    // the heavy-tailed event values must actually trip the 3-MAD rule
+    // somewhere — a zero total means the threshold went dead (the failure
+    // mode the first cut on near-uniform order totals had)
+    assert(rows.map(_.getLong(4)).sum > 0, "outlier branch is dead")
+  }
 }
