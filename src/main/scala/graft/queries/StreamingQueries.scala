@@ -336,6 +336,92 @@ object StreamingQueries {
            |GROUP BY grp
            |ORDER BY grp""".stripMargin
       }
+    ),
+
+    // streaming Misra–Gries heavy hitters — the second streaming sketch,
+    // and the harder grading problem: unlike KMV, MG summary CONTENTS are
+    // arrival-order-dependent, so the stream cannot be value-compared to a
+    // batch run; what holds for ANY order is the theorem, and the grade
+    // exposes exactly the batch q_heavy_hitters consequence — every term
+    // with exact count > N/(k+1) must appear in the summary (`ok` pinned
+    // TRUE by the oracle). Terms shard BY TERM HASH across 8 state
+    // partitions ([[Streaming.mgSketch]]): each shard folds the classic
+    // O(k) counter update across micro-batches (fed in four), and because
+    // a term's entire stream lives in one shard, the plain union of shard
+    // summaries is a valid global summary with the full N/(k+1) guarantee
+    // — the reader never weakens the bound. The exact-count arm exists to
+    // GRADE the sketch (as in every graded-sketch query); production
+    // drops it.
+    QueryDef(
+      "q_streaming_heavy_hitters",
+      (spark, dir) => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val K = TextQueries.HhK
+        val input = MemoryStream[TokenDoc]
+        val docs = Tables.documents(spark, dir)
+          .select(col("source"), col("text")).as[TokenDoc].collect()
+        val sink = s"streaming_hh_${runId.incrementAndGet()}"
+        val shardTerms = input.toDF()
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .select(pmod(Hashing.h32(col("term")), lit(8)).cast("int").as("shard"),
+                  col("term"))
+          .as[Streaming.ShardTerm]
+        val q = Streaming.mgSketch(shardTerms, K)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        q.stop(); q.awaitTermination()
+        val w = Window.partitionBy(col("shard")).orderBy(col("n_seen").desc)
+        val summary = spark.table(sink)
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(explode(map_keys(col("summary"))).as("term"))
+          .distinct()
+          .withColumn("in_summary", lit(true))
+        val terms = Tables.documents(spark, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+        val tot = cnt.agg(sum(col("n_exact")).cast("long").as("n_total"))
+        val guaranteed = col("n_exact") * (K + 1).toLong > col("n_total")
+        val top = cnt.orderBy(col("n_exact").desc, col("term").asc)
+          .limit(TextQueries.HhTop)
+        val guar = cnt.crossJoin(broadcast(tot))
+          .where(guaranteed).select(col("term"), col("n_exact"))
+        val out = top.union(guar).distinct()
+          .crossJoin(broadcast(tot))
+          .join(broadcast(summary), Seq("term"), "left")
+          .select(col("term"), col("n_exact"),
+                  guaranteed.as("guaranteed"),
+                  (!guaranteed || coalesce(col("in_summary"), lit(false))).as("ok"))
+          .orderBy(col("n_exact").desc, col("term").asc)
+        val resolved = out.localCheckpoint(eager = true)
+        spark.catalog.dropTempView(sink)
+        resolved
+      },
+      Some {
+        val K = TextQueries.HhK
+        s"""WITH t AS (
+           |  SELECT unnest(${TextAnalysis.tokensSql("text")}) AS term FROM documents
+           |),
+           |cnt AS (SELECT term, COUNT(*) AS n_exact FROM t GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n_exact) AS BIGINT) AS n_total FROM cnt),
+           |sel AS (
+           |  SELECT term, n_exact FROM (
+           |    SELECT term, n_exact FROM cnt
+           |    ORDER BY n_exact DESC, term ASC LIMIT ${TextQueries.HhTop})
+           |  UNION
+           |  SELECT term, n_exact FROM cnt CROSS JOIN tot
+           |  WHERE n_exact * ${K + 1} > n_total
+           |)
+           |SELECT term, n_exact,
+           |       (n_exact * ${K + 1} > n_total) AS guaranteed,
+           |       TRUE AS ok
+           |FROM sel CROSS JOIN tot
+           |ORDER BY n_exact DESC, term ASC""".stripMargin
+      }
     )
   )
 

@@ -216,6 +216,49 @@ object Streaming {
       }
   }
 
+  /** One term routed to its Misra–Gries shard (term-hash sharding: every
+    * occurrence of a term lands in ONE shard, which is what makes the
+    * union of shard summaries a valid global summary — see [[mgSketch]]).
+    */
+  final case class ShardTerm(shard: Int, term: String)
+
+  /** MG shard state (public for the Janino reason, see [[SessionState]]). */
+  final case class MgState(n: Long, sums: Map[String, Long])
+
+  /** One shard-summary emission after a batch. */
+  final case class MgShard(shard: Int, n_seen: Long, summary: Map[String, Long])
+
+  /** Streaming Misra–Gries heavy hitters: O(k) counters per shard however
+    * long the stream runs, folded across micro-batches with the SAME
+    * reduce step the batch aggregator uses (`Udafs.MisraGries`), so the
+    * classic guarantee — every term with true count > N_shard/(k+1)
+    * survives its shard's summary — holds for any arrival order or batch
+    * boundary. Because sharding is BY TERM, a term's entire stream lives
+    * in one shard (N_shard ≤ N), so the plain UNION of the shard summaries
+    * is a valid global summary of ≤ shards·k counters carrying the full
+    * N/(k+1) guarantee — no cross-shard subtract-merge needed, and the
+    * reader never has to weaken the bound. Summary CONTENTS beyond the
+    * guarantee are arrival-order-dependent (as in batch), so consumers
+    * must expose only order-insensitive consequences — the
+    * `q_streaming_heavy_hitters` grade does exactly what `q_heavy_hitters`
+    * pinned: "every guaranteed term was found".
+    */
+  def mgSketch(terms: Dataset[ShardTerm], k: Int): Dataset[MgShard] = {
+    import terms.sparkSession.implicits._
+    val mg = graft.functions.Udafs.MisraGries(k)
+    terms
+      .groupByKey(_.shard)
+      .mapGroupsWithState[MgState, MgShard](GroupStateTimeout.NoTimeout()) {
+        case (shard, it, state) =>
+          val st = state.getOption.getOrElse(MgState(0L, Map.empty))
+          var n = st.n
+          var s = st.sums
+          it.foreach { r => n += 1; s = mg.reduce(s, r.term) }
+          state.update(MgState(n, s))
+          MgShard(shard, n, s)
+      }
+  }
+
   /** Batch-read the events table with the stream's schema (for parity tests
     * and for replaying history through the same code path).
     */

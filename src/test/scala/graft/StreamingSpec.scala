@@ -192,6 +192,32 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming MG keeps the heavy-hitter guarantee under any batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4
+    // one genuinely heavy term (count 60 of N=150 > N/(k+1)=30) drowned in
+    // 90 near-unique fillers that force constant counter eviction
+    val stream = (1 to 60).map(_ => "heavy") ++ (1 to 90).map(i => s"rare$i")
+    val shardOf = (t: String) => math.abs(t.hashCode) % 3
+    for (chunks <- Seq(1, 5)) {
+      val input = MemoryStream[Streaming.ShardTerm]
+      val sink = s"mg_split_${chunks}_${System.nanoTime()}"
+      val q = Streaming.mgSketch(input.toDS(), k)
+        .writeStream.format("memory").queryName(sink).outputMode("update").start()
+      stream.grouped(math.max(1, stream.length / chunks)).foreach { c =>
+        input.addData(c.map(t => Streaming.ShardTerm(shardOf(t), t)): _*)
+        q.processAllAvailable()
+      }
+      q.stop(); q.awaitTermination()
+      val rows = spark.table(sink).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getMap[String, Long](2).toMap))
+      spark.catalog.dropTempView(sink)
+      val union = rows.groupBy(_._1).values
+        .flatMap(_.maxBy(_._2._1)._2._2.keys).toSet
+      assert(union.contains("heavy"), s"chunks=$chunks: guaranteed term evicted")
+    }
+  }
+
   test("batch replay through eventsBatch has the stream schema") {
     val ds = Streaming.eventsBatch(spark, sf)
     assert(ds.count() > 0)
