@@ -79,7 +79,12 @@ object ScaleStress {
     // across replicas — the token shuffle permutes words, never invents
     // them) so only the distinct and the encode join scale; zorder is two
     // hash-aggs over the key-shifted orders replicas
-    "q_kmv_overlap", "q_weighted_sample", "text_bpe_encode", "q_zorder_layout")
+    "q_kmv_overlap", "q_weighted_sample", "text_bpe_encode", "q_zorder_layout",
+    // the two-phase distributed-quantile machinery (one round in
+    // q_order_stats over the orders replicas, two rounds in
+    // q_mad_outliers over the events replicas): histogram hash-agg +
+    // tiny prefix sums + bounded refinement — each stage linear
+    "q_order_stats", "q_mad_outliers")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
@@ -153,8 +158,11 @@ object ScaleStress {
               col("o_orderpriority"),
               // q_zorder_layout's second dim: dates replicate unshifted
               // (the custkey shift already makes replicas disjoint; zone
-              // maps just see `factor`× the rows per (custkey, day) cell)
-              col("o_orderdate"))
+              // maps just see `factor`× the rows per (custkey, day) cell);
+              // o_totalprice feeds q_order_stats' quantile machinery —
+              // replicated values keep per-group medians invariant while
+              // histogram counts scale exactly ×factor
+              col("o_orderdate"), col("o_totalprice"))
     val li = Tables.lineitem(spark, baseDir)
       .select(col("l_orderkey").cast("long").as("l_orderkey"),
               col("l_suppkey").cast("long").as("l_suppkey"),
@@ -170,13 +178,25 @@ object ScaleStress {
     ord.select(col("*"), reps)
       .select((col("o_orderkey") + col("rep") * okShift).as("o_orderkey"),
               (col("o_custkey") + col("rep") * ckShift).as("o_custkey"),
-              col("o_orderpriority"), col("o_orderdate"))
+              col("o_orderpriority"), col("o_orderdate"), col("o_totalprice"))
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     li.select(col("*"), reps)
       .select((col("l_orderkey") + col("rep") * okShift).as("l_orderkey"),
               (col("l_suppkey") + col("rep") * skShift).as("l_suppkey"),
               (col("l_partkey") + col("rep") * pkShift).as("l_partkey"))
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // events replicas for q_mad_outliers' two-round median: ids shift,
+    // (event_type, value) replicate — per-group medians and MADs are
+    // invariant under replication while histogram counts and outlier
+    // counts scale exactly ×factor
+    Tables.events(spark, baseDir)
+      .select(col("event_id").cast("long").as("event_id"),
+              col("event_type"), col("value"))
+      .select(col("*"), reps)
+      .select((col("event_id") + col("rep") * idShift).as("event_id"),
+              col("event_type"), col("value"))
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   /** Forced evaluation identical to graft.Bench: count + xxhash over every
