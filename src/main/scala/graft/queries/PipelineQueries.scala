@@ -78,6 +78,16 @@ object PipelineQueries {
   val WsK = 10000
   val WsBucket = 4096
 
+  /** q_quality_topp: kept token share target (permille) and the quality-
+    * bucket resolution — the cutoff is resolved at floor(score × QtBuckets)
+    * grain so no per-source global sort is needed (see the QueryDef note).
+    */
+  val TopPermille = 800
+  val QtBuckets = 10000
+
+  /** q_shard_balance: output shard count for the serpentine LPT layout. */
+  val NShards = 16
+
   val defs: Seq[QueryDef] = Seq(
 
     // end-to-end corpus curation: the composition a training-data build
@@ -660,6 +670,147 @@ object PipelineQueries {
            |SELECT doc_id, w AS weight, CAST(j_hi - j_lo + 1 AS BIGINT) AS n_picks
            |FROM c WHERE j_hi >= j_lo
            |ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // top-p ("nucleus") quality pruning per source: keep the highest-
+    // quality documents until the kept set holds TopPermille of the
+    // source's tokens. The scale-critical choice is the GRAIN of the
+    // cutoff: an exact doc-level top-p needs a per-source global sort by
+    // score, and `source` has a handful of values — a window partitioned
+    // by it would funnel the whole corpus through ≤ |sources| tasks at
+    // 100 TB. Instead the cutoff is resolved at quality-BUCKET grain
+    // (floor(score × QtBuckets), 1/QtBuckets ≈ 0.01% score resolution):
+    // doc-grain work is one map + one hash-agg into the (source × bucket)
+    // histogram, and the only window runs over that metadata-grain
+    // histogram (≤ |sources| × QtBuckets rows regardless of corpus size).
+    // A bucket is kept iff the cumulative tokens STRICTLY ABOVE it are
+    // still short of the target, so the boundary bucket is included whole
+    // — the greedy rule at bucket grain. All post-score arithmetic is
+    // integer (permille comparisons, `div`), so the oracle lands on
+    // identical values; the score itself is the fixed left-to-right IEEE
+    // expression shared with text_quality.
+    QueryDef(
+      "q_quality_topp",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val s = TextAnalysis.qualitySignals(col("text")).toMap
+        val docs = Tables.documents(spark, dir)
+          .select(col("source"), s("n_tokens").as("n_tokens"),
+                  floor(s("quality_score") * QtBuckets).cast("long").as("bucket"))
+          .where(col("n_tokens") > 0L)
+        val hist = docs.groupBy(col("source"), col("bucket"))
+          .agg(sum(col("n_tokens")).as("btok"), count(lit(1)).as("bdocs"))
+        val tot = hist.groupBy(col("source"))
+          .agg(sum(col("btok")).as("tokens_total"))
+        val wb = Window.partitionBy(col("source")).orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist.withColumn("cum", sum(col("btok")).over(wb))
+          .join(broadcast(tot), "source")
+          .where((col("cum") - col("btok")) * 1000 < col("tokens_total") * TopPermille)
+          .groupBy(col("source"))
+          .agg(min(col("bucket")).cast("long").as("q_cut_bucket"),
+               sum(col("bdocs")).cast("long").as("n_docs_kept"),
+               sum(col("btok")).cast("long").as("tokens_kept"),
+               max(col("tokens_total")).cast("long").as("tokens_total"))
+          .withColumn("kept_permille", expr("tokens_kept * 1000 div tokens_total"))
+      },
+      Some {
+        val s = TextAnalysis.qualitySignalsSql("text").toMap
+        s"""WITH s AS (
+           |  SELECT source, CAST(${s("n_tokens")} AS BIGINT) AS n_tokens,
+           |         CAST(floor((${s("quality_score")}) * $QtBuckets) AS BIGINT) AS bucket
+           |  FROM documents
+           |  WHERE ${s("n_tokens")} > 0
+           |),
+           |h AS (
+           |  SELECT source, bucket, CAST(SUM(n_tokens) AS BIGINT) AS btok,
+           |         CAST(COUNT(*) AS BIGINT) AS bdocs
+           |  FROM s GROUP BY 1, 2
+           |),
+           |t AS (SELECT source, CAST(SUM(btok) AS BIGINT) AS tokens_total FROM h GROUP BY 1),
+           |c AS (
+           |  SELECT source, bucket, btok, bdocs,
+           |         CAST(SUM(btok) OVER (PARTITION BY source ORDER BY bucket DESC
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           |  FROM h
+           |)
+           |SELECT c.source, MIN(bucket) AS q_cut_bucket,
+           |       CAST(SUM(bdocs) AS BIGINT) AS n_docs_kept,
+           |       CAST(SUM(btok) AS BIGINT) AS tokens_kept,
+           |       CAST(MAX(t.tokens_total) AS BIGINT) AS tokens_total,
+           |       CAST(CAST(SUM(btok) * 1000 AS BIGINT) // CAST(MAX(t.tokens_total) AS BIGINT) AS BIGINT) AS kept_permille
+           |FROM c JOIN t ON c.source = t.source
+           |WHERE (cum - btok) * 1000 < t.tokens_total * $TopPermille
+           |GROUP BY 1""".stripMargin
+      }
+    ),
+
+    // balanced shard assignment for training-data export: documents are
+    // laid out into NShards output shards so per-shard token loads come
+    // out nearly equal — the step between a curated corpus and the
+    // fixed-size files a trainer streams. Docs are globally ranked by
+    // token count (descending, doc_id tiebreak) and dealt SERPENTINE
+    // (block k runs left→right, block k+1 right→left): the classic
+    // SQL-expressible approximation of LPT greedy — true LPT ("next doc
+    // to the lightest shard") is inherently sequential, while serpentine
+    // bounds imbalance by one block's intra-block spread and needs only a
+    // rank. The rank itself is computed the scale-correct way: NOT one
+    // global unpartitioned window, but a two-phase split — a hash-agg
+    // histogram of token counts (bounded by the max doc length, metadata
+    // grain), a prefix-sum window over THAT for per-count offsets, then a
+    // per-count partitioned row_number whose partitions are as numerous
+    // as distinct lengths (hundreds of concurrent tasks, no single-task
+    // funnel). global_rank = offset(count) + local_rank.
+    QueryDef(
+      "q_shard_balance",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        val wOff = Window.orderBy(col("n_tokens").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = docs.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+          .select(col("n_tokens"), coalesce(sum(col("cnt")).over(wOff), lit(0L)).as("off"))
+        val wLoc = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
+        val ranked = docs.withColumn("rl", row_number().over(wLoc).cast("long"))
+          .join(broadcast(offs), "n_tokens")
+          .withColumn("r", col("off") + col("rl"))
+          .withColumn("block", expr(s"(r - 1) div $NShards"))
+          .withColumn("pos", expr(s"(r - 1) % $NShards"))
+          .withColumn("shard", when(col("block") % 2 === 0, col("pos"))
+            .otherwise(lit(NShards - 1L) - col("pos")))
+        val shards = ranked.groupBy(col("shard"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+               sum(col("n_tokens")).cast("long").as("shard_tokens"))
+        val tot = shards.agg(sum(col("shard_tokens")).cast("long").as("tot"))
+        shards.crossJoin(broadcast(tot))
+          .select(col("shard"), col("n_docs"), col("shard_tokens"),
+                  expr("shard_tokens * 1000 div tot").as("load_permille"))
+      },
+      Some {
+        val tok = TextAnalysis.wsTokenCountSql("text")
+        s"""WITH s AS (SELECT doc_id, CAST($tok AS BIGINT) AS n_tokens FROM documents),
+           |r AS (
+           |  SELECT n_tokens,
+           |         ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS r
+           |  FROM s
+           |),
+           |a AS (
+           |  SELECT n_tokens,
+           |         CASE WHEN ((r - 1) // $NShards) % 2 = 0 THEN (r - 1) % $NShards
+           |              ELSE ${NShards - 1} - ((r - 1) % $NShards) END AS shard
+           |  FROM r
+           |),
+           |g AS (
+           |  SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+           |  FROM a GROUP BY 1
+           |),
+           |t AS (SELECT CAST(SUM(shard_tokens) AS BIGINT) AS tot FROM g)
+           |SELECT shard, n_docs, shard_tokens,
+           |       CAST(shard_tokens * 1000 // t.tot AS BIGINT) AS load_permille
+           |FROM g, t""".stripMargin
       }
     )
   )

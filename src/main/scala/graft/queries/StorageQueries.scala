@@ -2,7 +2,9 @@ package graft.queries
 
 import graft.{GraftSession, Tables}
 import graft.functions.Money
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Storage-lifecycle queries: sink + source capabilities exercised INSIDE
   * the driver's correctness gate rather than only in specs. The write
@@ -29,8 +31,15 @@ object StorageQueries {
     p
   }
 
-  private def target(name: String): String =
+  private[queries] def target(name: String): String =
     sinkRoot.resolve(name).toAbsolutePath.toString
+
+  /** q_compaction_bins: modeled file-inventory width and the compaction
+    * target size in bytes (64 KiB — sized to the test corpus so bins ≫ 1;
+    * a production run only changes this constant to 512 MB).
+    */
+  val CompactFiles = 256
+  val CompactTargetBytes: Long = 1L << 16
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -224,6 +233,141 @@ object StorageQueries {
            |FROM (SELECT * FROM hx UNION ALL SELECT * FROM hy) CROSS JOIN mt
            |ORDER BY layout, pred_dim""".stripMargin
       }
+    ),
+
+    // CSV sink + source round-trip, oracle-checked: the orders fact is
+    // projected (ints, a pre-converted exact-cents long, a formatted date
+    // string, and a SYNTHESIZED comma-bearing column — this corpus has no
+    // separator/quote/newline characters anywhere, so the hostile column
+    // exists precisely to force the writer's quoting and the reader's
+    // unquoting instead of silently never exercising them), written as
+    // headered CSV, re-read with an EXPLICIT schema (no inference — at
+    // 100 TB schema inference is a full extra pass), and aggregated. The
+    // oracle recomputes from the original parquet, so a quoting defect,
+    // type mangling, or row loss in either direction hash-mismatches.
+    // Doubles are converted to integer cents BEFORE the text round-trip:
+    // decimal text formatting is the one place engines legitimately
+    // diverge, so the capability is claimed for exact types, which is how
+    // a production pipeline should ship money through CSV anyway.
+    QueryDef(
+      "q_csv_roundtrip",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val tgt = target("csv_roundtrip")
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+                  Money.cents(col("o_totalprice")).as("price_cents"),
+                  date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+                  concat_ws(",", col("o_orderstatus"), col("o_orderpriority")).as("hostile"))
+          .write.mode("overwrite").option("header", "true").csv(tgt)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+          StructField("price_cents", LongType), StructField("day", StringType),
+          StructField("hostile", StringType)))
+        spark.read.schema(schema).option("header", "true").csv(tgt)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+               sum(col("price_cents")).cast("long").as("sum_price_cents"),
+               countDistinct(col("hostile")).cast("long").as("n_status_prio"),
+               min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+              |       CAST(SUM(${Money.centsSql("o_totalprice")}) AS BIGINT) AS sum_price_cents,
+              |       CAST(COUNT(DISTINCT concat(o_orderstatus, ',', o_orderpriority)) AS BIGINT) AS n_status_prio,
+              |       MIN(strftime(o_orderdate, '%Y-%m-%d')) AS min_day,
+              |       MAX(strftime(o_orderdate, '%Y-%m-%d')) AS max_day
+              |FROM orders
+              |GROUP BY 1""".stripMargin)
+    ),
+
+    // JSON-lines sink + source round-trip — THE training-data interchange
+    // format (every public corpus release ships as jsonl). Documents are
+    // written as JSONL (Spark's json sink = one object per line), re-read
+    // with an explicit schema, and fingerprinted per (source, lang) with
+    // an md5-distinct over the full text — any escaping defect in either
+    // direction (newlines, quotes, unicode) changes a digest and
+    // hash-mismatches against the oracle, which reads the ORIGINAL
+    // parquet. Scale: both legs are map-only over the corpus; the agg is
+    // one hash-agg on a 25-key space.
+    QueryDef(
+      "q_jsonl_roundtrip",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val tgt = target("jsonl_roundtrip")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"))
+          .write.mode("overwrite").json(tgt)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("lang", StringType), StructField("text", StringType)))
+        spark.read.schema(schema).json(tgt)
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+               sum(length(col("text"))).cast("long").as("n_chars"),
+               countDistinct(md5(col("text"))).cast("long").as("n_distinct_texts"),
+               min(col("doc_id")).cast("long").as("min_doc_id"),
+               max(col("doc_id")).cast("long").as("max_doc_id"))
+      },
+      Some("""SELECT source, lang, COUNT(*) AS n_docs,
+             |       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+             |       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+             |       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+             |FROM documents
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // small-file compaction planner — the table-maintenance operator every
+    // long-lived 100 TB table needs (streaming ingestion leaves thousands
+    // of small files; scans then pay per-file open cost and lose row-group
+    // locality). The FILE INVENTORY is modeled as 256 hash-bucket files
+    // over documents (file_id = doc_id % 256, bytes = sum of its docs'
+    // n_chars) — the metadata a real catalog (listing / manifest) hands
+    // the planner. Packing is next-fit by byte offset: files in file_id
+    // order, bin = floor(cumulative_bytes_before / target), which makes
+    // every bin a contiguous byte range of ~target size (± one file).
+    // The scale point is the GRAIN: the planner touches file metadata
+    // only — even a 100 TB table at 512 MB targets is ~200k inventory
+    // rows, so the single prefix-sum window over the inventory is
+    // metadata-grain by construction; nothing row-sized shuffles, and the
+    // doc→file rollup is one map-side-combined hash-agg. All integers.
+    QueryDef(
+      "q_compaction_bins",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val inv = Tables.documents(spark, dir)
+          .select((col("doc_id") % CompactFiles).as("file_id"),
+                  col("n_chars").cast("long").as("bytes"))
+          .groupBy(col("file_id"))
+          .agg(sum(col("bytes")).as("fbytes"), count(lit(1)).as("n_docs"))
+        val w = Window.orderBy(col("file_id")).rowsBetween(Window.unboundedPreceding, -1)
+        inv.withColumn("cum_before", coalesce(sum(col("fbytes")).over(w), lit(0L)))
+          .withColumn("bin", expr(s"cum_before div $CompactTargetBytes"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).cast("long").as("n_files"),
+               sum(col("n_docs")).cast("long").as("n_docs"),
+               sum(col("fbytes")).cast("long").as("bin_bytes"))
+          .withColumn("fill_permille", expr(s"bin_bytes * 1000 div $CompactTargetBytes"))
+      },
+      Some(s"""WITH inv AS (
+              |  SELECT doc_id % $CompactFiles AS file_id,
+              |         CAST(SUM(n_chars) AS BIGINT) AS fbytes,
+              |         CAST(COUNT(*) AS BIGINT) AS n_docs
+              |  FROM documents GROUP BY 1
+              |),
+              |p AS (
+              |  SELECT file_id, fbytes, n_docs,
+              |         CAST(COALESCE(SUM(fbytes) OVER (ORDER BY file_id
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+              |  FROM inv
+              |)
+              |SELECT cum_before // $CompactTargetBytes AS bin,
+              |       CAST(COUNT(*) AS BIGINT) AS n_files,
+              |       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+              |       CAST(SUM(fbytes) AS BIGINT) AS bin_bytes,
+              |       CAST(SUM(fbytes) * 1000 // $CompactTargetBytes AS BIGINT) AS fill_permille
+              |FROM p
+              |GROUP BY 1""".stripMargin)
     )
   )
 

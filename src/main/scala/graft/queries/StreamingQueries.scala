@@ -422,6 +422,57 @@ object StreamingQueries {
            |FROM sel CROSS JOIN tot
            |ORDER BY n_exact DESC, term ASC""".stripMargin
       }
+    ),
+
+    // the FILE-BASED streaming source — the one streaming query whose
+    // input is NOT a MemoryStream: events are landed as a multi-file
+    // parquet directory (the "files arriving in a landing zone" shape —
+    // 8 hash-partitioned files standing in for 8 ingestion batches), then
+    // `readStream.schema(...).parquet(dir)` discovers and processes them
+    // INCREMENTALLY — maxFilesPerTrigger=3 forces ≥3 separate microbatches
+    // under Trigger.AvailableNow, so the complete-mode aggregation state
+    // genuinely folds across batches rather than seeing one big batch.
+    // The schema is EXPLICIT (a streaming file source requires it — no
+    // inference pass over a 100 TB landing zone), value rides as exact
+    // integer cents so the cross-batch fold is order-independent, and the
+    // oracle computes the same rollup from the original events table: a
+    // missed file, double-processed file, or state-fold defect all
+    // hash-mismatch. This retires the "all streaming inputs are
+    // MemoryStream" caveat for the source side of the surface.
+    QueryDef(
+      "q_streaming_file_source",
+      (spark, dir) => {
+        graft.GraftSession.tune(spark)
+        val land = StorageQueries.target("stream_land_events")
+        val batch = Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+                  col("event_type"), col("value"))
+        batch.repartition(8, col("event_id"))
+          .write.mode("overwrite").parquet(land)
+        val sink = s"streaming_file_source_${runId.incrementAndGet()}"
+        val q = spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "3")
+          .parquet(land)
+          .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast(LongType).as("n_events"),
+               sum(col("cents")).cast(LongType).as("total_cents"),
+               min(col("event_id")).cast(LongType).as("min_event_id"),
+               max(col("event_id")).cast(LongType).as("max_event_id"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
+        val out = spark.table(sink)
+        val resolved = out.localCheckpoint(eager = true)
+        spark.catalog.dropTempView(sink)
+        resolved
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+             |       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+             |       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+             |FROM events
+             |GROUP BY 1""".stripMargin)
     )
   )
 
