@@ -1197,6 +1197,55 @@ object RelationalQueries {
              |       LEAD(valid_from, 1) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
              |       n_events
              |FROM grp""".stripMargin)
+    ),
+
+    // CDC snapshot materialization — replaying a change log into the
+    // latest-state table (the Debezium/Delta "apply changes" shape, and
+    // the missing sibling of q_merge_upsert (one batch of upserts) and
+    // q_scd2_intervals (full history)): events are read as a changelog on
+    // the user key — `error` is a DELETE tombstone, everything else an
+    // UPSERT carrying the value — and last-writer-wins by (ts, event_id)
+    // decides each key's final state; tombstoned keys vanish from the
+    // snapshot. The scale-critical choice: LWW is computed as a hash-agg
+    // ARGMAX — max over a (ts, event_id, op, cents) struct, whose
+    // lexicographic comparison IS the write order since event_id is
+    // unique — not a row_number window: the agg partial-aggregates
+    // map-side and never sorts each key's history, where the window
+    // shuffles and sorts every change row. The oracle reaches the same
+    // snapshot through the window formulation, so the two independent
+    // algorithms must agree row-for-row.
+    QueryDef(
+      "q_cdc_snapshot",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val ch = Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+                  when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+                  expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        ch.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("op"), col("cents"))).as("m"),
+               count(lit(1)).cast("long").as("n_changes"))
+          .where(col("m.op") === "U")
+          .select(col("user_id"), col("m.ts").as("last_ts"),
+                  col("m.event_id").cast("long").as("last_event_id"),
+                  col("m.cents").cast("long").as("last_cents"),
+                  col("n_changes"))
+      },
+      Some("""WITH ch AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM events
+             |),
+             |r AS (
+             |  SELECT user_id, ts, event_id, op, cents,
+             |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             |         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+             |  FROM ch
+             |)
+             |SELECT user_id, ts AS last_ts, CAST(event_id AS BIGINT) AS last_event_id,
+             |       cents AS last_cents, CAST(n_changes AS BIGINT) AS n_changes
+             |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin)
     )
   )
 }

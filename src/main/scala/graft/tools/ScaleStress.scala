@@ -84,7 +84,17 @@ object ScaleStress {
     // q_order_stats over the orders replicas, two rounds in
     // q_mad_outliers over the events replicas): histogram hash-agg +
     // tiny prefix sums + bounded refinement — each stage linear
-    "q_order_stats", "q_mad_outliers")
+    "q_order_stats", "q_mad_outliers",
+    // round-8 batch 2: quality top-p and shard balancing claim metadata-
+    // grain windows only (histogram + prefix offsets), so their doc-grain
+    // work is map + hash-agg — linear; the compaction planner windows a
+    // fixed 256-row inventory; the two format round-trips are map-only
+    // write+read legs over documents/orders replicas
+    "q_quality_topp", "q_shard_balance", "q_compaction_bins",
+    "q_csv_roundtrip", "q_jsonl_roundtrip",
+    // CDC snapshot: one map + one map-side-combined argmax hash-agg over
+    // the user-shifted events replicas — linear by construction
+    "q_cdc_snapshot")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
@@ -155,7 +165,7 @@ object ScaleStress {
     val ord = Tables.orders(spark, baseDir)
       .select(col("o_orderkey").cast("long").as("o_orderkey"),
               col("o_custkey").cast("long").as("o_custkey"),
-              col("o_orderpriority"),
+              col("o_orderpriority"), col("o_orderstatus"),
               // q_zorder_layout's second dim: dates replicate unshifted
               // (the custkey shift already makes replicas disjoint; zone
               // maps just see `factor`× the rows per (custkey, day) cell);
@@ -178,7 +188,8 @@ object ScaleStress {
     ord.select(col("*"), reps)
       .select((col("o_orderkey") + col("rep") * okShift).as("o_orderkey"),
               (col("o_custkey") + col("rep") * ckShift).as("o_custkey"),
-              col("o_orderpriority"), col("o_orderdate"), col("o_totalprice"))
+              col("o_orderpriority"), col("o_orderstatus"),
+              col("o_orderdate"), col("o_totalprice"))
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     li.select(col("*"), reps)
       .select((col("l_orderkey") + col("rep") * okShift).as("l_orderkey"),
@@ -190,12 +201,18 @@ object ScaleStress {
     // (event_type, value) replicate — per-group medians and MADs are
     // invariant under replication while histogram counts and outlier
     // counts scale exactly ×factor
+    // user_id shifts per replica (disjoint key spaces — q_cdc_snapshot's
+    // per-user LWW argmax is invariant per replica, live-key count scales
+    // exactly ×factor); ts replicates unshifted (write order within a
+    // replica is the base order)
     Tables.events(spark, baseDir)
       .select(col("event_id").cast("long").as("event_id"),
-              col("event_type"), col("value"))
+              col("user_id").cast("long").as("user_id"),
+              col("ts"), col("event_type"), col("value"))
       .select(col("*"), reps)
       .select((col("event_id") + col("rep") * idShift).as("event_id"),
-              col("event_type"), col("value"))
+              (col("user_id") + col("rep") * idShift).as("user_id"),
+              col("ts"), col("event_type"), col("value"))
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 

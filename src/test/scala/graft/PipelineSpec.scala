@@ -169,4 +169,60 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2L).getAs[String]("ranges_str") == "10-29")
     assert(out(1L).getAs[Long]("n_cut_tokens") == 20L)
   }
+
+  test("q_quality_topp matches a sequential greedy fold over the bucket histogram") {
+    val out = run("q_quality_topp").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("q_cut_bucket"), r.getAs[Long]("n_docs_kept"),
+         r.getAs[Long]("tokens_kept"), r.getAs[Long]("tokens_total"),
+         r.getAs[Long]("kept_permille"))).toMap
+    assert(out.nonEmpty)
+    // independent sequential re-derivation: collect the (source, bucket,
+    // n_tokens) rows and run the greedy rule as a plain fold — validates
+    // the window+join machinery against the definition
+    val s = graft.text.TextAnalysis.qualitySignals(col("text")).toMap
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), s("n_tokens").as("nt"),
+              floor(s("quality_score") * PipelineQueries.QtBuckets).cast("long").as("b"))
+      .where(col("nt") > 0L)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("b"), r.getAs[Long]("nt")))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val hist = rs.groupBy(_._2).view
+        .mapValues(g => (g.map(_._3).sum, g.size.toLong)).toMap
+      val total = hist.values.map(_._1).sum
+      var cumBefore = 0L
+      var kept = (0L, 0L) // (tokens, docs)
+      var cut = Long.MaxValue
+      hist.keys.toSeq.sorted(Ordering[Long].reverse).foreach { b =>
+        val (btok, bdocs) = hist(b)
+        if (cumBefore * 1000 < total * PipelineQueries.TopPermille) {
+          kept = (kept._1 + btok, kept._2 + bdocs); cut = b
+        }
+        cumBefore += btok
+      }
+      val (cutB, nKept, tokKept, tokTotal, permille) = out(src)
+      assert(cutB == cut, s"$src cut bucket")
+      assert(nKept == kept._2 && tokKept == kept._1, s"$src kept counts")
+      assert(tokTotal == total, s"$src total")
+      assert(permille == tokKept * 1000 / tokTotal && permille >= PipelineQueries.TopPermille,
+             s"$src permille $permille")
+    }
+  }
+
+  test("q_shard_balance conserves tokens and stays within the serpentine bound") {
+    val out = run("q_shard_balance").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"),
+                 r.getAs[Long]("shard_tokens"), r.getAs[Long]("load_permille")))
+    assert(out.map(_._1).sorted.toSeq == (0L until PipelineQueries.NShards).toSeq,
+           "every shard populated exactly once")
+    val docs = Tables.documents(spark, sf)
+      .select(graft.text.TextAnalysis.wsTokenCount(col("text")).cast("long").as("nt"))
+      .collect().map(_.getLong(0))
+    assert(out.map(_._2).sum == docs.length, "every doc assigned")
+    assert(out.map(_._3).sum == docs.sum, "token conservation")
+    // serpentine over size-sorted docs bounds shard spread by one block's
+    // internal spread, which is at most the largest document
+    val spread = out.map(_._3).max - out.map(_._3).min
+    assert(spread <= docs.max, s"spread $spread vs max doc ${docs.max}")
+  }
 }

@@ -46,4 +46,25 @@ class SourcesSpec extends SparkTestBase {
     assert(pruned.count() ==
       Tables.orders(spark, sf).where(col("o_orderstatus") === "F").count())
   }
+
+  test("compaction bins honor the next-fit byte bounds") {
+    val T = graft.queries.StorageQueries.CompactTargetBytes
+    val bins = SparkEntry.queries("q_compaction_bins")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_files"), r.getAs[Long]("bin_bytes")))
+      .sortBy(_._1)
+    assert(bins.length > 1, "test constant must produce multiple bins")
+    assert(bins.map(_._1).toSeq == (0L until bins.length).toSeq, "bins contiguous from 0")
+    val inv = Tables.documents(spark, sf)
+      .groupBy((col("doc_id") % graft.queries.StorageQueries.CompactFiles).as("f"))
+      .agg(sum(col("n_chars")).as("b")).collect().map(_.getAs[Long]("b"))
+    assert(bins.map(_._3).sum == inv.sum, "byte conservation")
+    val maxFile = inv.max
+    // next-fit by byte offset: every bin spans one [kT,(k+1)T) range of the
+    // cumulative axis, so its size is within one file of the target —
+    // except the final partial bin, which only has the upper bound
+    bins.dropRight(1).foreach { case (k, _, bytes) =>
+      assert(bytes > T - maxFile && bytes < T + maxFile, s"bin $k bytes $bytes")
+    }
+    assert(bins.last._3 <= T + maxFile, "final bin bounded")
+  }
 }
