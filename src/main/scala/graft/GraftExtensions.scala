@@ -21,10 +21,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * always available).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // whole-operator optimizer extension: bucketed range joins (inert
+    // until spark.graft.rangeJoin.binWidth is set — see RangeJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
 
 object GraftExtensions {
@@ -50,9 +54,15 @@ object GraftExtensions {
   )
 
   /** Register the same functions into an already-built session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     definitions.foreach { case (name, info, builder) =>
       org.apache.spark.sql.graftbridge.ColumnBridge
         .registerFunction(spark, FunctionIdentifier(name), info, builder)
     }
+    // existing-session path for the optimizer extension (the driver
+    // harness owns session construction); idempotent
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
+  }
 }

@@ -453,6 +453,52 @@ object RelationalQueries {
              |GROUP BY o_orderpriority""".stripMargin)
     ),
 
+    // the KEYLESS interval join through the custom optimizer rule — the
+    // whole-operator Catalyst extension ([[graft.plans.RangeJoinRule]],
+    // registered via SparkSessionExtensions / experimental rules). Unlike
+    // q_range_join_ship_lag (which has an equi key and sort-merge-joins
+    // natively), this join's ONLY cross-side predicates are inequalities
+    // — the shape OSS Spark plans as a nested-loop O(|L|·|R|) scan, the
+    // join that falls over first at 100 TB. The query is written NAIVELY
+    // (one join call, no manual bucketing); the rule rewrites it into a
+    // bucketed equi-join (point side gains bucket(p) = epoch div 7d, the
+    // window side explodes to its overlapped buckets, original condition
+    // kept as residual) — RangeJoinRuleSpec pins the plan shape and
+    // bit-exactness incl. negatives/degenerates. The conf knob is scoped
+    // to this query by forcing execution (eager localCheckpoint) before
+    // unsetting, so no other query's plan is touched. The oracle runs the
+    // same naive SQL in DuckDB — the rewrite must be invisible in values.
+    QueryDef(
+      "q_range_join_auto",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        graft.GraftExtensions.register(spark)
+        spark.conf.set(graft.plans.RangeJoinRule.WidthConfKey, (7L * 24 * 3600).toString)
+        try {
+          val windows = Tables.orders(spark, dir)
+            .where(pmod(col("o_orderkey"), lit(97)) === 0)
+            .select(col("o_orderkey").as("window_id"),
+                    col("o_orderdate").as("w_start"),
+                    (col("o_orderdate") + expr("INTERVAL '7' DAY")).as("w_end"))
+          val points = Tables.lineitem(spark, dir)
+            .select(col("l_shipdate"), Money.cents(col("l_extendedprice")).as("cents"))
+          points.join(windows,
+              col("l_shipdate") >= col("w_start") && col("l_shipdate") < col("w_end"))
+            .groupBy(col("window_id"))
+            .agg(count(lit(1)).cast("long").as("n_hits"),
+                 sum(col("cents")).cast("long").as("sum_cents"))
+            .localCheckpoint(eager = true)
+        } finally spark.conf.unset(graft.plans.RangeJoinRule.WidthConfKey)
+      },
+      Some(s"""SELECT o_orderkey AS window_id, COUNT(*) AS n_hits,
+              |       CAST(SUM(${Money.centsSql("l_extendedprice")}) AS BIGINT) AS sum_cents
+              |FROM lineitem JOIN orders
+              |  ON l_shipdate >= o_orderdate
+              | AND l_shipdate < o_orderdate + INTERVAL '7 days'
+              |WHERE o_orderkey % 97 = 0
+              |GROUP BY 1""".stripMargin)
+    ),
+
     // O: exact per-group order statistics (p50/p90/max of order price)
     // WITHOUT a per-group global sort. A `PARTITION BY grp ORDER BY price`
     // window puts each group's whole corpus on one task; instead this is

@@ -1,0 +1,87 @@
+package graft
+
+import graft.plans.RangeJoinRule
+import org.apache.spark.sql.functions._
+
+/** The bucketed-range-join optimizer rule: same rows as the naive plan,
+  * different physical join. The rule is session-global once registered, so
+  * every test restores the conf to unset.
+  */
+class RangeJoinRuleSpec extends SparkTestBase {
+
+  private def withWidth[A](w: Option[Long])(body: => A): A = {
+    GraftExtensions.register(spark)
+    w match {
+      case Some(v) => spark.conf.set(RangeJoinRule.WidthConfKey, v.toString)
+      case None    => spark.conf.unset(RangeJoinRule.WidthConfKey)
+    }
+    try body
+    finally spark.conf.unset(RangeJoinRule.WidthConfKey)
+  }
+
+  /** events ts joined into 7-day windows derived from orders — no equi key. */
+  private def naiveRangeJoin = {
+    val o = Tables.orders(spark, sf)
+    val windows = o.where(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select(col("o_orderkey").as("window_id"),
+              col("o_orderdate").as("w_start"),
+              (col("o_orderdate") + expr("INTERVAL '7' DAY")).as("w_end"))
+    val points = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    points.join(windows,
+      col("l_shipdate") >= col("w_start") && col("l_shipdate") < col("w_end"))
+  }
+
+  test("rule rewrites an inequality-only join into an equi-join on the bucket") {
+    withWidth(Some(7L * 24 * 3600)) {
+      val plan = naiveRangeJoin.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+             s"nested-loop join survived the rewrite:\n$plan")
+      assert(plan.contains("__graft_range_bucket"), s"no bucket key in plan:\n$plan")
+    }
+  }
+
+  test("rewritten join returns exactly the naive join's rows") {
+    val naive = withWidth(None) {
+      val plan = naiveRangeJoin.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+             s"baseline unexpectedly not nested-loop:\n$plan")
+      naiveRangeJoin.collect().map(_.toString).sorted
+    }
+    val rewritten = withWidth(Some(7L * 24 * 3600)) {
+      naiveRangeJoin.collect().map(_.toString).sorted
+    }
+    assert(naive.nonEmpty, "test join must produce rows")
+    assert(rewritten.toSeq == naive.toSeq, "row sets differ")
+  }
+
+  test("rewrite is exact for negatives, degenerate intervals, and width straddles") {
+    import spark.implicits._
+    // points and intervals around zero, a lo > hi interval, and intervals
+    // that straddle bucket boundaries at W = 10
+    val points = Seq(-25L, -11L, -10L, -1L, 0L, 1L, 9L, 10L, 15L, 99L)
+      .toDF("p").withColumn("pid", col("p"))
+    val intervals = Seq(
+      (1L, -30L, -10L), (2L, -5L, 5L), (3L, 0L, 0L), (4L, 8L, 12L),
+      (5L, 20L, 10L), // degenerate: must match nothing, not crash
+      (6L, -100L, 100L)
+    ).toDF("iid", "lo", "hi")
+    def join() = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = withWidth(None)(join())
+    val rewritten = withWidth(Some(10L))(join())
+    assert(naive.nonEmpty && rewritten == naive)
+  }
+
+  test("rule leaves joins with an existing equi key alone") {
+    withWidth(Some(86400L)) {
+      val o = Tables.orders(spark, sf)
+      val l = Tables.lineitem(spark, sf)
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey") &&
+                        col("l_shipdate") >= col("o_orderdate"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_range_bucket"),
+             s"rule touched an equi-keyed join:\n$plan")
+    }
+  }
+}
