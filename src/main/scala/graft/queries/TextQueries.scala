@@ -51,6 +51,12 @@ object TextQueries {
     * dead; the shingle universe is ~10k per half at sf0.01.
     */
   val KmvK: Int = 128
+
+  /** text_oov_rate: vocabulary budget (top-V terms by frequency). Sized to
+    * the test corpus's 31-term synthetic vocabulary so OOV is nonzero; a
+    * production tokenizer budget (e.g. 2^15) only changes this constant.
+    */
+  val OovVocab: Int = 16
   val KmvShingleK: Int = 3
 
   /** Repeated-span mining parameters: span length in tokens, minimum
@@ -1238,6 +1244,53 @@ object TextQueries {
            |       (CAST(SUM(p_fx) AS BIGINT) // COUNT(*)) >= $LmKeepFx AS keep
            |FROM bg JOIN stats USING (bg)
            |GROUP BY doc_id""".stripMargin
+      }
+    ),
+
+    // tokenizer-coverage / out-of-vocabulary rate — the metric run before
+    // committing a tokenizer to a corpus (OOV share per source tells you
+    // where a fixed vocabulary will shatter text into bytes): the top-V
+    // terms by corpus frequency (count-desc/term-asc — the deterministic
+    // tiebreak every top-k here uses) become the vocabulary, every token
+    // is membership-tested against it, and coverage is reported per
+    // source in exact permille. Scale shape: term counts are one
+    // map-side-combined hash-agg at VOCABULARY grain; the top-V sort runs
+    // on that bounded term table, never on tokens; the membership test is
+    // a map-only broadcast left join (V rows); the rollup one hash-agg on
+    // `source`. V = 16 is calibrated to this corpus's 31-term synthetic
+    // vocabulary so both sides of the split are populated — a production
+    // run changes one constant (e.g. 2^15 for a BPE budget).
+    QueryDef(
+      "text_oov_rate",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val toks = Tables.documents(spark, dir)
+          .select(col("source"), explode(tokens(col("text"))).as("term"))
+        val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term").asc).limit(OovVocab)
+          .select(col("term"), lit(1).as("in_v"))
+        toks.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+               sum(when(col("in_v").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+          .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
+      },
+      Some {
+        val toks = tokensSql("text")
+        s"""WITH t AS (
+           |  SELECT source, unnest($toks) AS term FROM documents
+           |),
+           |v AS (
+           |  SELECT term FROM (
+           |    SELECT term, COUNT(*) AS cnt FROM t GROUP BY 1
+           |    ORDER BY cnt DESC, term ASC LIMIT $OovVocab)
+           |)
+           |SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |       CAST(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000
+           |            // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS oov_permille
+           |FROM t LEFT JOIN v ON t.term = v.term
+           |GROUP BY 1""".stripMargin
       }
     )
   )

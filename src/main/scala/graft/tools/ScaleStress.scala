@@ -92,9 +92,12 @@ object ScaleStress {
     // write+read legs over documents/orders replicas
     "q_quality_topp", "q_shard_balance", "q_compaction_bins",
     "q_csv_roundtrip", "q_jsonl_roundtrip",
-    // CDC snapshot: one map + one map-side-combined argmax hash-agg over
+    // CDC snapshot: one map + one map-side-combined argmax agg over
     // the user-shifted events replicas — linear by construction
-    "q_cdc_snapshot")
+    "q_cdc_snapshot",
+    // OOV rate: token explode + vocab-grain hash-agg + broadcast
+    // membership join — linear in tokens
+    "text_oov_rate")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
