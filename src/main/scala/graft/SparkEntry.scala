@@ -15,7 +15,7 @@ object SparkEntry {
     ParityQueries.defs ++ RelationalQueries.defs ++ SemiStructuredQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       MediaQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs ++
-      GraphQueries.defs ++ StorageQueries.defs
+      GraphQueries.defs ++ StorageQueries.defs ++ ValidationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the reference's whole 3-node pipeline (UDF + TVF + datamart).
