@@ -37,6 +37,20 @@ final case class BmpFeatures(
     pixels_md5: String
 )
 
+/** Features decoded from a real WAV payload (see [[Wav]]): all-integer
+  * consequences of the decoded sample array, so the DuckDB oracle lands on
+  * identical values from the generating formulas (no float RMS — sum of
+  * squares instead).
+  */
+final case class WavFeatures(
+    doc_id: Long,
+    sample_rate: Int,
+    n_samples: Long,
+    duration_ms: Long,
+    sum_sq: Long,
+    peak_abs: Long
+)
+
 /** A real, pure-JVM image codec: 24-bit uncompressed BMP (BITMAPFILEHEADER
   * + BITMAPINFOHEADER, BI_RGB). This is the one genuinely decodable format
   * in a container with no image libraries — the decoder must get the
@@ -323,6 +337,47 @@ object Media {
         BmpFeatures(id, dw, dh, dw.toLong * dh, hexLower(digest))
       }
     }
+  }
+
+  // ------------------------------------------------------------ real WAV
+
+  /** Deterministic per-document audio spec for the WAV fixture: mono
+    * 16-bit PCM at [[WavRate]] Hz, n = 200 + doc_id%200 samples, sample
+    * i = ((i·(doc_id%7+3)) mod 2048) − 1024 — a pure-integer sawtooth
+    * whose period varies per doc. The ORACLE recomputes n, duration, the
+    * sum of squares, and the peak from these formulas directly (never
+    * through WAV), so encode→decode must round-trip every sample exactly.
+    */
+  val WavRate = 8000
+
+  def wavSampleCount(docId: Long): Int = (200 + docId % 200).toInt
+
+  def wavSample(docId: Long, i: Int): Short =
+    (((i.toLong * (docId % 7 + 3)) % 2048) - 1024).toShort
+
+  /** Per-id: synthesize samples → encode as a real WAV → decode with the
+    * real parser → features from the DECODED samples only.
+    */
+  def wavRoundTrip(ids: Dataset[java.lang.Long]): Dataset[WavFeatures] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val n = wavSampleCount(id)
+      val samples = Array.tabulate(n)(i => wavSample(id, i))
+      val (rate, decoded) = Wav.decode(Wav.encode(WavRate, samples))
+      var sumSq = 0L
+      var peak = 0L
+      var i = 0
+      while (i < decoded.length) {
+        val s = decoded(i).toLong
+        sumSq += s * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        i += 1
+      }
+      WavFeatures(id, rate, decoded.length.toLong,
+        decoded.length.toLong * 1000L / rate, sumSq, peak)
+    })
   }
 
   // ------------------------------------- real decode / resize pipelines

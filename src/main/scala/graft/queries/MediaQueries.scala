@@ -161,6 +161,37 @@ object MediaQueries {
       }
     ),
 
+    // third REAL codec — and the first AUDIO one: RIFF/WAVE 16-bit mono
+    // PCM ([[graft.media.Wav]]: real chunk walker with word alignment,
+    // fmt validation, hardened sizes). Per doc a deterministic integer
+    // sawtooth is encoded to an actual WAV and re-decoded; every output
+    // (rate, count, duration, sum of squares, peak) is computed from the
+    // DECODED samples only, and the oracle recomputes all of them from
+    // the generating formulas — a sample-order, endianness, or chunk-walk
+    // defect mismatches. All-integer features (sum-of-squares instead of
+    // float RMS) keep the comparison exact cross-engine.
+    QueryDef(
+      "media_wav_decode",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val ids = Tables.documents(spark, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        Media.wavRoundTrip(ids).toDF()
+      },
+      Some {
+        val s = "(((i * k) % 2048) - 1024)"
+        s"""SELECT doc_id, ${Media.WavRate} AS sample_rate,
+           |       CAST(n AS BIGINT) AS n_samples,
+           |       CAST(n * 1000 // ${Media.WavRate} AS BIGINT) AS duration_ms,
+           |       CAST(list_aggregate(list_transform(generate_series(0, n - 1),
+           |            i -> CAST($s * $s AS BIGINT)), 'sum') AS BIGINT) AS sum_sq,
+           |       CAST(list_aggregate(list_transform(generate_series(0, n - 1),
+           |            i -> abs($s)), 'max') AS BIGINT) AS peak_abs
+           |FROM (SELECT doc_id, 200 + doc_id % 200 AS n, doc_id % 7 + 3 AS k FROM documents)""".stripMargin
+      }
+    ),
+
     // REAL typed mapPartitions decode path (round-8: retires the stub
     // codec): payload is an actual 24-bit BMP; every output feature is
     // computed from the PARSER's output bytes, none from the synthesis

@@ -1,6 +1,6 @@
 package graft
 
-import graft.media.{Media, MediaRecord}
+import graft.media.{Media, MediaRecord, Wav}
 import org.apache.spark.sql.functions._
 
 class MediaSpec extends SparkTestBase {
@@ -184,5 +184,65 @@ class MediaSpec extends SparkTestBase {
     val viaPpm = Media.ppmRoundTrip(ids).collect().map(f => f.doc_id -> f).toMap
     for (id <- 0L to 9L)
       assert(viaBmp(id) == viaPpm(id), s"codec disagreement at doc $id")
+  }
+
+  test("WAV codec round-trips samples exactly, including extremes") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val n = 1 + rnd.nextInt(500)
+      val samples = Array.tabulate(n)(_ => rnd.nextInt(65536).toShort)
+      samples(0) = Short.MinValue
+      if (n > 1) samples(n - 1) = Short.MaxValue
+      val (rate, back) = Wav.decode(Wav.encode(8000, samples))
+      assert(rate == 8000 && back.sameElements(samples))
+    }
+  }
+
+  test("WAV decoder walks unknown chunks and word-aligned padding") {
+    // hand-build: RIFF [ fmt ][ JUNK (odd size -> pad byte) ][ data ]
+    val samples = Array.tabulate(7)(i => (i * 100 - 300).toShort)
+    val canonical = Wav.encode(8000, samples)
+    val fmtChunk = canonical.slice(12, 12 + 8 + 16)
+    val dataChunk = canonical.slice(12 + 8 + 16, canonical.length)
+    val junkBody = Array[Byte](1, 2, 3) // odd size: needs a pad byte
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ junkBody ++ Array[Byte](0)
+    val payload = fmtChunk ++ junk ++ dataChunk
+    val riffSize = 4 + payload.length
+    val withJunk = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte]((riffSize & 0xff).toByte, ((riffSize >> 8) & 0xff).toByte,
+                  ((riffSize >> 16) & 0xff).toByte, ((riffSize >> 24) & 0xff).toByte) ++
+      "WAVE".getBytes("US-ASCII") ++ payload
+    val (rate, back) = Wav.decode(withJunk)
+    assert(rate == 8000 && back.sameElements(samples))
+  }
+
+  test("WAV decoder rejects corrupt input instead of mis-parsing") {
+    val good = Wav.encode(8000, Array.tabulate(10)(_.toShort))
+    intercept[IllegalArgumentException](Wav.decode(good.dropRight(5)))      // truncated data
+    intercept[IllegalArgumentException](Wav.decode("RIFX".getBytes("US-ASCII") ++ good.drop(4)))
+    intercept[IllegalArgumentException] {                                   // stereo rejected
+      val bad = good.clone(); bad(22) = 2; Wav.decode(bad)
+    }
+    intercept[IllegalArgumentException] {                                   // 8-bit rejected
+      val bad = good.clone(); bad(34) = 8; Wav.decode(bad)
+    }
+    intercept[IllegalArgumentException](Wav.decode(good.take(30)))          // short header
+  }
+
+  test("wavRoundTrip features match the generating formulas independently") {
+    import spark.implicits._
+    val ids = spark.createDataset((0L to 9L).map(java.lang.Long.valueOf))
+    val out = Media.wavRoundTrip(ids).collect().map(f => f.doc_id -> f).toMap
+    for (id <- 0L to 9L) {
+      val n = 200 + (id % 200).toInt
+      val k = id % 7 + 3
+      val samples = (0 until n).map(i => ((i * k) % 2048 - 1024).toLong)
+      val f = out(id)
+      assert(f.sample_rate == 8000 && f.n_samples == n.toLong)
+      assert(f.duration_ms == n.toLong * 1000 / 8000)
+      assert(f.sum_sq == samples.map(s => s * s).sum, s"sum_sq doc $id")
+      assert(f.peak_abs == samples.map(math.abs).max, s"peak doc $id")
+    }
   }
 }
