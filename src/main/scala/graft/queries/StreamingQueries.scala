@@ -473,6 +473,69 @@ object StreamingQueries {
              |       CAST(MAX(event_id) AS BIGINT) AS max_event_id
              |FROM events
              |GROUP BY 1""".stripMargin)
+    ),
+
+    // streaming CDC snapshot maintenance ([[Streaming.cdcState]]): the
+    // events changelog replayed in FOUR micro-batches through per-key LWW
+    // `mapGroupsWithState` (O(1) state per key — the state IS the
+    // materialized row), checked bit-for-bit against the SAME batch
+    // DuckDB oracle as q_cdc_snapshot. Valid because LWW by the total
+    // order (ts, event_id) is an order- and batch-boundary-insensitive
+    // fold, so the stream must land on exactly the batch snapshot — the
+    // q_streaming_kmv grading pattern applied to materialized-view
+    // maintenance. Update-mode emissions accumulate in the sink; the
+    // latest per key is selected by its monotone n_changes.
+    QueryDef(
+      "q_streaming_cdc",
+      (spark, dir) => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[Streaming.CdcChange]
+        val changes = Tables.events(spark, dir)
+          .select(col("user_id"),
+                  expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_micros"),
+                  col("event_id"),
+                  when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+                  expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+          .as[Streaming.CdcChange].collect()
+        val sink = s"streaming_cdc_${runId.incrementAndGet()}"
+        val q = Streaming.cdcState(input.toDS())
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        changes.grouped(math.max(1, changes.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        q.stop(); q.awaitTermination()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("n_changes").desc)
+        val out = spark.table(sink)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1 && col("op") === "U")
+          .select(col("user_id"),
+                  expr("timestamp_micros(ts_micros)").as("last_ts"),
+                  col("event_id").cast(LongType).as("last_event_id"),
+                  col("cents").cast(LongType).as("last_cents"),
+                  col("n_changes").cast(LongType).as("n_changes"))
+        val resolved = out.localCheckpoint(eager = true)
+        spark.catalog.dropTempView(sink)
+        resolved
+      },
+      // the batch q_cdc_snapshot oracle verbatim: the stream must agree
+      Some("""WITH ch AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM events
+             |),
+             |r AS (
+             |  SELECT user_id, ts, event_id, op, cents,
+             |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             |         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+             |  FROM ch
+             |)
+             |SELECT user_id, ts AS last_ts, CAST(event_id AS BIGINT) AS last_event_id,
+             |       cents AS last_cents, CAST(n_changes AS BIGINT) AS n_changes
+             |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin)
     )
   )
 

@@ -269,4 +269,47 @@ object Streaming {
               col("user_id"), col("event_type"), col("value"))
       .as[Event]
   }
+
+  /** One change-log record flowing into [[cdcState]] (ts carried as epoch
+    * micros so the state encoder stays primitive-only).
+    */
+  final case class CdcChange(user_id: Long, ts_micros: Long, event_id: Long, op: String, cents: Long)
+
+  /** Per-key LWW state (public for the Janino reason, see [[SessionState]]):
+    * the current winner plus a monotone change counter.
+    */
+  final case class CdcState(ts_micros: Long, event_id: Long, op: String, cents: Long, n_changes: Long)
+
+  /** One per-key state emission after a batch. */
+  final case class CdcEmit(user_id: Long, ts_micros: Long, event_id: Long, op: String, cents: Long, n_changes: Long)
+
+  /** Streaming CDC snapshot maintenance — the incremental counterpart of
+    * the batch `q_cdc_snapshot` argmax: per-key last-writer-wins state via
+    * `mapGroupsWithState`, O(1) per key however long the changelog runs
+    * (the state IS the materialized row). Because LWW by the TOTAL order
+    * (ts, event_id) is an order- and batch-boundary-insensitive fold (max
+    * is commutative and associative, and event_id uniqueness makes the
+    * order total), the final per-key state must equal the batch snapshot
+    * exactly — which is what lets the batch DuckDB oracle check the
+    * stream bit-for-bit, the `q_streaming_kmv` grading pattern applied to
+    * materialized-view maintenance.
+    */
+  def cdcState(changes: Dataset[CdcChange]): Dataset[CdcEmit] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CdcState, CdcEmit](GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state) =>
+          var st = state.getOption.getOrElse(CdcState(Long.MinValue, Long.MinValue, "", 0L, 0L))
+          it.foreach { c =>
+            val newer = c.ts_micros > st.ts_micros ||
+              (c.ts_micros == st.ts_micros && c.event_id > st.event_id)
+            st =
+              if (newer) CdcState(c.ts_micros, c.event_id, c.op, c.cents, st.n_changes + 1)
+              else st.copy(n_changes = st.n_changes + 1)
+          }
+          state.update(st)
+          CdcEmit(uid, st.ts_micros, st.event_id, st.op, st.cents, st.n_changes)
+      }
+  }
 }

@@ -192,6 +192,42 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming CDC state is batch-split- and order-invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    // planted changelog: 3 keys, interleaved writes, one key tombstoned
+    // last, one with an equal-ts tiebreak decided by event_id
+    val changes = Seq(
+      Streaming.CdcChange(1L, 100L, 1L, "U", 10L),
+      Streaming.CdcChange(2L, 100L, 2L, "U", 20L),
+      Streaming.CdcChange(1L, 200L, 3L, "U", 11L),
+      Streaming.CdcChange(3L, 100L, 4L, "U", 30L),
+      Streaming.CdcChange(3L, 300L, 5L, "D", 0L),  // tombstone wins
+      Streaming.CdcChange(2L, 300L, 6L, "U", 21L),
+      Streaming.CdcChange(2L, 300L, 7L, "U", 22L)  // same ts: event_id 7 wins
+    )
+    def run(order: Seq[Streaming.CdcChange], chunks: Int): Map[Long, (Long, Long, String, Long, Long)] = {
+      val input = MemoryStream[Streaming.CdcChange]
+      val sink = s"cdc_split_${chunks}_${System.nanoTime()}"
+      val q = Streaming.cdcState(input.toDS())
+        .writeStream.format("memory").queryName(sink).outputMode("update").start()
+      order.grouped(math.max(1, order.length / chunks)).foreach { c =>
+        input.addData(c: _*); q.processAllAvailable()
+      }
+      q.stop(); q.awaitTermination()
+      val rows = spark.table(sink).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5)))
+      spark.catalog.dropTempView(sink)
+      rows.groupBy(_._1).view.mapValues(_.maxBy(_._2._5)._2).toMap // latest by n_changes
+    }
+    val one = run(changes, 1)
+    val four = run(changes, 4)
+    val shuffled = run(scala.util.Random.shuffle(changes), 3)
+    assert(one == four && one == shuffled, "final states depend on batch boundaries or order")
+    assert(one(1L) == ((200L, 3L, "U", 11L, 2L)))
+    assert(one(2L) == ((300L, 7L, "U", 22L, 3L)), "equal-ts tiebreak by event_id")
+    assert(one(3L)._3 == "D", "tombstone is the final state")
+  }
+
   test("streaming MG keeps the heavy-hitter guarantee under any batch split") {
     implicit val sqlCtx = spark.sqlContext
     val k = 4
