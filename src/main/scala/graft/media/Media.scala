@@ -380,6 +380,40 @@ object Media {
     })
   }
 
+  /** Decode → decimate-by-2 (pair mean, TRUNCATING division — DuckDB's
+    * `//` truncates toward zero like JVM int division, so the oracle can
+    * state the output sample in closed form; an odd trailing sample drops,
+    * mirroring [[boxHalve]]'s odd-edge rule) → re-encode at half rate →
+    * decode AGAIN, features from the second decode — so the output checks
+    * the resampler and the re-encode round-trip, not just the first parse.
+    * The audio parallel of the image decode→resize→re-encode pipeline.
+    */
+  def wavDownsample(ids: Dataset[java.lang.Long]): Dataset[WavFeatures] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val n = wavSampleCount(id)
+      val samples = Array.tabulate(n)(i => wavSample(id, i))
+      val (rate, decoded) = Wav.decode(Wav.encode(WavRate, samples))
+      val out = Array.tabulate(decoded.length / 2) { j =>
+        ((decoded(2 * j) + decoded(2 * j + 1)) / 2).toShort
+      }
+      val (rate2, decoded2) = Wav.decode(Wav.encode(rate / 2, out))
+      var sumSq = 0L
+      var peak = 0L
+      var i = 0
+      while (i < decoded2.length) {
+        val s = decoded2(i).toLong
+        sumSq += s * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        i += 1
+      }
+      WavFeatures(id, rate2, decoded2.length.toLong,
+        decoded2.length.toLong * 1000L / rate2, sumSq, peak)
+    })
+  }
+
   // ------------------------------------- real decode / resize pipelines
 
   /** Dims for the decode/resize fixtures: 9..16 per axis. Strictly above

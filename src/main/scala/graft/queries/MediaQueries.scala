@@ -192,6 +192,36 @@ object MediaQueries {
       }
     ),
 
+    // audio RESAMPLE through the real codec — the audio parallel of the
+    // image decode→resize→re-encode chain: decode the WAV, decimate by 2
+    // (pair mean in truncating integer division, matching DuckDB's `//`),
+    // re-encode at half rate, decode AGAIN, features from the second
+    // decode. The oracle states the output sample in closed form from the
+    // generating formulas — a resampler off-by-one, rate mishandling, or
+    // re-encode defect mismatches.
+    QueryDef(
+      "media_wav_downsample",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val ids = Tables.documents(spark, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        Media.wavDownsample(ids).toDF()
+      },
+      Some {
+        def s(i: String) = s"(((($i) * k) % 2048) - 1024)"
+        val o = s"((${s("2 * j")} + ${s("2 * j + 1")}) // 2)"
+        s"""SELECT doc_id, ${Media.WavRate / 2} AS sample_rate,
+           |       CAST(n // 2 AS BIGINT) AS n_samples,
+           |       CAST((n // 2) * 1000 // ${Media.WavRate / 2} AS BIGINT) AS duration_ms,
+           |       CAST(list_aggregate(list_transform(generate_series(0, n // 2 - 1),
+           |            j -> CAST($o * $o AS BIGINT)), 'sum') AS BIGINT) AS sum_sq,
+           |       CAST(list_aggregate(list_transform(generate_series(0, n // 2 - 1),
+           |            j -> abs($o)), 'max') AS BIGINT) AS peak_abs
+           |FROM (SELECT doc_id, 200 + doc_id % 200 AS n, doc_id % 7 + 3 AS k FROM documents)""".stripMargin
+      }
+    ),
+
     // REAL typed mapPartitions decode path (round-8: retires the stub
     // codec): payload is an actual 24-bit BMP; every output feature is
     // computed from the PARSER's output bytes, none from the synthesis
