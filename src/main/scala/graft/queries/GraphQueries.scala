@@ -30,6 +30,11 @@ object GraphQueries {
   private val SuppOffset = 10000000L
   private val Iters = 3
 
+  /** q_bfs_levels: unrolled hop count (the bipartite graph is fully
+    * reached from any populated seed set in ~4 hops).
+    */
+  private val BfsHops = 3
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_pagerank",
@@ -186,6 +191,77 @@ object GraphQueries {
              |       (SELECT COUNT(*) FROM w
              |        WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.a AND o.dst = w.c)
              |       ) AS n_triangles""".stripMargin)
+    ),
+
+    // breadth-first search levels over the trade graph — the third graph
+    // primitive (after rank flow and triangle counting): min-hop distance
+    // from a deterministic seed set (customers with custkey % 97 = 0),
+    // BfsHops hops unrolled. Each hop is one equi-join (edges ⋈ frontier
+    // on src) + distinct + LEFT-ANTI against the visited set — the
+    // frontier-expansion shape whose per-hop shuffle carries only (node,
+    // level) longs, never adjacency payloads; first-reach IS min-level by
+    // the BFS property, so no per-node min aggregation exists. The oracle
+    // walks the same graph through a recursive CTE (UNION-dedup on
+    // (node, level), then MIN(level) per node — a completely different
+    // algorithm shape) and must land on identical per-level counts and
+    // id checksums. On the bipartite graph odd levels are suppliers and
+    // even levels customers, which the id-sum checksum (SuppOffset-
+    // shifted) verifies implicitly.
+    QueryDef(
+      "q_bfs_levels",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache()
+        val pairs = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+                col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"),
+                  (col("l_suppkey") + lit(SuppOffset)).as("supp"))
+          .distinct()
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+          .persist()
+        edges.count()
+        val seeds = pairs.select(col("cust").as("node")).distinct()
+          .where(pmod(col("node"), lit(97)) === 0)
+        var visited = seeds.withColumn("level", lit(0L)).persist()
+        visited.count()
+        var frontier = seeds
+        for (l <- 1 to BfsHops) {
+          val next = edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node")).distinct()
+            .join(visited.select("node"), Seq("node"), "left_anti")
+            .withColumn("level", lit(l.toLong))
+            .persist()
+          next.count()
+          visited = visited.unionByName(next).persist()
+          visited.count()
+          frontier = next.select("node")
+        }
+        visited.groupBy(col("level"))
+          .agg(count(lit(1)).cast("long").as("n_nodes"),
+               sum(col("node")).cast("long").as("sum_ids"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT DISTINCT o_custkey AS cust, l_suppkey + $SuppOffset AS supp
+              |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |),
+              |edges AS (
+              |  SELECT cust AS src, supp AS dst FROM pairs
+              |  UNION ALL
+              |  SELECT supp AS src, cust AS dst FROM pairs
+              |),
+              |bfs AS (
+              |  SELECT cust AS node, 0 AS level
+              |  FROM (SELECT DISTINCT cust FROM pairs) WHERE cust % 97 = 0
+              |  UNION
+              |  SELECT e.dst, b.level + 1 FROM bfs b JOIN edges e ON e.src = b.node
+              |  WHERE b.level < $BfsHops
+              |),
+              |lv AS (SELECT node, MIN(level) AS level FROM bfs GROUP BY 1)
+              |SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_nodes,
+              |       CAST(SUM(node) AS BIGINT) AS sum_ids
+              |FROM lv GROUP BY 1""".stripMargin)
     )
   )
 }

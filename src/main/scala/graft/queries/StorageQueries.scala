@@ -317,6 +317,47 @@ object StorageQueries {
              |GROUP BY 1, 2""".stripMargin)
     ),
 
+    // SCHEMA EVOLUTION across a file set — the lakehouse reality that a
+    // long-lived table's early files lack columns added later: batch 1 is
+    // written WITHOUT `lang` (the column predates the schema change),
+    // batch 2 with it; the directory is read back with mergeSchema, which
+    // must union the schemas and null-fill the missing column for batch-1
+    // rows. The rollup counts rows and lang-nulls per source and sums
+    // n_chars across both batches — a reader that drops either batch,
+    // fills the wrong rows, or misaligns columns by position instead of
+    // name mismatches the oracle, which recomputes from the original
+    // table (batch membership = the same doc_id % 3 rule). Explicitly NOT
+    // schema-on-read inference: the merged schema comes from file footers
+    // only — at 100 TB that is a footer scan, never a data scan.
+    QueryDef(
+      "q_schema_evolution",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val tgt = target("schema_evolution")
+        val docs = Tables.documents(spark, dir)
+        // batch 1: the pre-evolution schema (no `lang`)
+        docs.where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$tgt/batch=1")
+        // batch 2: the evolved schema
+        docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+          .write.mode("overwrite").parquet(s"$tgt/batch=2")
+        spark.read.option("mergeSchema", "true").parquet(tgt)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+               sum(when(col("lang").isNull, 1L).otherwise(0L)).cast("long").as("n_lang_null"),
+               countDistinct(col("lang")).cast("long").as("n_langs"),
+               sum(col("n_chars")).cast("long").as("n_chars"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |       CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_null,
+             |       CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 <> 0 THEN lang END) AS BIGINT) AS n_langs,
+             |       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+             |FROM documents
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // small-file compaction planner — the table-maintenance operator every
     // long-lived 100 TB table needs (streaming ingestion leaves thousands
     // of small files; scans then pay per-file open cost and lose row-group

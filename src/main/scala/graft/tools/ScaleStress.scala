@@ -97,7 +97,14 @@ object ScaleStress {
     "q_cdc_snapshot",
     // OOV rate: token explode + vocab-grain hash-agg + broadcast
     // membership join — linear in tokens
-    "text_oov_rate")
+    "text_oov_rate",
+    // round-8 batch 3: WAV codec paths are map-only per doc (like
+    // media_bmp_decode); schema evolution is two map-only write legs +
+    // one merged read; BFS levels scale linearly on the disjoint
+    // key-shifted graph replicas (per-replica structure identical, seed
+    // count and every level's node count scale exactly ×factor)
+    "media_wav_decode", "media_wav_downsample", "q_schema_evolution",
+    "q_bfs_levels")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
