@@ -255,6 +255,54 @@ object StreamingQueries {
              |ORDER BY window_start, event_type""".stripMargin)
     ),
 
+    // the FILE-BASED streaming SINK — closing the loop the file SOURCE
+    // opened (q_streaming_file_source): the same watermarked windowed
+    // aggregation, but written as append-mode PARQUET FILES with a
+    // checkpoint (the exactly-once file sink a production stream lands
+    // in), then re-read as a batch table and compared to the batch
+    // oracle. Append mode emits a window only once its watermark closes
+    // it — the sentinel closes every real window — so the file set must
+    // hold each closed window EXACTLY once: a duplicate emission,
+    // re-fired window, or manifest/commit defect (files visible that the
+    // sink's _spark_metadata did not commit, or vice versa) changes the
+    // re-read rollup and hash-mismatches. Sink + checkpoint dirs are
+    // fresh per invocation (append-mode file sinks have no overwrite).
+    QueryDef(
+      "q_streaming_file_sink",
+      (spark, dir) => {
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val input = MemoryStream[Streaming.Event]
+        val eventsDs = Streaming.eventsBatch(spark, dir)
+        val maxTs = eventsDs.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+        input.addData(eventsDs.collect().toIndexedSeq: _*)
+        input.addData(Streaming.Event(-1L,
+          new Timestamp(maxTs.getTime + 2 * 60 * 60 * 1000L), -1L, "sentinel", 0.0))
+        val centsIn = input.toDF()
+          .withColumn("value", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DOUBLE)"))
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_file_sink_$id")
+        val q = Streaming.windowedCounts(centsIn)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_file_sink_ckpt_$id"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
+        spark.read.parquet(sinkDir)
+          .select(col("window_start"), col("event_type"),
+                  col("n_events").cast(LongType).as("n_events"),
+                  col("total_value").cast(LongType).as("total_cents"))
+          .orderBy(col("window_start"), col("event_type"))
+          .localCheckpoint(eager = true)
+      },
+      Some("""SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)) AS TIMESTAMP) AS window_start,
+             |       event_type, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)
+    ),
+
     // streaming KMV distinct-cardinality over the document stream — the
     // sketch × streaming crossover: per-(half, shard) bounded O(k) state
     // via mapGroupsWithState ([[Streaming.kmvSketch]]), fed in FOUR

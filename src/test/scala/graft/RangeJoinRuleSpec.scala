@@ -73,6 +73,27 @@ class RangeJoinRuleSpec extends SparkTestBase {
     assert(naive.nonEmpty && rewritten == naive)
   }
 
+  test("rewrite is exact on 200 random intervals across random widths (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val points = Seq.fill(300)(rnd.nextLong() % 1000L).zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+    val intervals = Seq.fill(200) {
+      val a = rnd.nextLong() % 1000L
+      val b = a + rnd.nextInt(120) - 10 // some degenerate (lo > hi)
+      (a, b)
+    }.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      .toDF("iid", "lo", "hi")
+    def join() = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = withWidth(None)(join())
+    assert(naive.nonEmpty)
+    for (w <- Seq(1L, 7L, 64L, 1000L, 1000000L)) {
+      val rewritten = withWidth(Some(w))(join())
+      assert(rewritten == naive, s"width $w drifted")
+    }
+  }
+
   test("rule leaves joins with an existing equi key alone") {
     withWidth(Some(86400L)) {
       val o = Tables.orders(spark, sf)
