@@ -336,4 +336,34 @@ class PlanSpec extends SparkTestBase {
     assert(zxHit < zyB / 2 && zyHit < zyB / 2, s"zorder partial on both: $zxHit/$zyHit of $zyB")
     assert(ysRows >= ysMatch, "zone-map hits are a superset of matches")
   }
+
+  test("cdc snapshot partial-aggregates the argmax before the exchange") {
+    val plan = planOf("q_cdc_snapshot")
+    // map-side combine: only one row per (key, map partition) crosses the
+    // shuffle — the whole scale argument of the agg-vs-window choice
+    assert(plan.contains("partial_max(struct"),
+           s"expected map-side partial argmax in:\n$plan")
+  }
+
+  test("quality top-p windows run over the bucket histogram, never doc rows") {
+    val plan = SparkEntry.queries("q_quality_topp")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // every Window in the plan must sit above the (source, bucket)
+    // aggregate: its ordering is the bucket column, and no window spec
+    // orders by a doc-grain column
+    val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("bucket")),
+           s"window not at histogram grain:\n$plan")
+  }
+
+  test("oov rate membership-tests through a broadcast join") {
+    val plan = planOf("text_oov_rate")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+           s"expected broadcast left join in:\n$plan")
+  }
+
+  test("bfs levels expand the frontier with anti-joins, not subtract scans") {
+    val plan = planOf("q_bfs_levels")
+    assert(plan.contains("LeftAnti"), s"expected left-anti visited check in:\n$plan")
+  }
 }
