@@ -317,6 +317,54 @@ object StorageQueries {
              |GROUP BY 1, 2""".stripMargin)
     ),
 
+    // dbt's INCREMENTAL MATERIALIZATION — the reference ecosystem's
+    // flagship model config (`materialized='incremental'`): instead of
+    // recomputing a rollup over all history, merge yesterday's
+    // MATERIALIZED aggregate with an aggregate of only the new rows.
+    // Correct exactly when the aggregate is a commutative monoid —
+    // count and integer-cents sum merge by addition, and min/max by
+    // min/max — which this query proves THROUGH the storage round-trip:
+    // the base aggregate (events before the cutoff) is written to
+    // parquet, re-read, and merged with the delta aggregate (events
+    // after), and the oracle computes the FULL-history rollup directly —
+    // any violation of the partial-merge law, or loss in the
+    // materialize/re-read cycle, mismatches. Scale point: the daily cost
+    // is one scan of the DELTA (a day, not 100 TB of history) plus a
+    // merge at aggregate grain (|event_type| rows); the cutoff is the
+    // watermark a production incremental run stores.
+    QueryDef(
+      "q_incremental_model",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val tgt = target("incremental_model")
+        val cutoff = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+        def rollup(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+               sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("total_cents"),
+               min(col("event_id")).as("min_event_id"),
+               max(col("event_id")).as("max_event_id"))
+        val e = Tables.events(spark, dir)
+        // yesterday's run: materialize the base aggregate
+        rollup(e.where(col("ts") < cutoff)).write.mode("overwrite").parquet(tgt)
+        // today's run: aggregate ONLY the delta, merge with the table
+        spark.read.parquet(tgt)
+          .unionByName(rollup(e.where(col("ts") >= cutoff)))
+          .groupBy(col("event_type"))
+          .agg(sum(col("n_events")).cast("long").as("n_events"),
+               sum(col("total_cents")).cast("long").as("total_cents"),
+               min(col("min_event_id")).cast("long").as("min_event_id"),
+               max(col("max_event_id")).cast("long").as("max_event_id"))
+      },
+      // full-history recompute: the incremental merge must be invisible
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+             |       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+             |       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+             |FROM events
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // SCHEMA EVOLUTION across a file set — the lakehouse reality that a
     // long-lived table's early files lack columns added later: batch 1 is
     // written WITHOUT `lang` (the column predates the schema change),

@@ -104,7 +104,10 @@ object ScaleStress {
     // key-shifted graph replicas (per-replica structure identical, seed
     // count and every level's node count scale exactly ×factor)
     "media_wav_decode", "media_wav_downsample", "q_schema_evolution",
-    "q_bfs_levels")
+    "q_bfs_levels",
+    // incremental materialization: two rollup scans + an aggregate-grain
+    // merge — linear in events
+    "q_incremental_model")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
