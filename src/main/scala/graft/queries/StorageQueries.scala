@@ -317,6 +317,41 @@ object StorageQueries {
              |GROUP BY 1, 2""".stripMargin)
     ),
 
+    // dbt's VIEW MATERIALIZATION — the remaining cell of the
+    // materialization matrix (table = q_ctas_roundtrip, incremental =
+    // q_incremental_model, snapshot = q_scd2/q_cdc, seed =
+    // q_csv_roundtrip): the model is registered as a named view (logic,
+    // no storage) and CONSUMED THROUGH SQL against the view name — the
+    // path a downstream dbt model takes with `ref()`. Catalyst must
+    // inline the view into the outer query (column pruning and the
+    // status filter reach the scan through the view boundary), so the
+    // view layer costs nothing at 100 TB; the oracle computes the same
+    // rollup with the view logic expanded inline.
+    QueryDef(
+      "q_view_model",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+                  Money.cents(col("o_totalprice")).as("price_cents"))
+          .where(col("o_orderstatus") =!= "P")
+          .createOrReplaceTempView("v_orders_filtered")
+        spark.sql("""
+          SELECT o_orderstatus,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(price_cents) AS BIGINT) AS total_cents,
+                 CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+          FROM v_orders_filtered
+          GROUP BY o_orderstatus""")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+              |       CAST(SUM(${Money.centsSql("o_totalprice")}) AS BIGINT) AS total_cents,
+              |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+              |FROM orders
+              |WHERE o_orderstatus <> 'P'
+              |GROUP BY 1""".stripMargin)
+    ),
+
     // dbt's INCREMENTAL MATERIALIZATION — the reference ecosystem's
     // flagship model config (`materialized='incremental'`): instead of
     // recomputing a rollup over all history, merge yesterday's

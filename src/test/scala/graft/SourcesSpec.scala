@@ -67,4 +67,30 @@ class SourcesSpec extends SparkTestBase {
     }
     assert(bins.last._3 <= T + maxFile, "final bin bounded")
   }
+
+  test("incremental model's cutoff splits the corpus: both base and delta populated") {
+    // the monoid-merge law is oracle-proven; this guards the FIXTURE —
+    // a cutoff outside the data range would silently degenerate the
+    // incremental path into a full recompute (or an empty delta)
+    val cutoff = "2024-01-16 00:00:00"
+    val e = Tables.events(spark, sf)
+    val base = e.where(col("ts") < lit(cutoff).cast("timestamp_ntz")).count()
+    val delta = e.where(col("ts") >= lit(cutoff).cast("timestamp_ntz")).count()
+    assert(base > 0 && delta > 0, s"degenerate cutoff: base=$base delta=$delta")
+    // and the merged rollup genuinely equals the direct one
+    val merged = SparkEntry.queries("q_incremental_model")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == direct, "incremental merge drifted from full recompute")
+  }
+
+  test("view model inlines: the filter reaches the scan through the view boundary") {
+    val plan = SparkEntry.queries("q_view_model")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), Not(EqualTo(o_orderstatus,P"),
+           s"view filter did not reach the parquet scan:\n$plan")
+  }
 }
