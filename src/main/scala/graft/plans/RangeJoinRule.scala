@@ -54,10 +54,28 @@ object RangeJoinRule extends Rule[LogicalPlan] {
 
   val WidthConfKey = "spark.graft.rangeJoin.binWidth"
 
+  /** Upper bound on buckets a single interval may explode into. One outlier
+    * interval wide relative to W — the classic SCD2 open-end sentinel
+    * (valid_to = 9999-12-31) at W = 7 days is ~400k buckets — would
+    * otherwise multiply rows arbitrarily or trip Sequence's max-array-length
+    * error mid-query, at exactly the scale the rule targets. Eligible bounds
+    * always reference interval-side columns (never foldable), so the guard
+    * is necessarily per-row: a too-wide interval fails fast with a message
+    * naming both confs instead of letting Sequence blow up opaquely.
+    */
+  val MaxBucketsConfKey = "spark.graft.rangeJoin.maxBucketsPerInterval"
+  val DefaultMaxBuckets = 10000L
+
   private def width: Option[Long] =
     Option(conf.getConfString(WidthConfKey, null))
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
       .filter(_ > 0)
+
+  private def maxBuckets: Long =
+    Option(conf.getConfString(MaxBucketsConfKey, null))
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .filter(_ > 0)
+      .getOrElse(DefaultMaxBuckets)
 
   override def apply(plan: LogicalPlan): LogicalPlan = width match {
     case None => plan
@@ -118,10 +136,13 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       else if (r.subsetOf(j.right.outputSet)) Some(false)
       else None
     }
-    // an existing cross-side equality means Catalyst already has an equi
-    // key — leave the join alone (also the self-reapplication guard)
+    // an existing cross-side equality (plain or null-safe) means Catalyst
+    // already has an equi key and would hash-join without our help — leave
+    // the join alone (also the self-reapplication guard)
     val hasEqui = conjuncts.exists {
       case EqualTo(a, b) =>
+        (for (sa <- sideOf(a); sb <- sideOf(b)) yield sa != sb).getOrElse(false)
+      case EqualNullSafe(a, b) =>
         (for (sa <- sideOf(a); sb <- sideOf(b)) yield sa != sb).getOrElse(false)
       case _ => false
     }
@@ -139,6 +160,10 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       pL <- toLong(p1).toSeq; loL <- toLong(lo).toSeq; hiL <- toLong(hi).toSeq
     } yield (pSide, pL, loL, hiL)
 
+    // NB: a plan-time width check is impossible by construction — eligible
+    // bounds always reference the interval side's columns (sideOf demands
+    // it), so they are never foldable; the guard has to be per-row.
+    val maxB = maxBuckets
     candidates.headOption.map { case (pointOnLeft, pL, loL, hiL) =>
       val wLit = Literal(w, LongType)
       val pBucket = Alias(IntegralDivide(pL, wLit), "__graft_range_bucket_p")()
@@ -146,7 +171,22 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       val divHi = IntegralDivide(hiL, wLit)
       // Greatest: a degenerate lo > hi interval emits its lo bucket (the
       // residual drops any match) instead of a Sequence bounds error
-      val seq = Sequence(divLo, Greatest(Seq(divLo, divHi)), Some(Literal(1L, LongType)),
+      val cappedHi = Greatest(Seq(divLo, divHi))
+      // runtime guard: a row whose interval overlaps more than maxB buckets
+      // fails fast with a message naming both confs, instead of multiplying
+      // rows arbitrarily or tripping Sequence's opaque max-array-length error
+      val nBuckets = Add(Subtract(cappedHi, divLo), Literal(1L, LongType))
+      val failMsg = Concat(Seq(
+        Literal(s"graft range join: interval spans "),
+        Cast(nBuckets, StringType),
+        Literal(s" buckets at width $w, over the $MaxBucketsConfKey limit of $maxB; " +
+          s"raise that limit, widen $WidthConfKey, or filter open-ended sentinel intervals")))
+      val guardedHi = If(
+        LessThanOrEqual(nBuckets, Literal(maxB, LongType)),
+        cappedHi,
+        RaiseError(Literal("USER_RAISED_EXCEPTION"),
+          CreateMap(Seq(Literal("errorMessage"), failMsg)), LongType))
+      val seq = Sequence(divLo, guardedHi, Some(Literal(1L, LongType)),
                          Some(conf.sessionLocalTimeZone))
       val iBucket = AttributeReference("__graft_range_bucket_i", LongType)()
 

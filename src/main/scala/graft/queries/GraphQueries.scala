@@ -227,20 +227,35 @@ object GraphQueries {
         var visited = seeds.withColumn("level", lit(0L)).persist()
         visited.count()
         var frontier = seeds
+        // superseded generations are unpersisted as soon as their successor
+        // is materialized — in a long-lived session (Verify/Bench run every
+        // query) lingering blocks would otherwise evict other queries' cache
+        var prevNext: Option[DataFrame] = None
         for (l <- 1 to BfsHops) {
           val next = edges.join(frontier.withColumnRenamed("node", "src"), "src")
             .select(col("dst").as("node")).distinct()
             .join(visited.select("node"), Seq("node"), "left_anti")
             .withColumn("level", lit(l.toLong))
             .persist()
-          next.count()
-          visited = visited.unionByName(next).persist()
-          visited.count()
+          next.count() // frontier (= prevNext) consumed here; safe to drop
+          prevNext.foreach(_.unpersist())
+          val grown = visited.unionByName(next).persist()
+          grown.count() // materialized, so the old generation can go
+          visited.unpersist()
+          visited = grown
           frontier = next.select("node")
+          prevNext = Some(next)
         }
-        visited.groupBy(col("level"))
+        // eager localCheckpoint pins the tiny (≤ hops+1 rows) result so every
+        // cached block backing it can be released before the caller evaluates
+        val result = visited.groupBy(col("level"))
           .agg(count(lit(1)).cast("long").as("n_nodes"),
                sum(col("node")).cast("long").as("sum_ids"))
+          .localCheckpoint(true)
+        prevNext.foreach(_.unpersist())
+        visited.unpersist()
+        edges.unpersist()
+        result
       },
       Some(s"""WITH RECURSIVE pairs AS (
               |  SELECT DISTINCT o_custkey AS cust, l_suppkey + $SuppOffset AS supp

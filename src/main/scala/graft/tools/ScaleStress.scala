@@ -101,8 +101,9 @@ object ScaleStress {
     // round-8 batch 3: WAV codec paths are map-only per doc (like
     // media_bmp_decode); schema evolution is two map-only write legs +
     // one merged read; BFS levels scale linearly on the disjoint
-    // key-shifted graph replicas (per-replica structure identical, seed
-    // count and every level's node count scale exactly ×factor)
+    // key-shifted graph replicas (per-replica structure identical, and seed
+    // count and every level's node count scale exactly ×factor because
+    // ckShift is rounded to a multiple of 97 — see the shift derivation)
     "media_wav_decode", "media_wav_downsample", "q_schema_evolution",
     "q_bfs_levels",
     // incremental materialization: two rollup scans + an aggregate-grain
@@ -192,7 +193,12 @@ object ScaleStress {
               col("l_partkey").cast("long").as("l_partkey"))
     val om = ord.agg(max("o_orderkey"), max("o_custkey")).head
     val lm = li.agg(max("l_suppkey"), max("l_partkey")).head
-    val (okShift, ckShift) = (om.getLong(0) + 1, om.getLong(1) + 1)
+    // ckShift is rounded up to a multiple of 97 so the BFS seed rule
+    // (custkey % 97 == 0) commutes with the replica shift: every replica
+    // then selects the same residue coset, making per-replica seed sets and
+    // level counts structurally identical to the base — the invariant the
+    // q_bfs_levels grading comment relies on
+    val (okShift, ckShift) = (om.getLong(0) + 1, ((om.getLong(1) + 1 + 96) / 97) * 97)
     val (skShift, pkShift) = (lm.getLong(0) + 1, lm.getLong(1) + 1)
     // q_pagerank keeps customer and supplier node-id spaces apart by a fixed
     // 10^7 offset; shifted custkeys must stay below it

@@ -94,6 +94,40 @@ class RangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("an interval wider than maxBucketsPerInterval fails fast with both conf names") {
+    import spark.implicits._
+    val points = Seq(5L, 500L).toDF("p")
+    // one sane interval plus one open-end-sentinel-style outlier: 100001
+    // buckets at W = 1 — without the guard this would explode 100k rows
+    val intervals = Seq((1L, 0L, 10L), (2L, 0L, 100000L)).toDF("iid", "lo", "hi")
+    def join() = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+    withWidth(Some(1L)) {
+      spark.conf.set(RangeJoinRule.MaxBucketsConfKey, "1000")
+      try {
+        val ex = intercept[Exception](join().collect())
+        val msg = Option(ex.getMessage).getOrElse("") + Option(ex.getCause).map(_.getMessage).getOrElse("")
+        assert(msg.contains(RangeJoinRule.MaxBucketsConfKey) && msg.contains(RangeJoinRule.WidthConfKey),
+               s"guard message must name both confs, got: $msg")
+        // raising the limit clears the failure and the rows are exact
+        spark.conf.set(RangeJoinRule.MaxBucketsConfKey, "200000")
+        val rows = join().select("p", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(rows == Seq((5L, 1L), (5L, 2L), (500L, 2L)))
+      } finally spark.conf.unset(RangeJoinRule.MaxBucketsConfKey)
+    }
+  }
+
+  test("rule leaves joins with a null-safe equi key alone") {
+    withWidth(Some(86400L)) {
+      val o = Tables.orders(spark, sf)
+      val l = Tables.lineitem(spark, sf)
+      val j = l.join(o, col("l_orderkey") <=> col("o_orderkey") &&
+                        col("l_shipdate") >= col("o_orderdate"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_range_bucket"),
+             s"rule rewrote a join Catalyst could already hash-join (<=> key):\n$plan")
+    }
+  }
+
   test("rule leaves joins with an existing equi key alone") {
     withWidth(Some(86400L)) {
       val o = Tables.orders(spark, sf)
