@@ -770,7 +770,12 @@ object PipelineQueries {
           .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
         val wOff = Window.orderBy(col("n_tokens").desc)
           .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = docs.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+        val hist = docs.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+        // load-bearing: the unpartitioned offset window below is safe ONLY
+        // because hist is histogram grain (one row per distinct token
+        // count, bounded by max document length — not by corpus size).
+        StorageQueries.requireMetadataGrain(hist.count(), "q_shard_balance token histogram")
+        val offs = hist
           .select(col("n_tokens"), coalesce(sum(col("cnt")).over(wOff), lit(0L)).as("off"))
         val wLoc = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
         val ranked = docs.withColumn("rl", row_number().over(wLoc).cast("long"))

@@ -41,6 +41,21 @@ object StorageQueries {
   val CompactFiles = 256
   val CompactTargetBytes: Long = 1L << 16
 
+  /** Ceiling for inputs to the deliberately-unpartitioned planner windows
+    * (`q_compaction_bins`; `PipelineQueries.q_shard_balance` uses the same
+    * guard): metadata/histogram grain means "fits one task comfortably" —
+    * 2M rows is ~10× the ~200k-file inventory of a 100 TB table at 512 MB
+    * targets. The guard exists so a refactor that feeds a single-window
+    * plan row-grain data fails loudly instead of becoming a global sort.
+    */
+  val MaxMetadataGrainRows: Long = 2L * 1000 * 1000
+
+  private[queries] def requireMetadataGrain(n: Long, what: String): Unit =
+    require(n <= MaxMetadataGrainRows,
+      s"$what is windowed unpartitioned and must stay metadata-grain " +
+      s"(≤ $MaxMetadataGrainRows rows, got $n); repartition the plan or " +
+      s"aggregate to a bounded grain before the window")
+
   val defs: Seq[QueryDef] = Seq(
 
     // partitioned parquet sink + partition-pruned re-read, oracle-checked:
@@ -281,14 +296,20 @@ object StorageQueries {
     ),
 
     // JSON-lines sink + source round-trip — THE training-data interchange
-    // format (every public corpus release ships as jsonl). Documents are
-    // written as JSONL (Spark's json sink = one object per line), re-read
-    // with an explicit schema, and fingerprinted per (source, lang) with
-    // an md5-distinct over the full text — any escaping defect in either
-    // direction (newlines, quotes, unicode) changes a digest and
-    // hash-mismatches against the oracle, which reads the ORIGINAL
+    // format (every public corpus release ships as jsonl, and ships it
+    // GZIPPED: .jsonl.gz is the wire format of the public corpora). The
+    // write leg therefore compresses (`compression=gzip` → .json.gz part
+    // files); the read leg relies on Spark/Hadoop's transparent codec
+    // detection by extension, so the compressed path is what actually
+    // executes. Documents are re-read with an explicit schema and
+    // fingerprinted per (source, lang) with an md5-distinct over the full
+    // text — any escaping OR compression defect in either direction
+    // (newlines, quotes, unicode, truncated gzip members) changes a digest
+    // and hash-mismatches against the oracle, which reads the ORIGINAL
     // parquet. Scale: both legs are map-only over the corpus; the agg is
-    // one hash-agg on a 25-key space.
+    // one hash-agg on a 25-key space. Note gzip parts are NOT splittable —
+    // fine here because jsonl.gz corpora arrive as many files and the
+    // per-file unit of parallelism is the file, same as production.
     QueryDef(
       "q_jsonl_roundtrip",
       (spark, dir) => {
@@ -296,7 +317,12 @@ object StorageQueries {
         val tgt = target("jsonl_roundtrip")
         Tables.documents(spark, dir)
           .select(col("doc_id"), col("source"), col("lang"), col("text"))
-          .write.mode("overwrite").json(tgt)
+          .write.mode("overwrite").option("compression", "gzip").json(tgt)
+        // load-bearing: prove the compressed leg is the one being read —
+        // a silently-ignored compression option would pass the hash check
+        val parts = new java.io.File(tgt).listFiles()
+        require(parts != null && parts.exists(_.getName.endsWith(".json.gz")),
+          s"jsonl roundtrip expected gzip part files under $tgt")
         val schema = StructType(Seq(
           StructField("doc_id", LongType), StructField("source", StringType),
           StructField("lang", StringType), StructField("text", StringType)))
@@ -464,6 +490,11 @@ object StorageQueries {
                   col("n_chars").cast("long").as("bytes"))
           .groupBy(col("file_id"))
           .agg(sum(col("bytes")).as("fbytes"), count(lit(1)).as("n_docs"))
+        // load-bearing: the single unpartitioned prefix-sum window below is
+        // safe ONLY because inv is file-inventory grain (≤ CompactFiles rows
+        // by the modulo rollup; ~200k at 100 TB with 512 MB targets). Fail
+        // fast if a refactor ever feeds it row-grain data.
+        requireMetadataGrain(inv.count(), "q_compaction_bins file inventory")
         val w = Window.orderBy(col("file_id")).rowsBetween(Window.unboundedPreceding, -1)
         inv.withColumn("cum_before", coalesce(sum(col("fbytes")).over(w), lit(0L)))
           .withColumn("bin", expr(s"cum_before div $CompactTargetBytes"))
