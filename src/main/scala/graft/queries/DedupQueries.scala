@@ -599,7 +599,15 @@ object DedupQueries {
       "dedup_fuzzy_recall",
       (spark, dir) => {
         GraftSession.tune(spark)
+        // GRADED STRATA: a deterministic content-independent hash selects
+        // ~1/5 of brands (5 of TPC-H's 25); BOTH arms and the oracle apply
+        // the same selection, so the grade stays EXACT within every sampled
+        // brand — brands are independent under the (brand, …) blocking, so
+        // sampling whole strata weakens nothing about the per-stratum
+        // recall claim while cutting the quadratic grader volume ~5×.
+        val sampledBrand = pmod(Hashing.h32(concat(lit("fzs:"), col("p_brand"))), lit(5L)) === 0L
         val p = Tables.part(spark, dir)
+          .where(sampledBrand)
           .select(col("p_partkey"), col("p_brand"), col("p_name"),
                   length(col("p_name")).cast("long").as("len"),
                   charSetMask(col("p_name")).as("cm"))
@@ -638,8 +646,11 @@ object DedupQueries {
       },
       // the oracle mirrors the sound length bound (implied by ED ≤ 3, so
       // the ground-truth pair set is unchanged — see the Spark-side note)
-      Some("""WITH p AS (
+      // and the deterministic brand-stratum selection (same md5-derived
+      // hash, same modulus)
+      Some(s"""WITH p AS (
              |  SELECT p_partkey, p_brand, p_name FROM part
+             |  WHERE ${Hashing.h32Sql("concat('fzs:', p_brand)")} % 5 = 0
              |),
              |t AS (
              |  SELECT COUNT(*) AS n
