@@ -1,31 +1,32 @@
 package graft.queries
 
-import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.Tables
 import graft.functions.{Hashing, Udafs}
 import graft.streaming.Streaming
 import graft.text.TextAnalysis
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.LongType
 
 /** The streaming surface made oracle-checkable: the events table replayed
-  * through the REAL Structured Streaming sessionizer
-  * ([[Streaming.sessionize]], `flatMapGroupsWithState`), aggregated to the
-  * exact shape of the batch `q_sessionize` query and checked against the
-  * SAME DuckDB oracle — the stream and the oracle reach the answer by
-  * entirely independent algorithms (incremental keyed state vs a lag
-  * window).
+  * through the REAL Structured Streaming operators (sessionization via
+  * `flatMapGroupsWithState`, watermarked windows, stream-stream interval
+  * join, streaming sketches) and checked against batch DuckDB oracles that
+  * reach the same answers by entirely independent algorithms.
   *
-  * The `collect()` here is the MemoryStream REPLAY HARNESS boundary, not
-  * the operator: MemoryStream is fed from driver-local data by design. The
-  * operator under test is fully distributed (state hash-partitioned by
-  * user across executors); in production the same `sessionize` call reads
-  * from a partitioned source (Kafka/files) and nothing touches the driver.
+  * EVERY stream here reads from the FILE SOURCE: inputs are landed as
+  * parquet "arrival band" files with controlled modification times
+  * ([[landBands]]) and discovered incrementally by
+  * `readStream.schema(...).parquet(dir)` — the "files arriving in a landing
+  * zone" shape a production stream actually has. Nothing is fed from
+  * driver-collected data (the former MemoryStream `collect()` harness is
+  * fully retired): feeds, sentinels, and band assignment are all computed
+  * distributedly, and the only driver involvement is moving finished part
+  * FILES into the landing directory — metadata, not rows.
   */
 object StreamingQueries {
 
@@ -34,36 +35,90 @@ object StreamingQueries {
     */
   private val runId = new AtomicInteger(0)
 
-  /** One document in the replayed stream (q_streaming_dedup). */
-  final case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
+  /** Lands `df` (which must carry an int `__band` column in [0, n)) as `n`
+    * single-file parquet band files `b0000.parquet`… with deterministic,
+    * strictly increasing modification times under a fresh landing dir, and
+    * returns that dir. `FileStreamSource` processes oldest-mtime-first, so
+    * with `maxFilesPerTrigger=1` band i replays as micro-batch i — a
+    * deterministic multi-batch replay with no driver-side data movement.
+    * For ORDER-SENSITIVE operators (watermarked aggs, sessionization) pass
+    * global time-range bands ([[withTimeBand]]) so later batches never
+    * carry earlier event time (no spurious watermark drops); for
+    * order-insensitive folds (KMV, MG, LWW) any cheap hash band works.
+    * The per-band `coalesce(1)` is harness-only file-count control over
+    * test-scale bands, not a production repartition.
+    */
+  private def landBands(df: DataFrame, n: Int, name: String): String = {
+    val dir = StorageQueries.target(name)
+    val root = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit }
+    rm(root); root.mkdirs()
+    val tmp = StorageQueries.target(name + "_tmp")
+    val banded = df.persist()
+    try {
+      for (i <- 0 until n) {
+        banded.where(col("__band") === i).drop("__band")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file landed for band $i of $name"))
+        val dest = new java.io.File(root, f"b$i%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.setLastModified(1700000000000L + i * 60000L): Unit
+      }
+    } finally { banded.unpersist(): Unit }
+    dir
+  }
+
+  /** Adds a global time-range `__band` int column in [0, n), monotone in
+    * `ts`: ALL rows in band i precede ALL rows in band i+1 by event time,
+    * so banded arrival is in-order arrival and no watermark ever drops a
+    * row. The min/max is a broadcast one-row aggregate, not a collect.
+    */
+  private def withTimeBand(df: DataFrame, ts: String, n: Int): DataFrame = {
+    val mm = df.agg(min(unix_millis(col(ts))).as("__t0"),
+                    max(unix_millis(col(ts))).as("__t1"))
+    df.crossJoin(broadcast(mm))
+      .withColumn("__band",
+        least(lit(n - 1),
+          floor(((unix_millis(col(ts)) - col("__t0")) * n) /
+                (col("__t1") - col("__t0") + 1))).cast("int"))
+      .drop("__t0", "__t1")
+  }
+
+  private def withHashBand(df: DataFrame, key: Column, n: Int): DataFrame =
+    df.withColumn("__band", pmod(key, lit(n)).cast("int"))
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_streaming_sessionize",
       (spark, dir) => {
         import spark.implicits._
-        implicit val sqlCtx = spark.sqlContext
-        val input = MemoryStream[Streaming.Event]
-        val eventsDs = Streaming.eventsBatch(spark, dir)
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
         // one sentinel per user, a full gap past that user's last event:
         // it closes every REAL session, while the sentinel's own 1-event
         // session stays open in state and (flushOnTimeout=false) is never
         // emitted — the emitted sessions partition exactly the real events.
-        // The per-user max is a DISTRIBUTED aggregation; only the one-row-
-        // per-user result (and the replay feed itself, the harness boundary)
-        // crosses to the driver.
-        val sentinels = eventsDs.groupBy(col("user_id"))
-          .agg(max(col("ts")).as("max_ts"))
-          .collect()
-          .map { r =>
-            Streaming.Event(-1L,
-              new Timestamp(r.getTimestamp(1).getTime + 2 * Streaming.SessionGapMs),
-              r.getLong(0), "sentinel", 0.0)
-          }
-        input.addData(eventsDs.collect().toIndexedSeq: _*)
-        input.addData(sentinels.toIndexedSeq: _*)
+        // Computed distributedly and unioned into the landed feed.
+        val sentinels = eventsDf.groupBy(col("user_id"))
+          .agg(max(col("ts")).as("mts"))
+          .select(lit(-1L).as("event_id"),
+                  expr(s"timestamp_millis(unix_millis(mts) + ${2 * Streaming.SessionGapMs})").as("ts"),
+                  col("user_id"), lit("sentinel").as("event_type"),
+                  lit(0.0).as("value"))
+        val feed = eventsDf.unionByName(sentinels)
+        // sessionize sorts by event time only WITHIN a batch, so arrival
+        // bands must be global time ranges: cross-batch order is then
+        // per-user order, and a user's sentinel always arrives at-or-after
+        // the band of their last real event.
+        val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_sessionize")
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+          .as[Streaming.Event]
         val sink = s"streaming_sessionize_${runId.incrementAndGet()}"
-        val q = Streaming.sessionize(input.toDS(), flushOnTimeout = false)
+        val q = Streaming.sessionize(src, flushOnTimeout = false)
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination()
@@ -94,35 +149,26 @@ object StreamingQueries {
              |GROUP BY user_id""".stripMargin)
     ),
 
-    // the REAL watermarked tumbling-window aggregation
-    // ([[Streaming.windowedCounts]], 10-min windows, 30-min watermark,
-    // append mode) replayed over the events table and checked against a
-    // batch DuckDB oracle computing the same windows from epoch seconds.
-    // Two determinism devices:
-    //   - `value` is converted to integer cents BEFORE the stream (cents
-    //     ride as integral doubles ≤ ~10^4, so the windowed SUM is exact
-    //     under ANY arrival/merge order — the stream's incremental sums and
-    //     DuckDB's batch sum land on the same integer);
-    //   - one sentinel event 2 h past the corpus max pushes the watermark
-    //     past every real window (append mode only emits CLOSED windows);
-    //     the sentinel's own window stays open and is never emitted.
     // the REAL stream-stream interval join ([[Streaming.clickAttribution]]):
     // purchases matched to the same user's clicks in the preceding 7 days,
     // replayed over the events table and aggregated per purchase. Inner
-    // joins emit matches as soon as both sides arrive, so no sentinel is
-    // needed; the watermark + range predicate exist to bound state, not to
-    // gate emission. Checked against a batch DuckDB interval join — stream
-    // and oracle compute the same pairs by entirely different algorithms
-    // (incremental symmetric hash join vs batch join).
+    // joins emit matches as soon as both sides arrive; the watermark +
+    // range predicate exist to bound state, not to gate emission — and
+    // time-banded arrival means the only state ever evicted (clicks older
+    // than the purchase watermark's 7-day lookback) is state no future
+    // purchase can match. Checked against a batch DuckDB interval join —
+    // stream and oracle compute the same pairs by entirely different
+    // algorithms (incremental symmetric hash join vs batch join).
     QueryDef(
       "q_streaming_click_attribution",
       (spark, dir) => {
-        import spark.implicits._
-        implicit val sqlCtx = spark.sqlContext
-        val input = MemoryStream[Streaming.Event]
-        input.addData(Streaming.eventsBatch(spark, dir).collect().toIndexedSeq: _*)
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_click_attr")
+        val src = spark.readStream.schema(eventsDf.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
         val sink = s"streaming_click_attr_${runId.incrementAndGet()}"
-        val q = Streaming.clickAttribution(input.toDF())
+        val q = Streaming.clickAttribution(src)
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination()
@@ -152,24 +198,22 @@ object StreamingQueries {
     // so the oracle-checked result is the surviving KEY SET — exactly one
     // row per distinct content hash, no duplicate leaked, no key lost —
     // which is the dedup contract itself and is deterministic. The batch
-    // twin is dedup_exact's distinct-hash set.
+    // twin is dedup_exact's distinct-hash set. Single arrival band: the
+    // within-watermark contract only covers duplicates inside the horizon,
+    // and the synthetic doc_id-derived timestamps put content-equal docs
+    // arbitrarily far apart, so one batch is the shape the contract pins.
     QueryDef(
       "q_streaming_dedup",
       (spark, dir) => {
-        import spark.implicits._
-        implicit val sqlCtx = spark.sqlContext
-        val input = MemoryStream[StreamDoc]
-        val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-        val docs = graft.Tables.documents(spark, dir)
-          .select(col("doc_id").cast("long").as("_1"), col("text").as("_2"))
-          .as[(Long, String)]
-          .collect().toIndexedSeq
-          .map { case (id, text) =>
-            StreamDoc(id, text, new Timestamp(base.getTime + id * 1000L))
-          }
-        input.addData(docs: _*)
+        graft.GraftSession.tune(spark)
+        // synthetic replay clock: 2024-01-01 UTC + doc_id seconds
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+                  expr("timestamp_millis(1704067200000 + doc_id * 1000)").as("ts"))
+        val land = landBands(docs.withColumn("__band", lit(0)), 1, "stream_land_dedup")
+        val src = spark.readStream.schema(docs.schema).parquet(land)
         val sink = s"streaming_dedup_${runId.incrementAndGet()}"
-        val q = Streaming.streamingDedup(input.toDF())
+        val q = Streaming.streamingDedup(src)
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination()
@@ -185,21 +229,24 @@ object StreamingQueries {
     // the REAL stream-static enrichment join ([[Streaming.enrich]]): the
     // event stream broadcast-joined per microbatch to the static customer
     // dimension — stateless, no watermark, the canonical dimension-attach
-    // stage. The sink holds the enriched ROWS (append mode, no in-stream
-    // agg); the per-segment rollup below is batch-side over the sink, and
-    // the oracle recomputes it from a plain batch join. Value rides as
-    // exact integer cents so the rollup sum is arrival-order-independent.
+    // stage. Hash-banded arrival (order-irrelevant) in 4 micro-batches, so
+    // the per-batch broadcast re-plan genuinely happens 4 times. The sink
+    // holds the enriched ROWS (append mode, no in-stream agg); the
+    // per-segment rollup below is batch-side over the sink, and the oracle
+    // recomputes it from a plain batch join. Value rides as exact integer
+    // cents so the rollup sum is arrival-order-independent.
     QueryDef(
       "q_streaming_enrich",
       (spark, dir) => {
-        import spark.implicits._
-        implicit val sqlCtx = spark.sqlContext
-        val input = MemoryStream[Streaming.Event]
-        input.addData(Streaming.eventsBatch(spark, dir).collect().toIndexedSeq: _*)
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val land = landBands(withHashBand(eventsDf, col("event_id"), 4), 4, "stream_land_enrich")
+        val src = spark.readStream.schema(eventsDf.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
         val dim = graft.Tables.customer(spark, dir)
           .select(col("c_custkey"), col("c_mktsegment"))
         val sink = s"streaming_enrich_${runId.incrementAndGet()}"
-        val q = Streaming.enrich(input.toDF(), dim)
+        val q = Streaming.enrich(src, dim)
           .writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination()
@@ -220,18 +267,36 @@ object StreamingQueries {
              |GROUP BY 1""".stripMargin)
     ),
 
+    // the REAL watermarked tumbling-window aggregation
+    // ([[Streaming.windowedCounts]], 10-min windows, 30-min watermark,
+    // append mode) replayed over the events table and checked against a
+    // batch DuckDB oracle computing the same windows from epoch seconds.
+    // Determinism devices:
+    //   - `value` is converted to integer cents INSIDE the stream (cents
+    //     ride as integral doubles ≤ ~10^4, so the windowed SUM is exact
+    //     under ANY arrival/merge order);
+    //   - one sentinel event 2 h past the corpus max pushes the watermark
+    //     past every real window (append mode only emits CLOSED windows);
+    //     the sentinel's own window stays open and is never emitted;
+    //   - time-banded arrival: later batches never carry earlier event
+    //     time, so the advancing watermark can never drop a real row, and
+    //     a window straddling a band boundary cannot close before its
+    //     last band arrives (the watermark lags 30 min > 0 behind the max).
     QueryDef(
       "q_streaming_window_counts",
       (spark, dir) => {
-        import spark.implicits._
-        implicit val sqlCtx = spark.sqlContext
-        val input = MemoryStream[Streaming.Event]
-        val eventsDs = Streaming.eventsBatch(spark, dir)
-        val maxTs = eventsDs.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-        input.addData(eventsDs.collect().toIndexedSeq: _*)
-        input.addData(Streaming.Event(-1L,
-          new Timestamp(maxTs.getTime + 2 * 60 * 60 * 1000L), -1L, "sentinel", 0.0))
-        val centsIn = input.toDF()
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val sentinel = eventsDf.agg(max(col("ts")).as("mts"))
+          .select(lit(-1L).as("event_id"),
+                  expr("timestamp_millis(unix_millis(mts) + 7200000)").as("ts"),
+                  lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+                  lit(0.0).as("value"))
+        val feed = eventsDf.unionByName(sentinel)
+        val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_window_counts")
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+        val centsIn = src
           .withColumn("value", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DOUBLE)"))
         val sink = s"streaming_window_counts_${runId.incrementAndGet()}"
         val q = Streaming.windowedCounts(centsIn)
@@ -255,9 +320,9 @@ object StreamingQueries {
              |ORDER BY window_start, event_type""".stripMargin)
     ),
 
-    // the FILE-BASED streaming SINK — closing the loop the file SOURCE
-    // opened (q_streaming_file_source): the same watermarked windowed
-    // aggregation, but written as append-mode PARQUET FILES with a
+    // the FILE-BASED streaming SINK — with the file SOURCE feeding it, this
+    // is the full file-to-file production shape: the same watermarked
+    // windowed aggregation, written as append-mode PARQUET FILES with a
     // checkpoint (the exactly-once file sink a production stream lands
     // in), then re-read as a batch table and compared to the batch
     // oracle. Append mode emits a window only once its watermark closes
@@ -270,15 +335,18 @@ object StreamingQueries {
     QueryDef(
       "q_streaming_file_sink",
       (spark, dir) => {
-        import spark.implicits._
-        implicit val sqlCtx = spark.sqlContext
-        val input = MemoryStream[Streaming.Event]
-        val eventsDs = Streaming.eventsBatch(spark, dir)
-        val maxTs = eventsDs.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-        input.addData(eventsDs.collect().toIndexedSeq: _*)
-        input.addData(Streaming.Event(-1L,
-          new Timestamp(maxTs.getTime + 2 * 60 * 60 * 1000L), -1L, "sentinel", 0.0))
-        val centsIn = input.toDF()
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val sentinel = eventsDf.agg(max(col("ts")).as("mts"))
+          .select(lit(-1L).as("event_id"),
+                  expr("timestamp_millis(unix_millis(mts) + 7200000)").as("ts"),
+                  lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+                  lit(0.0).as("value"))
+        val feed = eventsDf.unionByName(sentinel)
+        val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_file_sink")
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+        val centsIn = src
           .withColumn("value", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DOUBLE)"))
         val id = runId.incrementAndGet()
         val sinkDir = StorageQueries.target(s"stream_file_sink_$id")
@@ -306,27 +374,29 @@ object StreamingQueries {
     // streaming KMV distinct-cardinality over the document stream — the
     // sketch × streaming crossover: per-(half, shard) bounded O(k) state
     // via mapGroupsWithState ([[Streaming.kmvSketch]]), fed in FOUR
-    // separate micro-batches so cross-batch state folding is genuinely
-    // exercised, shard sketches merged on read (KMV composability), and
-    // the result checked bit-for-bat against a BATCH DuckDB oracle — valid
-    // because the k-min fold is order- and duplicate-insensitive, so the
-    // stream must land on exactly the batch sketch whatever the batch
-    // boundaries. Update-mode emissions accumulate in the memory sink;
-    // the latest per shard is selected by its monotone n_seen. The
-    // collect() feed is the MemoryStream harness boundary as documented in
-    // the object scaladoc; shingling/hashing run INSIDE the stream.
+    // hash-banded micro-batches (maxFilesPerTrigger=1) so cross-batch
+    // state folding is genuinely exercised, shard sketches merged on read
+    // (KMV composability), and the result checked bit-for-bit against a
+    // BATCH DuckDB oracle — valid because the k-min fold is order- and
+    // duplicate-insensitive, so the stream must land on exactly the batch
+    // sketch whatever the batch boundaries. Update-mode emissions
+    // accumulate in the memory sink; the latest per shard is selected by
+    // its monotone n_seen. Shingling/hashing run INSIDE the stream.
     QueryDef(
       "q_streaming_kmv",
       (spark, dir) => {
         import spark.implicits._
-        implicit val sqlCtx = spark.sqlContext
+        graft.GraftSession.tune(spark)
         val K = TextQueries.KmvK
         val num = (K - 1).toLong * Hashing.H32Max
-        val input = MemoryStream[TokenDoc]
-        val docs = Tables.documents(spark, dir)
-          .select(col("source"), col("text")).as[TokenDoc].collect()
+        val feed = Tables.documents(spark, dir).select(col("source"), col("text"))
+        val land = landBands(
+          withHashBand(feed, Hashing.h32(concat(lit("kb:"), col("text"))), 4),
+          4, "stream_land_kmv")
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
         val sink = s"streaming_kmv_${runId.incrementAndGet()}"
-        val hashes = input.toDF()
+        val hashes = src
           .select(when(substring(col("source"), 4, 10).cast("int") < 10, lit("a"))
                     .otherwise(lit("b")).as("grp"),
                   TextAnalysis.tokens(col("text")).as("toks"))
@@ -338,12 +408,8 @@ object StreamingQueries {
           .as[Streaming.SubHash]
         val q = Streaming.kmvSketch(hashes, K)
           .writeStream.format("memory").queryName(sink)
-          .outputMode("update").start()
-        docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
-          input.addData(chunk.toIndexedSeq: _*)
-          q.processAllAvailable() // one micro-batch per chunk: real state folds
-        }
-        q.stop(); q.awaitTermination()
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
         val w = Window.partitionBy(col("grp"), col("sub")).orderBy(col("n_seen").desc)
         val latest = spark.table(sink)
           .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
@@ -394,35 +460,32 @@ object StreamingQueries {
     // with exact count > N/(k+1) must appear in the summary (`ok` pinned
     // TRUE by the oracle). Terms shard BY TERM HASH across 8 state
     // partitions ([[Streaming.mgSketch]]): each shard folds the classic
-    // O(k) counter update across micro-batches (fed in four), and because
-    // a term's entire stream lives in one shard, the plain union of shard
-    // summaries is a valid global summary with the full N/(k+1) guarantee
-    // — the reader never weakens the bound. The exact-count arm exists to
-    // GRADE the sketch (as in every graded-sketch query); production
-    // drops it.
+    // O(k) counter update across the four hash-banded micro-batches, and
+    // because a term's entire stream lives in one shard, the plain union
+    // of shard summaries is a valid global summary with the full N/(k+1)
+    // guarantee — the reader never weakens the bound. The exact-count arm
+    // exists to GRADE the sketch (as in every graded-sketch query);
+    // production drops it.
     QueryDef(
       "q_streaming_heavy_hitters",
       (spark, dir) => {
         import spark.implicits._
-        implicit val sqlCtx = spark.sqlContext
+        graft.GraftSession.tune(spark)
         val K = TextQueries.HhK
-        val input = MemoryStream[TokenDoc]
-        val docs = Tables.documents(spark, dir)
-          .select(col("source"), col("text")).as[TokenDoc].collect()
+        val feed = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        val land = landBands(withHashBand(feed, col("doc_id"), 4), 4, "stream_land_hh")
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
         val sink = s"streaming_hh_${runId.incrementAndGet()}"
-        val shardTerms = input.toDF()
+        val shardTerms = src
           .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
           .select(pmod(Hashing.h32(col("term")), lit(8)).cast("int").as("shard"),
                   col("term"))
           .as[Streaming.ShardTerm]
         val q = Streaming.mgSketch(shardTerms, K)
           .writeStream.format("memory").queryName(sink)
-          .outputMode("update").start()
-        docs.grouped(math.max(1, docs.length / 4 + 1)).foreach { chunk =>
-          input.addData(chunk.toIndexedSeq: _*)
-          q.processAllAvailable()
-        }
-        q.stop(); q.awaitTermination()
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
         val w = Window.partitionBy(col("shard")).orderBy(col("n_seen").desc)
         val summary = spark.table(sink)
           .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
@@ -472,10 +535,9 @@ object StreamingQueries {
       }
     ),
 
-    // the FILE-BASED streaming source — the one streaming query whose
-    // input is NOT a MemoryStream: events are landed as a multi-file
-    // parquet directory (the "files arriving in a landing zone" shape —
-    // 8 hash-partitioned files standing in for 8 ingestion batches), then
+    // the plain FILE-SOURCE aggregation — the simplest end-to-end file
+    // stream: events landed as a multi-file parquet directory (8
+    // hash-partitioned files standing in for 8 ingestion batches), then
     // `readStream.schema(...).parquet(dir)` discovers and processes them
     // INCREMENTALLY — maxFilesPerTrigger=3 forces ≥3 separate microbatches
     // under Trigger.AvailableNow, so the complete-mode aggregation state
@@ -485,8 +547,7 @@ object StreamingQueries {
     // integer cents so the cross-batch fold is order-independent, and the
     // oracle computes the same rollup from the original events table: a
     // missed file, double-processed file, or state-fold defect all
-    // hash-mismatch. This retires the "all streaming inputs are
-    // MemoryStream" caveat for the source side of the surface.
+    // hash-mismatch.
     QueryDef(
       "q_streaming_file_source",
       (spark, dir) => {
@@ -524,9 +585,9 @@ object StreamingQueries {
     ),
 
     // streaming CDC snapshot maintenance ([[Streaming.cdcState]]): the
-    // events changelog replayed in FOUR micro-batches through per-key LWW
-    // `mapGroupsWithState` (O(1) state per key — the state IS the
-    // materialized row), checked bit-for-bit against the SAME batch
+    // events changelog replayed in FOUR hash-banded micro-batches through
+    // per-key LWW `mapGroupsWithState` (O(1) state per key — the state IS
+    // the materialized row), checked bit-for-bit against the SAME batch
     // DuckDB oracle as q_cdc_snapshot. Valid because LWW by the total
     // order (ts, event_id) is an order- and batch-boundary-insensitive
     // fold, so the stream must land on exactly the batch snapshot — the
@@ -537,24 +598,22 @@ object StreamingQueries {
       "q_streaming_cdc",
       (spark, dir) => {
         import spark.implicits._
-        implicit val sqlCtx = spark.sqlContext
-        val input = MemoryStream[Streaming.CdcChange]
+        graft.GraftSession.tune(spark)
         val changes = Tables.events(spark, dir)
           .select(col("user_id"),
                   expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_micros"),
                   col("event_id"),
                   when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
                   expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
-          .as[Streaming.CdcChange].collect()
+        val land = landBands(withHashBand(changes, col("event_id"), 4), 4, "stream_land_cdc")
+        val src = spark.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+          .as[Streaming.CdcChange]
         val sink = s"streaming_cdc_${runId.incrementAndGet()}"
-        val q = Streaming.cdcState(input.toDS())
+        val q = Streaming.cdcState(src)
           .writeStream.format("memory").queryName(sink)
-          .outputMode("update").start()
-        changes.grouped(math.max(1, changes.length / 4 + 1)).foreach { chunk =>
-          input.addData(chunk.toIndexedSeq: _*)
-          q.processAllAvailable()
-        }
-        q.stop(); q.awaitTermination()
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
         val w = Window.partitionBy(col("user_id")).orderBy(col("n_changes").desc)
         val out = spark.table(sink)
           .withColumn("rn", row_number().over(w))
@@ -586,7 +645,4 @@ object StreamingQueries {
              |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin)
     )
   )
-
-  /** One document in the KMV stream feed (source half + text only). */
-  final case class TokenDoc(source: String, text: String)
 }
