@@ -339,6 +339,30 @@ object Media {
     }
   }
 
+  /** [[bmpRoundTrip]] through the PNG codec — the COMPRESSED container
+    * ([[Png]]: zlib DEFLATE + five-filter scanline prediction + CRC-verified
+    * chunks). Same deterministic pixel fixture, same feature shape, same
+    * closed-form SQL oracle as BMP/PPM, so the three queries agreeing is a
+    * three-way cross-codec consistency proof whose third leg exercises real
+    * decompression — the part of multimodal ingestion where parse defects
+    * actually live.
+    */
+  def pngRoundTrip(ids: Dataset[java.lang.Long]): Dataset[BmpFeatures] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val (w, h) = bmpDims(id)
+        val rgb = Array.tabulate(w * h * 3)(k => bmpPixelByte(id, k))
+        val (dw, dh, decoded) = Png.decode(Png.encode(w, h, rgb))
+        md.reset()
+        val digest = md.digest(hexLower(decoded).getBytes("UTF-8"))
+        BmpFeatures(id, dw, dh, dw.toLong * dh, hexLower(digest))
+      }
+    }
+  }
+
   // ------------------------------------------------------------ real WAV
 
   /** Deterministic per-document audio spec for the WAV fixture: mono

@@ -161,6 +161,39 @@ object MediaQueries {
       }
     ),
 
+    // the COMPRESSED codec over the SAME fixture and the SAME oracle: PNG
+    // (zlib DEFLATE via java.util.zip + five-filter scanline prediction +
+    // CRC-verified chunk walk — [[graft.media.Png]]). BMP/PPM prove
+    // uncompressed container parsing; this is the leg where real multimodal
+    // ingestion lives — the encoder cycles all five PNG filter types by row
+    // and splits IDAT across two chunks, so the round-trip exercises
+    // decompression, stream reassembly, and the whole unfilter suite. Any
+    // defect in any of them breaks the pixel hash the oracle recomputes
+    // from the generating formulas (never through the codec).
+    QueryDef(
+      "media_png_decode",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val ids = Tables.documents(spark, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        Media.pngRoundTrip(ids).toDF()
+      },
+      Some {
+        val hex = "list_aggregate(list_transform(generate_series(0, width * height * 3 - 1), " +
+          "k -> printf('%02x', (doc_id * 31 + k * 7 + 13) % 256)), 'string_agg', '')"
+        s"""SELECT doc_id, width, height,
+           |       CAST(width AS BIGINT) * height AS n_pixels,
+           |       md5($hex) AS pixels_md5
+           |FROM (
+           |  SELECT doc_id,
+           |         CAST(4 + doc_id % 5 AS INT) AS width,
+           |         CAST(3 + doc_id % 4 AS INT) AS height
+           |  FROM documents
+           |)""".stripMargin
+      }
+    ),
+
     // third REAL codec — and the first AUDIO one: RIFF/WAVE 16-bit mono
     // PCM ([[graft.media.Wav]]: real chunk walker with word alignment,
     // fmt validation, hardened sizes). Per doc a deterministic integer

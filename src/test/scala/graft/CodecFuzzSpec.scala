@@ -1,0 +1,176 @@
+package graft
+
+import graft.media.{Bmp, Media, Png, Ppm, Wav}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-level fuzzing of the hand-rolled codecs — the standard bar for
+  * hand-written parsers (the existing corruption tests are hand-picked
+  * cases; these sweep ≥1000 mutated inputs per codec).
+  *
+  * The contract under fuzz: a decoder confronted with mutated, truncated,
+  * or random bytes must either return a decode or reject with the codec's
+  * clean `IllegalArgumentException` — NEVER escape with an index error,
+  * negative-size allocation, zip exception, or OOM. For PNG specifically
+  * the contract is stronger: every chunk is CRC-verified, so a mutated
+  * payload must never SILENTLY decode to different pixels — any accepted
+  * decode must equal the original.
+  */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g(Gen.Parameters.default, Seed(seed)).get
+
+  /** Clean-reject-or-success harness: returns Some(result) on success,
+    * None on IllegalArgumentException; fails the test on anything else.
+    */
+  private def cleanly[A](what: String, bytes: Array[Byte])(dec: Array[Byte] => A): Option[A] =
+    try Some(dec(bytes))
+    catch {
+      case _: IllegalArgumentException => None
+      case e: Throwable =>
+        fail(s"$what escaped with ${e.getClass.getName}: ${e.getMessage} " +
+          s"(first bytes: ${bytes.take(24).map(b => f"${b & 0xff}%02x").mkString(" ")})")
+    }
+
+  private val genImage: Gen[(Int, Int, Array[Byte])] = for {
+    w <- Gen.choose(1, 12)
+    h <- Gen.choose(1, 10)
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    (w, h, Array.fill(w * h * 3)(rnd.nextInt(256).toByte))
+  }
+
+  private val genAudio: Gen[(Int, Array[Short])] = for {
+    n <- Gen.choose(1, 400)
+    rate <- Gen.oneOf(8000, 16000, 44100)
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    (rate, Array.fill(n)((rnd.nextInt(65536) - 32768).toShort))
+  }
+
+  /** One deterministic single-byte mutation of `valid` (position and new
+    * value from the seed; the new value always differs from the old).
+    */
+  private def mutate(valid: Array[Byte], seed: Long): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val pos = rnd.nextInt(valid.length)
+    val out = valid.clone()
+    out(pos) = (out(pos) ^ (1 + rnd.nextInt(255))).toByte
+    out
+  }
+
+  private def imageCodecs: Seq[(String, (Int, Int, Array[Byte]) => Array[Byte], Array[Byte] => (Int, Int, Array[Byte]))] =
+    Seq(("BMP", Bmp.encode, Bmp.decode),
+        ("PPM", Ppm.encode, Ppm.decode),
+        ("PNG", Png.encode, Png.decode))
+
+  test("image codecs: 1000+ single-byte mutations each reject cleanly or decode") {
+    for ((name, enc, dec) <- imageCodecs) {
+      var silentDiffs = 0
+      for (i <- 0 until 1100) {
+        val (w, h, rgb) = sample(genImage, 0xC0DEC000L + i)
+        val valid = enc(w, h, rgb)
+        val mutated = mutate(valid, 0xFEED0000L + i)
+        cleanly(s"$name decode of mutated input #$i", mutated)(dec).foreach {
+          case (dw, dh, drgb) =>
+            if (!(dw == w && dh == h && java.util.Arrays.equals(drgb, rgb))) silentDiffs += 1
+        }
+      }
+      // PNG's CRC must catch EVERY accepted-but-different decode; the
+      // uncompressed containers legitimately decode body flips to
+      // different pixels (no checksum to notice), which is fine — the
+      // contract there is only "no escape".
+      if (name == "PNG")
+        assert(silentDiffs == 0, s"PNG silently mis-decoded $silentDiffs mutated inputs")
+    }
+  }
+
+  test("image codecs: every strict truncation rejects cleanly (never succeeds)") {
+    for ((name, enc, dec) <- imageCodecs) {
+      for (i <- 0 until 40) {
+        val (w, h, rgb) = sample(genImage, 0x7A7A000L + i)
+        val valid = enc(w, h, rgb)
+        // every strict prefix: the encodes are exact-size, so a shorter
+        // input can never carry the full pixel payload
+        for (len <- 0 until valid.length) {
+          val r = cleanly(s"$name decode of $len-byte truncation", java.util.Arrays.copyOf(valid, len))(dec)
+          assert(r.isEmpty, s"$name accepted a $len-byte truncation of a ${valid.length}-byte image")
+        }
+      }
+    }
+  }
+
+  test("image codecs: random garbage bytes reject cleanly") {
+    for ((name, _, dec) <- imageCodecs; i <- 0 until 400) {
+      val rnd = new scala.util.Random(0xBAD00000L + i)
+      val junk = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      cleanly(s"$name decode of garbage #$i", junk)(dec): Unit
+    }
+  }
+
+  test("WAV: 1000+ single-byte mutations reject cleanly or decode; truncations reject") {
+    for (i <- 0 until 1100) {
+      val (rate, samples) = sample(genAudio, 0xA0D10000L + i)
+      val valid = Wav.encode(rate, samples)
+      cleanly(s"WAV decode of mutated input #$i", mutate(valid, 0xF00D0000L + i))(Wav.decode): Unit
+    }
+    for (i <- 0 until 20) {
+      val (rate, samples) = sample(genAudio, 0x77AF000L + i)
+      val valid = Wav.encode(rate, samples)
+      for (len <- 0 until valid.length) {
+        val r = cleanly(s"WAV decode of $len-byte truncation", java.util.Arrays.copyOf(valid, len))(Wav.decode)
+        assert(r.isEmpty, s"WAV accepted a $len-byte truncation of a ${valid.length}-byte file")
+      }
+    }
+  }
+
+  test("PNG: random round-trip across all five filter types and random dims") {
+    for (i <- 0 until 200) {
+      val (w, h, rgb) = sample(genImage, 0x9A97000L + i)
+      val (dw, dh, drgb) = Png.decode(Png.encode(w, h, rgb))
+      assert(dw == w && dh == h && java.util.Arrays.equals(drgb, rgb),
+        s"PNG round-trip drifted at ${w}x$h")
+    }
+    // heights ≥ 5 guarantee every filter type 0..4 is exercised per image;
+    // also cover the single-pixel and single-column degenerate shapes
+    for ((w, h) <- Seq((1, 1), (1, 7), (7, 1), (3, 5), (16, 5))) {
+      val rgb = Array.tabulate(w * h * 3)(k => ((k * 37 + 11) % 256).toByte)
+      val (dw, dh, drgb) = Png.decode(Png.encode(w, h, rgb))
+      assert(dw == w && dh == h && java.util.Arrays.equals(drgb, rgb))
+    }
+  }
+
+  test("PNG rejects: bad signature, bad CRC, truncated IDAT, filter type 5, dup IHDR") {
+    val valid = Png.encode(4, 5, Array.tabulate(60)(k => (k * 7).toByte))
+    def expectReject(label: String, bytes: Array[Byte]): Unit =
+      assert(cleanly(label, bytes)(Png.decode).isEmpty, s"$label was accepted")
+    expectReject("flipped signature", { val b = valid.clone(); b(0) = 0x88.toByte; b })
+    expectReject("flipped IHDR byte (CRC catch)", { val b = valid.clone(); b(16) = (b(16) ^ 1).toByte; b })
+    expectReject("flipped IDAT byte (CRC catch)", { val b = valid.clone(); b(45) = (b(45) ^ 1).toByte; b })
+    expectReject("IEND missing", java.util.Arrays.copyOf(valid, valid.length - 12))
+    // a stream that inflates SHORT of width*height rows: encode 4x5 but
+    // claim 4x6 in a re-CRC'd IHDR
+    val claimTaller = valid.clone()
+    val hbuf = java.nio.ByteBuffer.wrap(claimTaller, 8 + 8 + 4, 4)
+    hbuf.putInt(6)
+    val crc = new java.util.zip.CRC32
+    crc.update(claimTaller, 12, 4 + 13)
+    java.nio.ByteBuffer.wrap(claimTaller, 12 + 4 + 13, 4).putInt(crc.getValue.toInt)
+    expectReject("IHDR claims more rows than IDAT holds", claimTaller)
+  }
+
+  test("media_png_decode fixture matches the other codecs' decode exactly (three-way)") {
+    for (id <- 0L until 50L) {
+      val (w, h) = Media.bmpDims(id)
+      val rgb = Array.tabulate(w * h * 3)(k => Media.bmpPixelByte(id, k))
+      val viaBmp = Bmp.decode(Bmp.encode(w, h, rgb))._3
+      val viaPpm = Ppm.decode(Ppm.encode(w, h, rgb))._3
+      val viaPng = Png.decode(Png.encode(w, h, rgb))._3
+      assert(java.util.Arrays.equals(viaBmp, viaPng) && java.util.Arrays.equals(viaPpm, viaPng))
+    }
+  }
+}
