@@ -35,6 +35,20 @@ object GraphQueries {
     */
   private val BfsHops = 3
 
+  /** One BFS hop — the production building block q_bfs_levels iterates
+    * (exposed so PlanSpec can pin its shape directly; the query's returned
+    * plan is an eager localCheckpoint, which hides the iteration):
+    * neighbors of the frontier, deduped, minus already-visited nodes via a
+    * LEFT-ANTI equi-join (never a subtract scan), stamped with the level.
+    * Everything that shuffles is (node, level) longs.
+    */
+  private[graft] def bfsExpand(edges: DataFrame, frontier: DataFrame,
+                               visited: DataFrame, level: Long): DataFrame =
+    edges.join(frontier.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node")).distinct()
+      .join(visited.select("node"), Seq("node"), "left_anti")
+      .withColumn("level", lit(level))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_pagerank",
@@ -232,11 +246,7 @@ object GraphQueries {
         // query) lingering blocks would otherwise evict other queries' cache
         var prevNext: Option[DataFrame] = None
         for (l <- 1 to BfsHops) {
-          val next = edges.join(frontier.withColumnRenamed("node", "src"), "src")
-            .select(col("dst").as("node")).distinct()
-            .join(visited.select("node"), Seq("node"), "left_anti")
-            .withColumn("level", lit(l.toLong))
-            .persist()
+          val next = bfsExpand(edges, frontier, visited, l.toLong).persist()
           next.count() // frontier (= prevNext) consumed here; safe to drop
           prevNext.foreach(_.unpersist())
           val grown = visited.unionByName(next).persist()

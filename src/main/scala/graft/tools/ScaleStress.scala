@@ -108,7 +108,13 @@ object ScaleStress {
     "q_bfs_levels",
     // incremental materialization: two rollup scans + an aggregate-grain
     // merge — linear in events
-    "q_incremental_model")
+    "q_incremental_model",
+    // round-9: the last two ungraded decades. The contract validator is
+    // per-rule hash-aggs + the suite's only left-anti relationship joins
+    // (customer replicas shift by the same ckShift as orders, so the FK
+    // structure — and the violation count — is identical per replica);
+    // the view model is a view-inlined filter + hash-agg over orders
+    "q_validate_contracts", "q_view_model")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
@@ -191,14 +197,23 @@ object ScaleStress {
       .select(col("l_orderkey").cast("long").as("l_orderkey"),
               col("l_suppkey").cast("long").as("l_suppkey"),
               col("l_partkey").cast("long").as("l_partkey"))
+    val cust = Tables.customer(spark, baseDir)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+              col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     val om = ord.agg(max("o_orderkey"), max("o_custkey")).head
+    val cm = cust.agg(max("c_custkey")).head
     val lm = li.agg(max("l_suppkey"), max("l_partkey")).head
-    // ckShift is rounded up to a multiple of 97 so the BFS seed rule
-    // (custkey % 97 == 0) commutes with the replica shift: every replica
-    // then selects the same residue coset, making per-replica seed sets and
-    // level counts structurally identical to the base — the invariant the
-    // q_bfs_levels grading comment relies on
-    val (okShift, ckShift) = (om.getLong(0) + 1, ((om.getLong(1) + 1 + 96) / 97) * 97)
+    // ckShift spans BOTH custkey domains (q_validate_contracts' FK check
+    // joins orders to customer — the shift must keep replica key spaces
+    // disjoint on both sides so the relationship structure, and the
+    // violation count, is identical per replica) and is rounded up to a
+    // multiple of 97 so the BFS seed rule (custkey % 97 == 0) commutes
+    // with the replica shift: every replica then selects the same residue
+    // coset, making per-replica seed sets and level counts structurally
+    // identical to the base — the invariant the q_bfs_levels grading
+    // comment relies on
+    val ckMax = math.max(om.getLong(1), cm.getLong(0))
+    val (okShift, ckShift) = (om.getLong(0) + 1, ((ckMax + 1 + 96) / 97) * 97)
     val (skShift, pkShift) = (lm.getLong(0) + 1, lm.getLong(1) + 1)
     // q_pagerank keeps customer and supplier node-id spaces apart by a fixed
     // 10^7 offset; shifted custkeys must stay below it
@@ -215,6 +230,14 @@ object ScaleStress {
               (col("l_suppkey") + col("rep") * skShift).as("l_suppkey"),
               (col("l_partkey") + col("rep") * pkShift).as("l_partkey"))
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    // customer replicas (q_validate_contracts' FK target and
+    // q_streaming_enrich's dimension): key shifts in lockstep with orders'
+    // o_custkey, non-key columns replicate
+    cust.select(col("*"), reps)
+      .select((col("c_custkey") + col("rep") * ckShift).as("c_custkey"),
+              col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
     // events replicas for q_mad_outliers' two-round median: ids shift,
     // (event_type, value) replicate — per-group medians and MADs are

@@ -363,7 +363,16 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("bfs levels expand the frontier with anti-joins, not subtract scans") {
-    val plan = planOf("q_bfs_levels")
+    // the query's returned plan is an eager localCheckpoint (so its cached
+    // generations can be released — a Scan ExistingRDD), so the pin targets
+    // the hop building block the loop actually iterates
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val frontier = Seq(1L).toDF("node")
+    val visited = Seq((1L, 0L)).toDF("node", "level")
+    val plan = graft.queries.GraphQueries
+      .bfsExpand(edges, frontier, visited, 1L)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), s"expected left-anti visited check in:\n$plan")
   }
 }
