@@ -114,7 +114,19 @@ object ScaleStress {
     // (customer replicas shift by the same ckShift as orders, so the FK
     // structure — and the violation count — is identical per replica);
     // the view model is a view-inlined filter + hash-agg over orders
-    "q_validate_contracts", "q_view_model")
+    "q_validate_contracts", "q_view_model",
+    // round-9 additions: PNG decode is map-only per doc like the other
+    // codecs (the DEFLATE work is per-payload); the streaming queries are
+    // gradable since the harness feeds them from landed files — the six
+    // below cover the distinct state shapes (incremental file agg, keyed
+    // session state, stream-stream join state, O(k) sketch state, per-key
+    // LWW state, per-batch broadcast). Their per-rep cost carries a fixed
+    // state-store/checkpoint setup term, so sub-linear ratios are expected;
+    // the grade exists to catch a state term that scales with CORPUS size
+    // instead of live-key/window count.
+    "media_png_decode", "q_streaming_file_source", "q_streaming_sessionize",
+    "q_streaming_click_attribution", "q_streaming_kmv", "q_streaming_cdc",
+    "q_streaming_enrich")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
