@@ -617,53 +617,91 @@ object StreamingQueries {
     // latest per key is selected by its monotone n_changes.
     QueryDef(
       "q_streaming_cdc",
-      (spark, dir) => {
-        import spark.implicits._
-        graft.GraftSession.tune(spark)
-        val changes = Tables.events(spark, dir)
-          .select(col("user_id"),
-                  expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_micros"),
-                  col("event_id"),
-                  when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
-                  expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
-        val land = landBands(withHashBand(changes, col("event_id"), 4), 4, "stream_land_cdc")
-        val src = spark.readStream.schema(changes.schema)
-          .option("maxFilesPerTrigger", "1").parquet(land)
-          .as[Streaming.CdcChange]
-        val sink = s"streaming_cdc_${runId.incrementAndGet()}"
-        val q = Streaming.cdcState(src)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("update").trigger(Trigger.AvailableNow()).start()
-        q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
-        val w = Window.partitionBy(col("user_id")).orderBy(col("n_changes").desc)
-        val out = spark.table(sink)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1 && col("op") === "U")
-          .select(col("user_id"),
-                  expr("timestamp_micros(ts_micros)").as("last_ts"),
-                  col("event_id").cast(LongType).as("last_event_id"),
-                  col("cents").cast(LongType).as("last_cents"),
-                  col("n_changes").cast(LongType).as("n_changes"))
-        val resolved = out.localCheckpoint(eager = true)
-        spark.catalog.dropTempView(sink)
-        resolved
-      },
+      (spark, dir) => cdcSnapshotRun(spark, dir, "cdc"),
       // the batch q_cdc_snapshot oracle verbatim: the stream must agree
-      Some("""WITH ch AS (
-             |  SELECT user_id, ts, event_id,
-             |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
-             |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-             |  FROM events
-             |),
-             |r AS (
-             |  SELECT user_id, ts, event_id, op, cents,
-             |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
-             |         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
-             |  FROM ch
-             |)
-             |SELECT user_id, ts AS last_ts, CAST(event_id AS BIGINT) AS last_event_id,
-             |       cents AS last_cents, CAST(n_changes AS BIGINT) AS n_changes
-             |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin)
+      Some(CdcOracleSql)
+    ),
+
+    // the SAME CDC LWW snapshot through the ROCKSDB state store — the
+    // heap-bounded state backend a 100 TB stream actually runs on (the
+    // default in-heap HDFS-backed provider keeps every key's state as JVM
+    // objects; RocksDB keeps it off-heap in an LSM with incremental
+    // checkpointing, so state size is bounded by disk, not executor
+    // memory). Same operator, same landed feed, same batch oracle: the
+    // off-heap backend must land on the bit-identical snapshot — the
+    // cross-codec consistency pattern applied to state BACKENDS. The
+    // provider conf is scoped to this query and restored after.
+    QueryDef(
+      "q_streaming_cdc_rocksdb",
+      (spark, dir) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try cdcSnapshotRun(spark, dir, "cdc_rocksdb")
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      },
+      Some(CdcOracleSql)
     )
   )
+
+  /** Shared body of the two CDC snapshot queries (see their QueryDefs):
+    * events changelog → four hash-banded file micro-batches → per-key LWW
+    * `mapGroupsWithState` → latest update-mode emission per key.
+    */
+  private def cdcSnapshotRun(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, tag: String): DataFrame = {
+    import spark.implicits._
+    graft.GraftSession.tune(spark)
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"),
+              expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_micros"),
+              col("event_id"),
+              when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+              expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val land = landBands(withHashBand(changes, col("event_id"), 4), 4, s"stream_land_$tag")
+    val src = spark.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(land)
+      .as[Streaming.CdcChange]
+    val sink = s"streaming_${tag}_${runId.incrementAndGet()}"
+    val q = Streaming.cdcState(src)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n_changes").desc)
+    val out = spark.table(sink)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"),
+              expr("timestamp_micros(ts_micros)").as("last_ts"),
+              col("event_id").cast(LongType).as("last_event_id"),
+              col("cents").cast(LongType).as("last_cents"),
+              col("n_changes").cast(LongType).as("n_changes"))
+    val resolved = out.localCheckpoint(eager = true)
+    spark.catalog.dropTempView(sink)
+    resolved
+  }
+
+  /** The batch q_cdc_snapshot oracle, shared verbatim by both state-backend
+    * legs — the stream must agree whatever the provider.
+    */
+  private lazy val CdcOracleSql: String =
+    """WITH ch AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events
+      |),
+      |r AS (
+      |  SELECT user_id, ts, event_id, op, cents,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM ch
+      |)
+      |SELECT user_id, ts AS last_ts, CAST(event_id AS BIGINT) AS last_event_id,
+      |       cents AS last_cents, CAST(n_changes AS BIGINT) AS n_changes
+      |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin
 }

@@ -126,7 +126,10 @@ object ScaleStress {
     // instead of live-key/window count.
     "media_png_decode", "q_streaming_file_source", "q_streaming_sessionize",
     "q_streaming_click_attribution", "q_streaming_kmv", "q_streaming_cdc",
-    "q_streaming_enrich")
+    "q_streaming_enrich",
+    // the RocksDB state-backend leg: same LWW fold, off-heap LSM state —
+    // the backend whose point IS that state cost stays flat as keys grow
+    "q_streaming_cdc_rocksdb")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
