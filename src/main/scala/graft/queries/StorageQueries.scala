@@ -523,6 +523,73 @@ object StorageQueries {
               |       CAST(SUM(fbytes) * 1000 // $CompactTargetBytes AS BIGINT) AS fill_permille
               |FROM p
               |GROUP BY 1""".stripMargin)
+    ),
+
+    // BUCKETED CO-LOCATED JOIN — the shuffle-elimination layout for the
+    // joins that repeat at 100 TB: both fact tables are written
+    // `bucketBy(16, orderkey).sortBy(orderkey)` into the session catalog,
+    // and the join between the two bucketed tables then plans with ZERO
+    // Exchange — each task reads matching bucket files from both sides
+    // (Spark's file-format bucketing = hash co-location at rest, the
+    // pre-shuffled join answer the pattern exists for; at 100 TB the
+    // shuffle this avoids IS the job cost). The query asserts the
+    // no-Exchange property on the executed join plan at runtime (so a
+    // bucketing regression fails the gate, not just a spec), then rolls
+    // up per customer-decile; the oracle computes the identical join +
+    // rollup from the original parquet. Downstream agg shuffles normally
+    // — the assertion scopes to the join.
+    QueryDef(
+      "q_bucketed_join",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val db = "graft_buckets"
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        // a fresh session + a persistent warehouse dir = DROP alone is not
+        // enough (the catalog forgot the table but its location survives,
+        // and managed-table creation refuses an existing location)
+        def resetTable(name: String): Unit = {
+          spark.sql(s"DROP TABLE IF EXISTS $db.$name")
+          val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+          val loc = new java.io.File(new java.io.File(wh.getPath, s"$db.db"), name)
+          def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit }
+          rm(loc)
+        }
+        resetTable("orders_b")
+        resetTable("lineitem_b")
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+                  Money.cents(col("o_totalprice")).as("price_cents"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(s"$db.orders_b")
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(s"$db.lineitem_b")
+        // merge hint: at test SF the orders side fits the broadcast
+        // threshold and Catalyst would BHJ (whose BroadcastExchange is
+        // still an exchange); at 100 TB neither side broadcasts and SMJ
+        // over co-located buckets is exactly the plan under test
+        val joined = spark.table(s"$db.orders_b").hint("merge")
+          .join(spark.table(s"$db.lineitem_b"),
+                col("o_orderkey") === col("l_orderkey"))
+        val joinPlan = joined.queryExecution.executedPlan.toString
+        require(!joinPlan.contains("Exchange"),
+          s"bucketed join must be co-located (no Exchange), got:\n$joinPlan")
+        joined
+          .groupBy((col("o_custkey") % 10).as("cust_decile"))
+          .agg(count(lit(1)).cast(LongType).as("n_lines"),
+               sum(col("qty")).cast(LongType).as("sum_qty"),
+               sum(col("price_cents")).cast(LongType).as("sum_price_cents"),
+               countDistinct(col("o_orderkey")).cast(LongType).as("n_orders"))
+      },
+      Some(s"""SELECT o_custkey % 10 AS cust_decile, COUNT(*) AS n_lines,
+              |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              |       CAST(SUM(${Money.centsSql("o_totalprice")}) AS BIGINT) AS sum_price_cents,
+              |       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |GROUP BY 1""".stripMargin)
     )
   )
 

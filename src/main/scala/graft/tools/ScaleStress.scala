@@ -129,7 +129,11 @@ object ScaleStress {
     "q_streaming_enrich",
     // the RocksDB state-backend leg: same LWW fold, off-heap LSM state —
     // the backend whose point IS that state cost stays flat as keys grow
-    "q_streaming_cdc_rocksdb")
+    "q_streaming_cdc_rocksdb",
+    // bucketed co-located join: write cost is two bucketed table writes
+    // (linear), join cost is per-bucket merge with no shuffle at all —
+    // the in-query require() re-proves the no-Exchange plan at every scale
+    "q_bucketed_join")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
@@ -211,7 +215,11 @@ object ScaleStress {
     val li = Tables.lineitem(spark, baseDir)
       .select(col("l_orderkey").cast("long").as("l_orderkey"),
               col("l_suppkey").cast("long").as("l_suppkey"),
-              col("l_partkey").cast("long").as("l_partkey"))
+              col("l_partkey").cast("long").as("l_partkey"),
+              // q_bucketed_join's rollup measure: replicates unshifted, so
+              // per-join-key sums are invariant per replica and totals
+              // scale exactly ×factor
+              col("l_quantity"))
     val cust = Tables.customer(spark, baseDir)
       .select(col("c_custkey").cast("long").as("c_custkey"),
               col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
@@ -243,7 +251,8 @@ object ScaleStress {
     li.select(col("*"), reps)
       .select((col("l_orderkey") + col("rep") * okShift).as("l_orderkey"),
               (col("l_suppkey") + col("rep") * skShift).as("l_suppkey"),
-              (col("l_partkey") + col("rep") * pkShift).as("l_partkey"))
+              (col("l_partkey") + col("rep") * pkShift).as("l_partkey"),
+              col("l_quantity"))
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
     // customer replicas (q_validate_contracts' FK target and
