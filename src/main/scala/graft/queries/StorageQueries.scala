@@ -556,33 +556,58 @@ object StorageQueries {
         }
         resetTable("orders_b")
         resetTable("lineitem_b")
+        // repartition on the bucket key BEFORE the bucketed write: Spark's
+        // repartition hash and its bucket hash are the same Murmur3 mod 16,
+        // so each task holds exactly one bucket → ONE FILE PER BUCKET —
+        // the layout precondition for the reader to also trust the sortBy
+        // order (with multiple files per bucket Spark must re-Sort; with
+        // one it elides Sort entirely and the join is a pure zip-merge)
         Tables.orders(spark, dir)
           .select(col("o_orderkey"), col("o_custkey"),
                   Money.cents(col("o_totalprice")).as("price_cents"))
+          .repartition(16, col("o_orderkey"))
           .write.mode("overwrite").format("parquet")
           .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
           .saveAsTable(s"$db.orders_b")
         Tables.lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+          .repartition(16, col("l_orderkey"))
           .write.mode("overwrite").format("parquet")
           .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
           .saveAsTable(s"$db.lineitem_b")
-        // merge hint: at test SF the orders side fits the broadcast
-        // threshold and Catalyst would BHJ (whose BroadcastExchange is
-        // still an exchange); at 100 TB neither side broadcasts and SMJ
-        // over co-located buckets is exactly the plan under test
-        val joined = spark.table(s"$db.orders_b").hint("merge")
-          .join(spark.table(s"$db.lineitem_b"),
-                col("o_orderkey") === col("l_orderkey"))
-        val joinPlan = joined.queryExecution.executedPlan.toString
-        require(!joinPlan.contains("Exchange"),
-          s"bucketed join must be co-located (no Exchange), got:\n$joinPlan")
-        joined
-          .groupBy((col("o_custkey") % 10).as("cust_decile"))
-          .agg(count(lit(1)).cast(LongType).as("n_lines"),
-               sum(col("qty")).cast(LongType).as("sum_qty"),
-               sum(col("price_cents")).cast(LongType).as("sum_price_cents"),
-               countDistinct(col("o_orderkey")).cast(LongType).as("n_orders"))
+        // the scan reports its per-bucket sortBy order only behind this
+        // conf (off by default since 3.0 because >1 file per bucket would
+        // need a merge — the one-file layout above is the precondition
+        // that makes it sound); scoped to this query and restored
+        val orderingKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+        val prevOrdering = spark.conf.getOption(orderingKey)
+        spark.conf.set(orderingKey, "true")
+        try {
+          // merge hint: at test SF the orders side fits the broadcast
+          // threshold and Catalyst would BHJ (whose BroadcastExchange is
+          // still an exchange); at 100 TB neither side broadcasts and SMJ
+          // over co-located buckets is exactly the plan under test
+          val joined = spark.table(s"$db.orders_b").hint("merge")
+            .join(spark.table(s"$db.lineitem_b"),
+                  col("o_orderkey") === col("l_orderkey"))
+          val joinPlan = joined.queryExecution.executedPlan.toString
+          require(!joinPlan.contains("Exchange"),
+            s"bucketed join must be co-located (no Exchange), got:\n$joinPlan")
+          // "Sort [" is the Sort operator's rendering; SortMergeJoin itself
+          // renders as "SortMergeJoin [" and must not trip this
+          require(!joinPlan.contains("Sort ["),
+            s"co-sorted buckets (one file each) must elide Sort, got:\n$joinPlan")
+          joined
+            .groupBy((col("o_custkey") % 10).as("cust_decile"))
+            .agg(count(lit(1)).cast(LongType).as("n_lines"),
+                 sum(col("qty")).cast(LongType).as("sum_qty"),
+                 sum(col("price_cents")).cast(LongType).as("sum_price_cents"),
+                 countDistinct(col("o_orderkey")).cast(LongType).as("n_orders"))
+            .localCheckpoint(eager = true)
+        } finally prevOrdering match {
+          case Some(v) => spark.conf.set(orderingKey, v)
+          case None => spark.conf.unset(orderingKey)
+        }
       },
       Some(s"""SELECT o_custkey % 10 AS cust_decile, COUNT(*) AS n_lines,
               |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
