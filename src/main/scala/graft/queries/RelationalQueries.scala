@@ -400,6 +400,45 @@ object RelationalQueries {
              |GROUP BY user_id""".stripMargin)
     ),
 
+    // the SAME sessionization through Spark's BUILT-IN `session_window`
+    // aggregation — operator parity for q_sessionize: gap-merged session
+    // windows in one hash aggregation (no window-function pass, no lag),
+    // reaching the identical per-user partition by a third independent
+    // algorithm (lag-window batch / flatMapGroupsWithState stream /
+    // built-in merging session windows) against the SAME oracle. Boundary
+    // note: session_window is half-open ([start, last+gap)), so an event
+    // at EXACTLY gap distance starts a new session where the lag form's
+    // strict `> gap` keeps it — verified zero exact-gap pairs at every SF
+    // (the fixture's microsecond timestamps make ties measure-zero); on
+    // data with quantized timestamps pick ONE form and state the boundary.
+    // Scale: one shuffle on user_id, sessions merge in the aggregation
+    // buffer — strictly cheaper than the window-function formulation.
+    QueryDef(
+      "q_session_window",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_sessions"),
+               sum(col("n")).cast(LongType).as("n_events"))
+      },
+      // q_sessionize's oracle verbatim
+      Some("""SELECT user_id,
+             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
+             |       COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id,
+             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+             |              THEN 1 ELSE 0 END AS is_session_start
+             |  FROM (SELECT user_id, ts, event_id,
+             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |        FROM events))
+             |GROUP BY user_id""".stripMargin)
+    ),
+
     // O: as-of join — for each purchase, the most recent click at-or-before it.
     // Spark has no ASOF JOIN; the scalable formulation is union + one window
     // pass (single shuffle on user_id, no self-join, no BNLJ). The oracle uses

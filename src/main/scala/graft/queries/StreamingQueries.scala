@@ -170,6 +170,61 @@ object StreamingQueries {
              |GROUP BY user_id""".stripMargin)
     ),
 
+    // the SAME streaming sessionization through Spark's BUILT-IN
+    // `session_window` aggregation — the state-store-backed merging
+    // session windows operator, vs q_streaming_sessionize's hand-rolled
+    // `flatMapGroupsWithState`: same landed feed shape, same oracle, two
+    // entirely different state implementations must land on the identical
+    // per-user session partition. Append mode emits a session only once
+    // the watermark passes its end; ONE global sentinel at max+3·gap
+    // pushes the watermark (= sentinel − gap) past every real session's
+    // end (≤ max+gap), while the sentinel's own session stays open and is
+    // never emitted (belt-and-braces: the readback filters user −1).
+    QueryDef(
+      "q_streaming_session_window",
+      (spark, dir) => {
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val sentinel = eventsDf.agg(max(col("ts")).as("mts"))
+          .select(lit(-1L).as("event_id"),
+                  expr(s"timestamp_millis(unix_millis(mts) + ${3 * Streaming.SessionGapMs})").as("ts"),
+                  lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+                  lit(0.0).as("value"))
+        val feed = eventsDf.unionByName(sentinel)
+        val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_session_window")
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+        val sink = s"streaming_session_window_${runId.incrementAndGet()}"
+        val q = src
+          .withWatermark("ts", "30 minutes")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+        val out = spark.table(sink)
+          .where(col("user_id") =!= -1L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_sessions"),
+               sum(col("n")).cast(LongType).as("n_events"))
+        val resolved = out.localCheckpoint(eager = true)
+        spark.catalog.dropTempView(sink)
+        resolved
+      },
+      // the batch q_sessionize oracle verbatim (same as q_streaming_sessionize)
+      Some("""SELECT user_id,
+             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
+             |       COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id,
+             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+             |              THEN 1 ELSE 0 END AS is_session_start
+             |  FROM (SELECT user_id, ts, event_id,
+             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |        FROM events))
+             |GROUP BY user_id""".stripMargin)
+    ),
+
     // the REAL stream-stream interval join ([[Streaming.clickAttribution]]):
     // purchases matched to the same user's clicks in the preceding 7 days,
     // replayed over the events table and aggregated per purchase. Inner

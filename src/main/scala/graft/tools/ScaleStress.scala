@@ -133,7 +133,10 @@ object ScaleStress {
     // bucketed co-located join: write cost is two bucketed table writes
     // (linear), join cost is per-bucket merge with no shuffle at all —
     // the in-query require() re-proves the no-Exchange plan at every scale
-    "q_bucketed_join")
+    "q_bucketed_join",
+    // built-in session windows, batch and state-store-backed streaming:
+    // one user_id shuffle, sessions merge in the aggregation buffer
+    "q_session_window", "q_streaming_session_window")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
