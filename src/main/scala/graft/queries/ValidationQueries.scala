@@ -98,6 +98,64 @@ object ValidationQueries {
              |SELECT 'events', 'range:value<=100[strict]',
              |       CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT),
              |       SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) = 0 FROM events""".stripMargin)
+    ),
+
+    // IN-FLIGHT data-quality metrics via `observe()` (Catalyst's
+    // CollectMetrics operator) — the zero-extra-pass alternative to a
+    // separate validation query: the metrics accumulate ON the rows of a
+    // real pipeline run as they stream through the existing scan, so at
+    // 100 TB contract checking costs nothing beyond the job that was
+    // running anyway (q_validate_contracts, by contrast, pays one scan per
+    // table — the right shape for standalone audits, the wrong one inside
+    // a hot pipeline). The pipeline leg here is the q_streaming_enrich-
+    // style per-segment rollup; its materialization populates the
+    // observation, and the OBSERVED metrics are the query's output — the
+    // oracle recomputes every one from the events table, so a metric that
+    // missed rows (e.g. observed after a filter instead of before, or
+    // double-counted under retries) hash-mismatches. The one-row
+    // `Observation.get` is observation METADATA by design, not data
+    // collection.
+    QueryDef(
+      "q_observed_metrics",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val obs = new org.apache.spark.sql.Observation(
+          s"contracts_${System.identityHashCode(spark) ^ System.nanoTime()}")
+        val e = Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+                  col("ts").cast("timestamp").as("ts"))
+          .observe(obs,
+            count(lit(1)).cast("long").as("n_rows"),
+            sum(when(col("event_type").isin("click", "view", "purchase", "signup"), 0L)
+              .otherwise(1L)).cast("long").as("n_unexpected_type"),
+            sum(when(col("value") > 100.0d, 1L).otherwise(0L)).cast("long").as("n_over_cap"),
+            sum(when(col("user_id").isNull, 1L).otherwise(0L)).cast("long").as("n_null_user"),
+            min(col("ts")).as("min_ts"),
+            max(col("ts")).as("max_ts"))
+        // the real pipeline work the metrics ride on — materialized to a
+        // tiny rollup, which is what populates the observation
+        val pipeline = e
+          .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        pipeline.localCheckpoint(eager = true)
+        val m = obs.get
+        import spark.implicits._
+        Seq((m("n_rows").asInstanceOf[Long],
+             m("n_unexpected_type").asInstanceOf[Long],
+             m("n_over_cap").asInstanceOf[Long],
+             m("n_null_user").asInstanceOf[Long],
+             m("min_ts").asInstanceOf[java.sql.Timestamp],
+             m("max_ts").asInstanceOf[java.sql.Timestamp]))
+          .toDF("n_rows", "n_unexpected_type", "n_over_cap", "n_null_user",
+                "min_ts", "max_ts")
+      },
+      Some("""SELECT COUNT(*) AS n_rows,
+             |       CAST(SUM(CASE WHEN event_type NOT IN ('click','view','purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS n_unexpected_type,
+             |       CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+             |       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_user,
+             |       MIN(ts) AS min_ts, MAX(ts) AS max_ts
+             |FROM events""".stripMargin)
     )
   )
 }

@@ -136,7 +136,10 @@ object ScaleStress {
     "q_bucketed_join",
     // built-in session windows, batch and state-store-backed streaming:
     // one user_id shuffle, sessions merge in the aggregation buffer
-    "q_session_window", "q_streaming_session_window")
+    "q_session_window", "q_streaming_session_window",
+    // observe(): metrics accumulate on the pipeline's own scan — the cost
+    // IS the pipeline rollup, which is map + one hash-agg, linear
+    "q_observed_metrics")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
