@@ -41,6 +41,11 @@ object StorageQueries {
   val CompactFiles = 256
   val CompactTargetBytes: Long = 1L << 16
 
+  /** q_dynamic_pruning: dim-side top-K busiest days (declared before
+    * `defs`, which interpolates it — object vals initialize in order).
+    */
+  val DppTopDays = 5
+
   /** Ceiling for inputs to the deliberately-unpartitioned planner windows
     * (`q_compaction_bins`; `PipelineQueries.q_shard_balance` uses the same
     * guard): metadata/histogram grain means "fits one task comfortably" —
@@ -614,6 +619,58 @@ object StorageQueries {
               |       CAST(SUM(${Money.centsSql("o_totalprice")}) AS BIGINT) AS sum_price_cents,
               |       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
               |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |GROUP BY 1""".stripMargin)
+    ),
+
+    // DYNAMIC PARTITION PRUNING — the star-join scale feature: the fact
+    // table is laid out partitioned by day, and the days worth reading are
+    // only known at RUNTIME (the top-K busiest purchase days — an
+    // aggregate, not a constant a static pruner could fold). Catalyst's
+    // DPP turns the broadcast dim into a pruning subquery ON THE FACT SCAN
+    // (`PartitionFilters: [... dynamicpruning ...]`), so the job reads
+    // K/30 of the partitions here — and K/n_days of a 100 TB fact table in
+    // production, where the pruned IO IS the feature. The property is
+    // asserted in-query on the executed plan (like q_bucketed_join's
+    // no-Exchange proof): losing DPP fails the gate, not just a spec. The
+    // oracle recomputes the same top-K join from the original table —
+    // deterministic under the total (n DESC, day) order.
+    QueryDef(
+      "q_dynamic_pruning",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val tgt = target("dpp_events")
+        val e = Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+                  date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"))
+        e.write.mode("overwrite").partitionBy("day").parquet(tgt)
+        val fact = spark.read.parquet(tgt)
+        val dim = e.where(col("event_type") === "purchase")
+          .groupBy(col("day")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("day")).limit(DppTopDays)
+          .select(col("day").as("d_day"))
+        val joined = fact.join(broadcast(dim), col("day") === col("d_day"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.toLowerCase.contains("dynamicpruning"),
+          s"fact scan must carry a dynamic-pruning partition filter, got:\n$plan")
+        joined
+          // partition-column type inference reads `day` back as a
+          // timestamp; format it back to the civil-date string the oracle
+          // (and the dim side) uses
+          .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).cast(LongType).as("n_events"),
+               countDistinct(col("user_id")).cast(LongType).as("n_users"),
+               sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+                 .cast(LongType).as("total_cents"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+              |  FROM events WHERE event_type = 'purchase'
+              |  GROUP BY 1 ORDER BY n DESC, day LIMIT $DppTopDays
+              |)
+              |SELECT strftime(e.ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+              |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+              |       CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+              |FROM events e JOIN d ON strftime(e.ts, '%Y-%m-%d') = d.day
               |GROUP BY 1""".stripMargin)
     )
   )

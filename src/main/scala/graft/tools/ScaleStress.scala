@@ -139,7 +139,10 @@ object ScaleStress {
     "q_session_window", "q_streaming_session_window",
     // observe(): metrics accumulate on the pipeline's own scan — the cost
     // IS the pipeline rollup, which is map + one hash-agg, linear
-    "q_observed_metrics")
+    "q_observed_metrics",
+    // DPP: the partitioned landing write is linear; the pruned join reads
+    // a CONSTANT 5 of 30 day partitions at any factor
+    "q_dynamic_pruning")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
