@@ -50,7 +50,7 @@ object StreamingQueries {
     * `coalesce(1)` would collapse the whole upstream into that task), not
     * a production repartition.
     */
-  private def landBands(df: DataFrame, n: Int, name: String): String = {
+  private[graft] def landBands(df: DataFrame, n: Int, name: String): String = {
     val dir = StorageQueries.target(name)
     val root = new java.io.File(dir)
     def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit }
