@@ -173,6 +173,16 @@ object Png {
     val stride = width * 3
     val rawLen = height.toLong * (1 + stride)
     require(rawLen <= Int.MaxValue, "raw image too large")
+    // Allocation bound BEFORE allocating: PNG is compressed, so unlike
+    // BMP/PPM the payload length cannot vouch for the claimed dimensions —
+    // a tiny hostile file with a valid-CRC IHDR claiming huge dimensions
+    // would otherwise force a ~2 GB raw+rgb allocation before a single
+    // byte inflates. DEFLATE cannot exceed 1032:1 (258-byte match per
+    // minimum-cost symbol), so raw bytes beyond idat×1032 are unreachable
+    // and the claim is provably a lie.
+    val idatLen = idat.size().toLong
+    require(rawLen <= idatLen * 1032L,
+      s"IDAT too small ($idatLen bytes) to inflate to the claimed ${width}x$height image")
     val raw = new Array[Byte](rawLen.toInt)
     val inflater = new Inflater() // zlib wrapper
     inflater.setInput(idat.toByteArray)

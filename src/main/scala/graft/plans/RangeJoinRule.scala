@@ -181,8 +181,12 @@ object RangeJoinRule extends Rule[LogicalPlan] {
         Cast(nBuckets, StringType),
         Literal(s" buckets at width $w, over the $MaxBucketsConfKey limit of $maxB; " +
           s"raise that limit, widen $WidthConfKey, or filter open-ended sentinel intervals")))
+      // null-safe: a NULL bound makes nBuckets NULL, and If treats a NULL
+      // predicate as false — without IsNull the guard would fire RaiseError
+      // on exactly the rows (open-ended SCD2 NULL valid_to) the scaladoc
+      // promises to drop. NULL flows into Sequence -> NULL -> Explode drops.
       val guardedHi = If(
-        LessThanOrEqual(nBuckets, Literal(maxB, LongType)),
+        Or(IsNull(nBuckets), LessThanOrEqual(nBuckets, Literal(maxB, LongType))),
         cappedHi,
         RaiseError(Literal("USER_RAISED_EXCEPTION"),
           CreateMap(Seq(Literal("errorMessage"), failMsg)), LongType))

@@ -770,13 +770,19 @@ object PipelineQueries {
           .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
         val wOff = Window.orderBy(col("n_tokens").desc)
           .rowsBetween(Window.unboundedPreceding, -1)
-        val hist = docs.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+        val hist = docs.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt")).persist()
         // load-bearing: the unpartitioned offset window below is safe ONLY
         // because hist is histogram grain (one row per distinct token
         // count, bounded by max document length — not by corpus size).
-        StorageQueries.requireMetadataGrain(hist.count(), "q_shard_balance token histogram")
-        val offs = hist
-          .select(col("n_tokens"), coalesce(sum(col("cnt")).over(wOff), lit(0L)).as("off"))
+        // hist is persisted so the guard's count() materializes the same
+        // aggregate the window consumes (one tokenization pass, not two);
+        // offs (histogram-grain, tiny) is checkpointed eagerly so the
+        // cache releases here and the main docs scan below stays lazy.
+        val offs = try {
+          StorageQueries.requireMetadataGrain(hist.count(), "q_shard_balance token histogram")
+          hist.select(col("n_tokens"), coalesce(sum(col("cnt")).over(wOff), lit(0L)).as("off"))
+            .localCheckpoint(eager = true)
+        } finally { hist.unpersist(): Unit }
         val wLoc = Window.partitionBy(col("n_tokens")).orderBy(col("doc_id"))
         val ranked = docs.withColumn("rl", row_number().over(wLoc).cast("long"))
           .join(broadcast(offs), "n_tokens")

@@ -408,17 +408,28 @@ object RelationalQueries {
     // built-in merging session windows) against the SAME oracle. Boundary
     // note: session_window is half-open ([start, last+gap)), so an event
     // at EXACTLY gap distance starts a new session where the lag form's
-    // strict `> gap` keeps it — verified zero exact-gap pairs at every SF
-    // (the fixture's microsecond timestamps make ties measure-zero); on
-    // data with quantized timestamps pick ONE form and state the boundary.
+    // strict `> gap` keeps it — the two agree iff NO consecutive pair sits
+    // exactly at the gap, which is ENFORCED in-query below (a require, not
+    // a data-dependent assumption: a fixture change to quantized timestamps
+    // fails loudly instead of silently diverging from the oracle).
     // Scale: one shuffle on user_id, sessions merge in the aggregation
     // buffer — strictly cheaper than the window-function formulation.
     QueryDef(
       "q_session_window",
       (spark, dir) => {
         GraftSession.tune(spark)
-        Tables.events(spark, dir)
+        val ev = Tables.events(spark, dir)
           .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+        val gapW = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val exactGapPairs = ev
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(gapW))
+          .where(unix_micros(col("ts")) - col("prev_us") === lit(30L * 60 * 1000000L))
+          .count()
+        require(exactGapPairs == 0L,
+          s"q_session_window boundary invariant violated: $exactGapPairs consecutive " +
+          "pairs at exactly the 30-minute gap — half-open session_window and the " +
+          "strict-> lag oracle would diverge; pick one boundary form for this data")
+        ev
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
           .agg(count(lit(1)).as("n"))
           .groupBy(col("user_id"))

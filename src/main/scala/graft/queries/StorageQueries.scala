@@ -498,16 +498,23 @@ object StorageQueries {
         // load-bearing: the single unpartitioned prefix-sum window below is
         // safe ONLY because inv is file-inventory grain (≤ CompactFiles rows
         // by the modulo rollup; ~200k at 100 TB with 512 MB targets). Fail
-        // fast if a refactor ever feeds it row-grain data.
-        requireMetadataGrain(inv.count(), "q_compaction_bins file inventory")
-        val w = Window.orderBy(col("file_id")).rowsBetween(Window.unboundedPreceding, -1)
-        inv.withColumn("cum_before", coalesce(sum(col("fbytes")).over(w), lit(0L)))
-          .withColumn("bin", expr(s"cum_before div $CompactTargetBytes"))
-          .groupBy(col("bin"))
-          .agg(count(lit(1)).cast("long").as("n_files"),
-               sum(col("n_docs")).cast("long").as("n_docs"),
-               sum(col("fbytes")).cast("long").as("bin_bytes"))
-          .withColumn("fill_permille", expr(s"bin_bytes * 1000 div $CompactTargetBytes"))
+        // fast if a refactor ever feeds it row-grain data. inv is PERSISTED
+        // so the guard's count() materializes the same aggregate the window
+        // consumes — one upstream pass, not two; the tiny bins result is
+        // checkpointed eagerly so the cache can be released before return.
+        val invC = inv.persist()
+        try {
+          requireMetadataGrain(invC.count(), "q_compaction_bins file inventory")
+          val w = Window.orderBy(col("file_id")).rowsBetween(Window.unboundedPreceding, -1)
+          invC.withColumn("cum_before", coalesce(sum(col("fbytes")).over(w), lit(0L)))
+            .withColumn("bin", expr(s"cum_before div $CompactTargetBytes"))
+            .groupBy(col("bin"))
+            .agg(count(lit(1)).cast("long").as("n_files"),
+                 sum(col("n_docs")).cast("long").as("n_docs"),
+                 sum(col("fbytes")).cast("long").as("bin_bytes"))
+            .withColumn("fill_permille", expr(s"bin_bytes * 1000 div $CompactTargetBytes"))
+            .localCheckpoint(eager = true)
+        } finally { invC.unpersist(): Unit }
       },
       Some(s"""WITH inv AS (
               |  SELECT doc_id % $CompactFiles AS file_id,

@@ -163,6 +163,22 @@ class CodecFuzzSpec extends AnyFunSuite {
     expectReject("IHDR claims more rows than IDAT holds", claimTaller)
   }
 
+  test("PNG rejects a tiny hostile file claiming huge dimensions BEFORE allocating") {
+    // compressed formats can lie about dimensions cheaply: a ~100-byte file
+    // with a valid-CRC IHDR claiming 26000x26000 (rawLen ~2.03 GB, still
+    // under the Int.MaxValue check) must be rejected by the DEFLATE-ratio
+    // bound against the IDAT size, not after a 2 GB allocation
+    val valid = Png.encode(4, 5, Array.tabulate(60)(k => (k * 7).toByte))
+    val hostile = valid.clone()
+    java.nio.ByteBuffer.wrap(hostile, 8 + 8, 8).putInt(26000).putInt(26000): Unit
+    val crc = new java.util.zip.CRC32
+    crc.update(hostile, 12, 4 + 13)
+    java.nio.ByteBuffer.wrap(hostile, 12 + 4 + 13, 4).putInt(crc.getValue.toInt): Unit
+    val ex = intercept[IllegalArgumentException](Png.decode(hostile))
+    assert(ex.getMessage.contains("IDAT too small"),
+      s"hostile dims must hit the pre-allocation bound, got: ${ex.getMessage}")
+  }
+
   test("media_png_decode fixture matches the other codecs' decode exactly (three-way)") {
     for (id <- 0L until 50L) {
       val (w, h) = Media.bmpDims(id)

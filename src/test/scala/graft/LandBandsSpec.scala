@@ -21,10 +21,12 @@ class LandBandsSpec extends SparkTestBase {
     // v encodes its band (v / 1000), so batch contents identify bands
     val df = (0 until nBands).flatMap(b => (0 until 50).map(i => (b * 1000L + i, b)))
       .toDF("v", "__band")
-    val land = graft.queries.StreamingQueries.landBands(df, nBands, "spec_land_order")
+    val land = graft.queries.StreamingQueries.landBands(df, nBands, "spec_land_order", "spec")
 
     // the landed files must carry strictly increasing mtimes in band order
-    val files = new java.io.File(land).listFiles().sortBy(_.getName)
+    // (_LANDED is the land-once cache marker; hidden from Spark's listing)
+    val files = new java.io.File(land).listFiles()
+      .filterNot(_.getName.startsWith("_")).sortBy(_.getName)
     assert(files.map(_.getName).toSeq == (0 until nBands).map(i => f"b$i%04d.parquet"),
       "one file per band, named in band order")
     assert(files.map(_.lastModified).sliding(2).forall(p => p(0) < p(1)),
@@ -48,5 +50,22 @@ class LandBandsSpec extends SparkTestBase {
       assert(vs.nonEmpty && vs.forall(_ / 1000 == b),
         s"micro-batch $b must hold exactly band $b's rows, got bands ${vs.map(_ / 1000)}")
     }
+  }
+
+  test("landBands lands once per (name, sf key); a key change re-lands") {
+    import spark.implicits._
+    val df = (0 until 2).flatMap(b => (0 until 5).map(i => (b * 10L + i, b)))
+      .toDF("v", "__band")
+    val land = graft.queries.StreamingQueries.landBands(df, 2, "spec_land_cache", "sfA")
+    val b1 = new java.io.File(land, "b0001.parquet")
+    assert(b1.isFile)
+    // delete one band, then call again with the SAME key: a pure cache hit
+    // returns without touching the dir, so the hole must remain
+    assert(b1.delete())
+    val land2 = graft.queries.StreamingQueries.landBands(df, 2, "spec_land_cache", "sfA")
+    assert(land2 == land && !b1.exists, "same key must be a no-op cache hit")
+    // a different key (sf switch) must invalidate and fully re-land
+    graft.queries.StreamingQueries.landBands(df, 2, "spec_land_cache", "sfB"): Unit
+    assert(b1.isFile, "key change must re-land all bands")
   }
 }

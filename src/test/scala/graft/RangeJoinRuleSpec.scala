@@ -116,6 +116,33 @@ class RangeJoinRuleSpec extends SparkTestBase {
     }
   }
 
+  test("NULL interval bounds drop the row under the guard, matching the naive join") {
+    import spark.implicits._
+    // the SCD2 open-end encoding: NULL lo / NULL hi rows. The range
+    // predicate itself drops them (NULL comparison), so the rewrite must
+    // too — and the max-buckets guard must NOT RaiseError on the NULL
+    // nBuckets (If treats a NULL predicate as false → the error branch).
+    val points = Seq(5L, 15L, 500L).toDF("p")
+    val intervals = Seq(
+      (1L, Some(0L), Some(10L)),     // sane
+      (2L, None, Some(10L)),         // NULL lo
+      (3L, Some(0L), None),          // NULL hi (open-ended sentinel)
+      (4L, Option.empty[Long], Option.empty[Long]) // both NULL
+    ).toDF("iid", "lo", "hi")
+    def join() = points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("p", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = withWidth(None)(join())
+    assert(naive == Seq((5L, 1L)), s"naive baseline unexpected: $naive")
+    withWidth(Some(1L)) {
+      // tight guard limit: NULL bounds must flow through as NULL, not trip it
+      spark.conf.set(RangeJoinRule.MaxBucketsConfKey, "100")
+      try {
+        val rewritten = join()
+        assert(rewritten == naive, s"NULL-bound rows diverged: $rewritten vs $naive")
+      } finally spark.conf.unset(RangeJoinRule.MaxBucketsConfKey)
+    }
+  }
+
   test("rule leaves joins with a null-safe equi key alone") {
     withWidth(Some(86400L)) {
       val o = Tables.orders(spark, sf)
