@@ -140,13 +140,26 @@ object Bench {
         else "\"reps\":" + done.map { name =>
           s"\"" + name + "\":" + times(name).mkString("[", ",", "]")
         }.mkString("{", ",", "}") + ","
+      // host-contention flag: a query whose completed reps spread past 3×
+      // (max/min) was visibly disturbed — the min is still the best
+      // observation, but the artifact should say the host was noisy rather
+      // than leave the next reader to re-derive it from the rep arrays
+      // (driver-vs-builder runs of r9 differed 217 vs 173 s from exactly
+      // this). Only queries with ≥2 completed reps can be judged.
+      val noisy = done.filter { name =>
+        val ok = times(name).filter(_ >= 0)
+        ok.size >= 2 && ok.min > 0 && ok.max / ok.min > 3.0
+      }
+      val noisyList =
+        if (partial) ""
+        else "\"noisy\":" + noisy.map("\"" + _ + "\"").mkString("[", ",", "]") + ","
       // failures keep their -1 marker per query but must not shrink the total
       val total = results.map(_._2).filter(_ >= 0).sum
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$repArrays"sf":"$sfDir","partial":$partial,"elapsed_sec":${"%.1f".format(elapsed)},"budget_exhausted":$budgetExhausted}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$repArrays$noisyList"sf":"$sfDir","partial":$partial,"elapsed_sec":${"%.1f".format(elapsed)},"budget_exhausted":$budgetExhausted}""")
       if (!partial)
         // the driver-parseable artifact: keep this line SMALL (no per-query
         // map) so any tail capture contains it complete
-        println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","partial":false,"elapsed_sec":${"%.1f".format(elapsed)},"budget_exhausted":$budgetExhausted}""")
+        println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_noisy":${noisy.size},"sf":"$sfDir","partial":false,"elapsed_sec":${"%.1f".format(elapsed)},"budget_exhausted":$budgetExhausted}""")
       System.out.flush()
     }
 

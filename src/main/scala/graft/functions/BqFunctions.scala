@@ -79,4 +79,17 @@ object BqFunctions {
     val strict = s"strptime($arg, '${parseDatetimeFormats.head}')"
     (arms :+ strict).mkString("COALESCE(", ", ", ")")
   }
+
+  /** SAFE whole-chain variant: NULL when every lenient arm fails, no strict
+    * raise — lets the strict-semantics gate (`udf_parse_strict`) COUNT the
+    * unparseable rows without tripping the error it is there to prove.
+    */
+  def parseDatetimeSafe(s: Column): Column =
+    coalesce(parseDatetimeFormats.map(f => safeParseDatetime(s, f)): _*)
+
+  /** DuckDB twin of [[parseDatetimeSafe]]. */
+  def parseDatetimeSafeDuckDbExpr(arg: String): String =
+    parseDatetimeFormats.flatMap(BqDateFormat.toDuckDbVariants)
+      .map(f => s"try_strptime($arg, '$f')")
+      .mkString("COALESCE(", ", ", ")")
 }

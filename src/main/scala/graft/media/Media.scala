@@ -363,6 +363,30 @@ object Media {
     }
   }
 
+  /** [[bmpRoundTrip]] through the GIF codec — the SECOND compressed
+    * container, from a different compression family ([[Gif]]: dynamic-
+    * dictionary LZW with variable-width codes vs PNG's DEFLATE). Same
+    * deterministic pixel fixture (≤48 pixels, so the exact palette always
+    * fits 256 entries and the round-trip is lossless), same feature shape,
+    * same closed-form SQL oracle — the four image queries agreeing is a
+    * four-way cross-codec proof with two independent compression families.
+    */
+  def gifRoundTrip(ids: Dataset[java.lang.Long]): Dataset[BmpFeatures] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val (w, h) = bmpDims(id)
+        val rgb = Array.tabulate(w * h * 3)(k => bmpPixelByte(id, k))
+        val (dw, dh, decoded) = Gif.decode(Gif.encode(w, h, rgb))
+        md.reset()
+        val digest = md.digest(hexLower(decoded).getBytes("UTF-8"))
+        BmpFeatures(id, dw, dh, dw.toLong * dh, hexLower(digest))
+      }
+    }
+  }
+
   // ------------------------------------------------------------ real WAV
 
   /** Deterministic per-document audio spec for the WAV fixture: mono

@@ -194,6 +194,39 @@ object MediaQueries {
       }
     ),
 
+    // the SECOND compressed codec, from a DIFFERENT compression family:
+    // GIF ([[graft.media.Gif]] — dynamic-dictionary LZW with variable-
+    // width codes, CLEAR/EOI control codes, sub-block chunking), over the
+    // SAME fixture and the SAME oracle as BMP/PPM/PNG. DEFLATE (PNG) and
+    // LZW (GIF) fail in disjoint ways — code-table desync, KwKwK, width
+    // switch-over, sub-block walking — so a fourth agreeing leg extends
+    // the cross-codec proof to two independent compression families. The
+    // fixture's ≤48-pixel images keep the exact palette within GIF's
+    // 256-entry limit, making the round-trip lossless.
+    QueryDef(
+      "media_gif_decode",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val ids = Tables.documents(spark, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        Media.gifRoundTrip(ids).toDF()
+      },
+      Some {
+        val hex = "list_aggregate(list_transform(generate_series(0, width * height * 3 - 1), " +
+          "k -> printf('%02x', (doc_id * 31 + k * 7 + 13) % 256)), 'string_agg', '')"
+        s"""SELECT doc_id, width, height,
+           |       CAST(width AS BIGINT) * height AS n_pixels,
+           |       md5($hex) AS pixels_md5
+           |FROM (
+           |  SELECT doc_id,
+           |         CAST(4 + doc_id % 5 AS INT) AS width,
+           |         CAST(3 + doc_id % 4 AS INT) AS height
+           |  FROM documents
+           |)""".stripMargin
+      }
+    ),
+
     // third REAL codec — and the first AUDIO one: RIFF/WAVE 16-bit mono
     // PCM ([[graft.media.Wav]]: real chunk walker with word alignment,
     // fmt validation, hardened sizes). Per doc a deterministic integer

@@ -49,6 +49,57 @@ object ParityQueries {
               |SELECT event_id, raw, ${BqFunctions.parseDatetimeDuckDbExpr("raw")} AS datetime
               |FROM t ORDER BY event_id""".stripMargin)
     ),
+    // strict PARSE_DATETIME error semantics (SURVEY.md §2 O9) IN THE GATE:
+    // the reference's UDF raises when no format arm matches
+    // (/root/reference/models/udf/function/parse_datetime.sql:15 — the
+    // final arm is the strict parse). Rows that no arm can parse are
+    // PLANTED (event_id % 7 == 0 renders as garbage), the full chain runs
+    // distributed under ANSI mode, and the gate output reports (a) the
+    // SAFE-chain count of unparseable rows and (b) whether the strict arm
+    // actually raised a date-time error — caught by walking the task-
+    // failure cause chain for the DateTimeException/CANNOT_PARSE marker;
+    // any OTHER failure rethrows. If Spark ever stopped raising (ANSI off,
+    // semantics drift), strict_raises=false hash-mismatches the oracle's
+    // pinned TRUE.
+    QueryDef(
+      "udf_parse_strict",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val feed = Tables.events(spark, dir)
+          .select(col("event_id"),
+                  when(pmod(col("event_id"), lit(7)) === 0,
+                       concat(lit("garbage-"), col("event_id")))
+                    .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("raw"))
+        val strictRaises =
+          try {
+            feed.select(BqFunctions.parseDatetime(col("raw")).as("dt"))
+              .foreach(_ => ())
+            false
+          } catch {
+            case t: Throwable =>
+              val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).toSeq
+              val isDateTime = chain.exists { c =>
+                c.isInstanceOf[java.time.DateTimeException] ||
+                Option(c.getMessage).exists(m =>
+                  m.contains("CANNOT_PARSE_TIMESTAMP") || m.contains("could not be parsed"))
+              }
+              if (!isDateTime) throw t
+              true
+          }
+        val nBad = feed.where(BqFunctions.parseDatetimeSafe(col("raw")).isNull).count()
+        spark.range(1).select(lit(nBad).as("n_unparseable"),
+                              lit(strictRaises).as("strict_raises"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT event_id,
+              |         CASE WHEN event_id % 7 = 0 THEN concat('garbage-', event_id)
+              |              ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS raw
+              |  FROM events
+              |)
+              |SELECT COUNT(*) FILTER (WHERE ${BqFunctions.parseDatetimeSafeDuckDbExpr("raw")} IS NULL) AS n_unparseable,
+              |       TRUE AS strict_raises
+              |FROM t""".stripMargin)
+    ),
     QueryDef(
       "udf_datamart",
       (spark, dir) => ReferencePipeline.datamart(spark, dir, id = "13"),

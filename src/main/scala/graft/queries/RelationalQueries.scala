@@ -876,6 +876,82 @@ object RelationalQueries {
              |GROUP BY 1""".stripMargin)
     ),
 
+    // the BUILT-IN skew path beside the manual salted join above: Spark's
+    // AQE skew-join split (`spark.sql.adaptive.skewJoin.enabled`) is how a
+    // 100 TB cluster actually absorbs a hot key — the runtime splits the
+    // oversized shuffle partition BY MAPPER BOUNDARIES and replicates the
+    // matching build side, no query rewrite. A hot key is PLANTED (half of
+    // all events remapped to customer 1, so its hash partition carries
+    // ~50% of the bytes against a ~1.5% median — far past the factor-5
+    // rule). Two test-scale accommodations, both documented limits of the
+    // MECHANISM, not of this query: (a) the byte thresholds are scoped
+    // down (the RATIO is what's graded; the 256 MB production default
+    // just also requires production bytes), and (b) the fact side gets a
+    // round-robin repartition first, because a skewed reduce partition is
+    // split at mapper-block granularity — a single-parquet-file scan has
+    // ONE mapper, so its blocks are unsplittable (measured: without it,
+    // OptimizeSkewedJoin detects the 43 KB-vs-1.4 KB-median partition but
+    // createSkewPartitionSpecs returns None). A 100 TB scan has thousands
+    // of mappers and needs neither. The dim side is pinned out of
+    // broadcast so a real shuffle join plans, and the EXECUTED final
+    // adaptive plan must carry the skew-split marker — asserted in-gate,
+    // the q_bucketed_join pattern. The oracle is the same join + rollup;
+    // the split must not change a single row.
+    QueryDef(
+      "q_skew_join_aqe",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val scoped = Seq(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2k",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1k",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+          // the skew RATIO depends on the reduce-partition count: at the
+          // harness's local[4] default (4 shuffle partitions) the hot key
+          // holds ~50% vs a ~16% median — under the factor-5 rule. 32
+          // partitions make it ~50% vs ~1.6%, skewed at any session default.
+          "spark.sql.shuffle.partitions" -> "32")
+        val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+        scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+          val ev = Tables.events(spark, dir)
+            .select(when(pmod(col("user_id"), lit(4)) < 2, lit(1L))
+                      .otherwise(col("user_id")).as("user_id"),
+                    col("value"))
+            .repartition(16) // multi-mapper emulation — see design note (b)
+          val dim = Tables.customer(spark, dir)
+            .select(col("c_custkey").as("user_id"),
+                    concat(lit("seg"), pmod(col("c_custkey"), lit(5))).as("segment"))
+          val joined = ev.join(dim, Seq("user_id"))
+          // AQE finalizes the plan at RUNTIME — execute first (the eager
+          // localCheckpoint also feeds the rollup, so the join runs once),
+          // then require the skew split actually happened
+          val ck = joined.localCheckpoint(eager = true)
+          val plan = joined.queryExecution.executedPlan.toString
+          require(plan.contains("isFinalPlan=true"),
+            s"expected a finalized adaptive plan, got:\n$plan")
+          require(plan.linesIterator.exists(l =>
+              l.contains("AQEShuffleRead") && l.contains("skewed")),
+            s"AQE did not split the planted hot key — no skewed AQEShuffleRead in the final plan:\n$plan")
+          ck.groupBy(col("segment"))
+            .agg(count(lit(1)).as("n_events"),
+                 Money.lsum(Money.cents(col("value"))).as("sum_value_cents"))
+        } finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT CASE WHEN user_id % 4 < 2 THEN 1 ELSE user_id END AS user_id, value
+             |  FROM events
+             |)
+             |SELECT concat('seg', c.c_custkey % 5) AS segment,
+             |       COUNT(*) AS n_events,
+             |       ${Money.lsumSql(Money.centsSql("value"))} AS sum_value_cents
+             |FROM ev JOIN customer c ON ev.user_id = c.c_custkey
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // O: pivot / conditional aggregation — events per day per type as columns.
     QueryDef(
       "q_pivot_daily_events",

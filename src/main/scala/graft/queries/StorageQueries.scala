@@ -650,7 +650,19 @@ object StorageQueries {
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
                   date_format(col("ts").cast("timestamp"), "yyyy-MM-dd").as("day"))
         e.write.mode("overwrite").partitionBy("day").parquet(tgt)
-        val fact = spark.read.parquet(tgt)
+        // scope partition-column type inference OFF for the re-read: the
+        // yyyy-MM-dd partition values would otherwise come back as
+        // timestamps and need re-formatting to match the oracle's civil-
+        // date strings — keeping the string type drops that workaround
+        val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val prevInf = spark.conf.getOption(infKey)
+        spark.conf.set(infKey, "false")
+        val fact =
+          try spark.read.parquet(tgt)
+          finally prevInf match {
+            case Some(v) => spark.conf.set(infKey, v)
+            case None    => spark.conf.unset(infKey)
+          }
         val dim = e.where(col("event_type") === "purchase")
           .groupBy(col("day")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("day")).limit(DppTopDays)
@@ -660,10 +672,7 @@ object StorageQueries {
         require(plan.toLowerCase.contains("dynamicpruning"),
           s"fact scan must carry a dynamic-pruning partition filter, got:\n$plan")
         joined
-          // partition-column type inference reads `day` back as a
-          // timestamp; format it back to the civil-date string the oracle
-          // (and the dim side) uses
-          .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+          .groupBy(col("day"))
           .agg(count(lit(1)).cast(LongType).as("n_events"),
                countDistinct(col("user_id")).cast(LongType).as("n_users"),
                sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))

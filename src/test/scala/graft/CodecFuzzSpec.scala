@@ -1,6 +1,6 @@
 package graft
 
-import graft.media.{Bmp, Media, Png, Ppm, Wav}
+import graft.media.{Bmp, Gif, Media, Png, Ppm, Wav}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -66,7 +66,10 @@ class CodecFuzzSpec extends AnyFunSuite {
   private def imageCodecs: Seq[(String, (Int, Int, Array[Byte]) => Array[Byte], Array[Byte] => (Int, Int, Array[Byte]))] =
     Seq(("BMP", Bmp.encode, Bmp.decode),
         ("PPM", Ppm.encode, Ppm.decode),
-        ("PNG", Png.encode, Png.decode))
+        ("PNG", Png.encode, Png.decode),
+        // fuzz images are ≤120 pixels, so GIF's exact-palette encode
+        // (≤256 distinct colors) is always applicable and lossless
+        ("GIF", Gif.encode, Gif.decode))
 
   test("image codecs: 1000+ single-byte mutations each reject cleanly or decode") {
     for ((name, enc, dec) <- imageCodecs) {
@@ -163,6 +166,50 @@ class CodecFuzzSpec extends AnyFunSuite {
     expectReject("IHDR claims more rows than IDAT holds", claimTaller)
   }
 
+  test("GIF: LZW code-width growth and dictionary reset round-trip exactly") {
+    // images big enough to push the dictionary past each width switch-over
+    // (512, 1024, 2048, 4096 entries) and through at least one CLEAR-reset:
+    // 160x160 = 25600 pixels of seeded 256-color noise adds an entry on
+    // nearly every step, overflowing 4096 several times
+    for (seed <- 0 until 3) {
+      val rnd = new scala.util.Random(0x61F0000L + seed)
+      val palette = Array.tabulate(256 * 3)(k => ((k * 89 + seed * 31) % 256).toByte)
+      val (w, h) = (160, 160)
+      val rgb = new Array[Byte](w * h * 3)
+      for (p <- 0 until w * h) {
+        val c = rnd.nextInt(256)
+        rgb(3 * p) = palette(3 * c); rgb(3 * p + 1) = palette(3 * c + 1); rgb(3 * p + 2) = palette(3 * c + 2)
+      }
+      val encoded = Gif.encode(w, h, rgb)
+      // the payload must be large enough to have crossed 4096 entries
+      assert(encoded.length > 4096, s"fixture too small to exercise the reset (${encoded.length} bytes)")
+      val (dw, dh, drgb) = Gif.decode(encoded)
+      assert(dw == w && dh == h && java.util.Arrays.equals(drgb, rgb),
+        s"GIF round-trip drifted across dictionary resets (seed $seed)")
+    }
+    // and the KwKwK-heavy degenerate case: a long single-color run
+    val flat = Array.fill(300 * 3)(42.toByte)
+    val (fw, fh, frgb) = Gif.decode(Gif.encode(300, 1, flat))
+    assert(fw == 300 && fh == 1 && java.util.Arrays.equals(frgb, flat))
+  }
+
+  test("GIF rejects a tiny hostile file claiming huge dimensions BEFORE allocating") {
+    // same PNG lesson, LZW flavor: forge the logical-screen + frame dims
+    // of a tiny valid file upward; the LZW-payload expansion bound must
+    // reject before the pixel allocation
+    val valid = Gif.encode(4, 5, Array.tabulate(60)(k => (k * 7).toByte))
+    val hostile = valid.clone()
+    def putU16(off: Int, v: Int): Unit = { hostile(off) = (v & 0xff).toByte; hostile(off + 1) = ((v >> 8) & 0xff).toByte }
+    putU16(6, 4000); putU16(8, 4000) // logical screen 4000x4000 (16M px)
+    // frame dims sit in the image descriptor after the 6+7 header+LSD and
+    // the global color table; find the 0x2C separator to locate them
+    val sep = hostile.indexOf(0x2c.toByte)
+    putU16(sep + 5, 4000); putU16(sep + 7, 4000)
+    val ex = intercept[IllegalArgumentException](Gif.decode(hostile))
+    assert(ex.getMessage.contains("LZW payload too small"),
+      s"hostile dims must hit the pre-allocation bound, got: ${ex.getMessage}")
+  }
+
   test("PNG rejects a tiny hostile file claiming huge dimensions BEFORE allocating") {
     // compressed formats can lie about dimensions cheaply: a ~100-byte file
     // with a valid-CRC IHDR claiming 26000x26000 (rawLen ~2.03 GB, still
@@ -179,14 +226,16 @@ class CodecFuzzSpec extends AnyFunSuite {
       s"hostile dims must hit the pre-allocation bound, got: ${ex.getMessage}")
   }
 
-  test("media_png_decode fixture matches the other codecs' decode exactly (three-way)") {
+  test("codec fixture matches across all four image codecs exactly (four-way)") {
     for (id <- 0L until 50L) {
       val (w, h) = Media.bmpDims(id)
       val rgb = Array.tabulate(w * h * 3)(k => Media.bmpPixelByte(id, k))
       val viaBmp = Bmp.decode(Bmp.encode(w, h, rgb))._3
       val viaPpm = Ppm.decode(Ppm.encode(w, h, rgb))._3
       val viaPng = Png.decode(Png.encode(w, h, rgb))._3
-      assert(java.util.Arrays.equals(viaBmp, viaPng) && java.util.Arrays.equals(viaPpm, viaPng))
+      val viaGif = Gif.decode(Gif.encode(w, h, rgb))._3
+      assert(java.util.Arrays.equals(viaBmp, viaPng) && java.util.Arrays.equals(viaPpm, viaPng)
+        && java.util.Arrays.equals(viaGif, viaPng))
     }
   }
 }
