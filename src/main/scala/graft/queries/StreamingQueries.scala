@@ -110,6 +110,31 @@ object StreamingQueries {
   private def withHashBand(df: DataFrame, key: Column, n: Int): DataFrame =
     df.withColumn("__band", pmod(key, lit(n)).cast("int"))
 
+  /** Stateful-shuffle partition count for the streaming gates, scoped per
+    * query. The state partition count is pinned into the checkpoint at
+    * first run, so a production stream SIZES it explicitly to expected
+    * state volume — it is not a knob the session's batch default should
+    * leak into. Here state is 10⁴-rows-grain and every state partition
+    * costs fixed per-batch work (delta-file create + commit + maintenance
+    * across TWO stores for the join), so the session's 32 batch partitions
+    * pay 4× the file ops for zero parallelism benefit — measured on the
+    * interval join at sf0.1: 30.4 s at 32 partitions vs 6.6 s at 8 on a
+    * high-I/O-latency host (and 8 still spreads across 8 cores). At 100 TB
+    * the same sizing exercise just lands on a bigger number.
+    */
+  private val StreamShufflePartitions = "8"
+
+  private def withStreamParts[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, StreamShufflePartitions)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Harness hygiene after a streaming run terminates: unload every cached
     * state-store provider. A long-lived session that starts hundreds of
     * streaming queries (Bench reps × the whole family × 126-query suite)
@@ -132,7 +157,7 @@ object StreamingQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_streaming_sessionize",
-      (spark, dir) => {
+      (spark, dir) => withStreamParts(spark) {
         import spark.implicits._
         graft.GraftSession.tune(spark)
         val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
@@ -200,7 +225,7 @@ object StreamingQueries {
     // never emitted (belt-and-braces: the readback filters user −1).
     QueryDef(
       "q_streaming_session_window",
-      (spark, dir) => {
+      (spark, dir) => withStreamParts(spark) {
         graft.GraftSession.tune(spark)
         val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
         // boundary invariant (same as batch q_session_window): half-open
@@ -267,7 +292,7 @@ object StreamingQueries {
     // algorithms (incremental symmetric hash join vs batch join).
     QueryDef(
       "q_streaming_click_attribution",
-      (spark, dir) => {
+      (spark, dir) => withStreamParts(spark) {
         graft.GraftSession.tune(spark)
         val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
         val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_click_attr", dir)
@@ -310,7 +335,7 @@ object StreamingQueries {
     // arbitrarily far apart, so one batch is the shape the contract pins.
     QueryDef(
       "q_streaming_dedup",
-      (spark, dir) => {
+      (spark, dir) => withStreamParts(spark) {
         graft.GraftSession.tune(spark)
         // synthetic replay clock: 2024-01-01 UTC + doc_id seconds
         val docs = Tables.documents(spark, dir)
@@ -343,7 +368,7 @@ object StreamingQueries {
     // cents so the rollup sum is arrival-order-independent.
     QueryDef(
       "q_streaming_enrich",
-      (spark, dir) => {
+      (spark, dir) => withStreamParts(spark) {
         graft.GraftSession.tune(spark)
         val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
         val land = landBands(withHashBand(eventsDf, col("event_id"), 4), 4, "stream_land_enrich", dir)
@@ -390,7 +415,7 @@ object StreamingQueries {
     //     last band arrives (the watermark lags 30 min > 0 behind the max).
     QueryDef(
       "q_streaming_window_counts",
-      (spark, dir) => {
+      (spark, dir) => withStreamParts(spark) {
         graft.GraftSession.tune(spark)
         val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
         val sentinel = eventsDf.agg(max(col("ts")).as("mts"))
@@ -440,7 +465,7 @@ object StreamingQueries {
     // fresh per invocation (append-mode file sinks have no overwrite).
     QueryDef(
       "q_streaming_file_sink",
-      (spark, dir) => {
+      (spark, dir) => withStreamParts(spark) {
         graft.GraftSession.tune(spark)
         val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
         val sentinel = eventsDf.agg(max(col("ts")).as("mts"))
@@ -494,7 +519,7 @@ object StreamingQueries {
     // split across the two runs (both emitted something).
     QueryDef(
       "q_streaming_restart",
-      (spark, dir) => {
+      (spark, dir) => withStreamParts(spark) {
         graft.GraftSession.tune(spark)
         val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
         val sentinel = eventsDf.agg(max(col("ts")).as("mts"))
@@ -571,7 +596,7 @@ object StreamingQueries {
     // its monotone n_seen. Shingling/hashing run INSIDE the stream.
     QueryDef(
       "q_streaming_kmv",
-      (spark, dir) => {
+      (spark, dir) => withStreamParts(spark) {
         import spark.implicits._
         graft.GraftSession.tune(spark)
         val K = TextQueries.KmvK
@@ -655,7 +680,7 @@ object StreamingQueries {
     // production drops it.
     QueryDef(
       "q_streaming_heavy_hitters",
-      (spark, dir) => {
+      (spark, dir) => withStreamParts(spark) {
         import spark.implicits._
         graft.GraftSession.tune(spark)
         val K = TextQueries.HhK
@@ -737,7 +762,7 @@ object StreamingQueries {
     // hash-mismatch.
     QueryDef(
       "q_streaming_file_source",
-      (spark, dir) => {
+      (spark, dir) => withStreamParts(spark) {
         graft.GraftSession.tune(spark)
         val land = StorageQueries.target("stream_land_events")
         val batch = Tables.events(spark, dir)
@@ -799,7 +824,7 @@ object StreamingQueries {
     // provider conf is scoped to this query and restored after.
     QueryDef(
       "q_streaming_cdc_rocksdb",
-      (spark, dir) => {
+      (spark, dir) => withStreamParts(spark) {
         val key = "spark.sql.streaming.stateStore.providerClass"
         val prev = spark.conf.getOption(key)
         spark.conf.set(key,
@@ -819,7 +844,7 @@ object StreamingQueries {
     * `mapGroupsWithState` → latest update-mode emission per key.
     */
   private def cdcSnapshotRun(spark: org.apache.spark.sql.SparkSession,
-                             dir: String, tag: String): DataFrame = {
+                             dir: String, tag: String): DataFrame = withStreamParts(spark) {
     import spark.implicits._
     graft.GraftSession.tune(spark)
     val changes = Tables.events(spark, dir)

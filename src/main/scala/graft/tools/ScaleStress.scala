@@ -142,7 +142,16 @@ object ScaleStress {
     "q_observed_metrics",
     // DPP: the partitioned landing write is linear; the pruned join reads
     // a CONSTANT 5 of 30 day partitions at any factor
-    "q_dynamic_pruning")
+    "q_dynamic_pruning",
+    // round-10 additions: the restart grade is the windowed file-sink
+    // pipeline run as two lifecycles (each linear; the second resumes from
+    // checkpointed state whose size tracks OPEN windows, not corpus);
+    // the AQE skew grade is one shuffle join whose split keeps the planted
+    // hot partition parallel — the mechanism under test IS what keeps it
+    // linear; GIF decode is map-only per doc like the other codecs; the
+    // strict-parse gate is a map + two counts over events
+    "q_streaming_restart", "q_skew_join_aqe", "media_gif_decode",
+    "udf_parse_strict")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
