@@ -135,6 +135,20 @@ object StreamingQueries {
     }
   }
 
+  /** "Files arrive": copy a band range from a landed dir into a live
+    * arrival (landing-zone) dir, preserving the deterministic mtimes — the
+    * replay-order contract. Used by the restart grades to stage arrivals
+    * between two stream lifecycles.
+    */
+  private def arriveBands(land: String, arrival: java.io.File, bands: Range): Unit =
+    bands.foreach { i =>
+      val src = new java.io.File(land, f"b$i%04d.parquet")
+      val dst = new java.io.File(arrival, src.getName)
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      require(dst.setLastModified(src.lastModified), s"mtime stamp failed on $dst")
+    }
+
   /** Harness hygiene after a streaming run terminates: unload every cached
     * state-store provider. A long-lived session that starts hundreds of
     * streaming queries (Bench reps × the whole family × 126-query suite)
@@ -532,15 +546,7 @@ object StreamingQueries {
         val id = runId.incrementAndGet()
         val arrival = new java.io.File(StorageQueries.target(s"stream_restart_arrival_$id"))
         require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
-        // "files arrive": copy a band range into the live landing zone,
-        // preserving the deterministic mtimes (the replay-order contract)
-        def arrive(bands: Range): Unit = bands.foreach { i =>
-          val src = new java.io.File(land, f"b$i%04d.parquet")
-          val dst = new java.io.File(arrival, src.getName)
-          java.nio.file.Files.copy(src.toPath, dst.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-          require(dst.setLastModified(src.lastModified), s"mtime stamp failed on $dst")
-        }
+        def arrive(bands: Range): Unit = arriveBands(land, arrival, bands)
         val sinkDir = StorageQueries.target(s"stream_restart_sink_$id")
         val ckpt = StorageQueries.target(s"stream_restart_ckpt_$id")
         // one lifecycle = build the query FROM SCRATCH and run to
@@ -581,6 +587,79 @@ object StreamingQueries {
              |FROM events
              |GROUP BY 1, 2
              |ORDER BY window_start, event_type""".stripMargin)
+    ),
+
+    // CUSTOM-STATE restart/recovery — q_streaming_restart proves the
+    // built-in windowed aggregation's state survives a stop/resume; this
+    // proves the HAND-ROLLED `flatMapGroupsWithState` sessionizer's
+    // GroupState does too, the other state shape a production stream
+    // carries. Same two-lifecycle harness (one checkpoint + parquet sink,
+    // bands 0-1 then 2-3), same sessionize pipeline and oracle as
+    // q_streaming_sessionize. The sharp edge this grades: a session that
+    // SPANS the band-1/band-2 boundary is open in GroupState when run #1
+    // terminates — run #2 must restore it and keep extending, or the
+    // session splits in two and n_sessions hash-mismatches the oracle.
+    QueryDef(
+      "q_streaming_restart_sessions",
+      (spark, dir) => withStreamParts(spark) {
+        import spark.implicits._
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        // per-user sentinels (the q_streaming_sessionize construction):
+        // they land in the LAST band by time-banding, so every real
+        // session closes during run #2
+        val sentinels = eventsDf.groupBy(col("user_id"))
+          .agg(max(col("ts")).as("mts"))
+          .select(lit(-1L).as("event_id"),
+                  expr(s"timestamp_millis(unix_millis(mts) + ${2 * Streaming.SessionGapMs})").as("ts"),
+                  col("user_id"), lit("sentinel").as("event_type"),
+                  lit(0.0).as("value"))
+        val feed = eventsDf.unionByName(sentinels)
+        // identical feed to q_streaming_sessionize — same landing name, so
+        // within one process the land-once cache shares the band files
+        val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_sessionize", dir)
+        val id = runId.incrementAndGet()
+        val arrival = new java.io.File(StorageQueries.target(s"stream_restart_sess_arrival_$id"))
+        require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
+        val sinkDir = StorageQueries.target(s"stream_restart_sess_sink_$id")
+        val ckpt = StorageQueries.target(s"stream_restart_sess_ckpt_$id")
+        def runOnce(): Unit = {
+          val src = spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", "1").parquet(arrival.getAbsolutePath)
+            .as[Streaming.Event]
+          val q = Streaming.sessionize(src, flushOnTimeout = false).toDF()
+            .writeStream.format("parquet")
+            .option("path", sinkDir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+        }
+        arriveBands(land, arrival, 0 to 1); runOnce()
+        val afterRun1 = spark.read.parquet(sinkDir).count()
+        require(afterRun1 > 0,
+          "custom-state restart degenerate: run #1 closed no sessions — nothing at stake")
+        arriveBands(land, arrival, 2 to 3); runOnce()
+        require(spark.read.parquet(sinkDir).count() > afterRun1,
+          "custom-state restart degenerate: run #2 emitted nothing — the resume did no work")
+        spark.read.parquet(sinkDir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_sessions"),
+               sum(col("n_events")).cast(LongType).as("n_events"))
+          .localCheckpoint(eager = true)
+      },
+      // the batch q_sessionize oracle verbatim: the two-lifecycle session
+      // set must equal one uninterrupted run's
+      Some("""SELECT user_id,
+             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
+             |       COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id,
+             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+             |              THEN 1 ELSE 0 END AS is_session_start
+             |  FROM (SELECT user_id, ts, event_id,
+             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |        FROM events))
+             |GROUP BY user_id""".stripMargin)
     ),
 
     // streaming KMV distinct-cardinality over the document stream — the

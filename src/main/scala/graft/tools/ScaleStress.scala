@@ -151,7 +151,10 @@ object ScaleStress {
     // linear; GIF decode is map-only per doc like the other codecs; the
     // strict-parse gate is a map + two counts over events
     "q_streaming_restart", "q_skew_join_aqe", "media_gif_decode",
-    "udf_parse_strict")
+    "udf_parse_strict",
+    // custom-state restart: GroupState recovery cost tracks OPEN sessions
+    // (live users), which scale with the key space, not raw event volume
+    "q_streaming_restart_sessions")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
