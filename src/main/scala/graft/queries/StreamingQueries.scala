@@ -915,6 +915,66 @@ object StreamingQueries {
         }
       },
       Some(CdcOracleSql)
+    ),
+
+    // the SINK-SIDE upsert: `foreachBatch` with batchId-keyed idempotent
+    // writes — the canonical production pattern for landing a changelog in
+    // a keyed table without a table format's MERGE INTO (and exactly how
+    // Delta/Iceberg sinks are driven from Structured Streaming). No
+    // stateful operator at all: each micro-batch LWW-reduces ITSELF (one
+    // hash-agg argmax) and overwrites `batch=<batchId>/` — Spark's
+    // foreachBatch contract is at-least-once batch delivery with stable
+    // batch ids, so the overwrite makes redelivery a no-op, which the gate
+    // SIMULATES by writing every batch twice. The final snapshot is a
+    // global argmax over the per-batch winners (argmax is associative, so
+    // reduce-per-batch + reduce-across-batches ≡ one global reduce) and
+    // must hash-match the same CDC oracle as the stateful legs — three
+    // implementations (mapGroupsWithState ×2 backends, sink-side merge)
+    // of one snapshot.
+    QueryDef(
+      "q_streaming_foreach_upsert",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val changes = Tables.events(spark, dir)
+          .select(col("user_id"),
+                  expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_micros"),
+                  col("event_id"),
+                  when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+                  expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        // identical feed to the CDC legs — shares their landing via the cache
+        val land = landBands(withHashBand(changes, col("event_id"), 4), 4, "stream_land_cdc", dir)
+        val src = spark.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+        val id = runId.incrementAndGet()
+        val tableDir = StorageQueries.target(s"stream_foreach_upsert_$id")
+        val q = src.writeStream
+          .option("checkpointLocation", StorageQueries.target(s"stream_foreach_upsert_ckpt_$id"))
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val reduced = batch
+              .groupBy(col("user_id"))
+              .agg(max(struct(col("ts_micros"), col("event_id"), col("op"), col("cents"))).as("w"),
+                   count(lit(1)).as("n_changes"))
+            val dest = s"$tableDir/batch=$batchId"
+            reduced.write.mode("overwrite").parquet(dest)
+            // at-least-once redelivery, simulated: the SAME batch id lands
+            // again; the keyed overwrite must leave the table unchanged
+            reduced.write.mode("overwrite").parquet(dest)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
+        spark.read.parquet(tableDir)
+          .groupBy(col("user_id"))
+          .agg(max(col("w")).as("w"), sum(col("n_changes")).as("n_changes"))
+          .where(col("w.op") === "U")
+          .select(col("user_id"),
+                  expr("timestamp_micros(w.ts_micros)").as("last_ts"),
+                  col("w.event_id").cast(LongType).as("last_event_id"),
+                  col("w.cents").cast(LongType).as("last_cents"),
+                  col("n_changes").cast(LongType).as("n_changes"))
+          .localCheckpoint(eager = true)
+      },
+      Some(CdcOracleSql)
     )
   )
 

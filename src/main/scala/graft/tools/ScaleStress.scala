@@ -154,7 +154,10 @@ object ScaleStress {
     "udf_parse_strict",
     // custom-state restart: GroupState recovery cost tracks OPEN sessions
     // (live users), which scale with the key space, not raw event volume
-    "q_streaming_restart_sessions")
+    "q_streaming_restart_sessions",
+    // foreachBatch idempotent upsert: per-batch work is one hash-agg argmax
+    // over that batch plus a keyed overwrite — stateless, linear
+    "q_streaming_foreach_upsert")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
