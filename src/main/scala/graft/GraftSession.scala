@@ -33,6 +33,22 @@ object GraftSession {
     spark
   }
 
+  /** Scoped runtime-conf override: set `pairs`, run `body`, restore every
+    * key to its prior value (or unset). The one implementation of the
+    * save/set/try/finally dance the query gates need — each hand-rolled
+    * copy was a fresh opportunity for the classic capture-after-set or
+    * wrong-restore-order bug.
+    */
+  def withConfs[A](spark: SparkSession, pairs: (String, String)*)(body: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Local session for tests and ad-hoc runs. */
   def local(threads: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession

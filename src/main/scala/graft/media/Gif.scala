@@ -36,6 +36,12 @@ object Gif {
   def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
       s"unencodable GIF dimensions ${width}x$height")
+    // Long math BEFORE any Int product: 43691×32768×3 overflows Int back to
+    // a small positive number, which would sail past the length check and
+    // die in a multi-GB allocation instead of a clean reject. The MaxPixels
+    // bound (shared with decode) also caps the indices allocation.
+    require(width.toLong * height <= MaxPixels,
+      s"unreasonable GIF dimensions ${width}x$height")
     require(rgb.length == width * height * 3, "rgb must be width*height*3 bytes")
 
     // exact palette, first-appearance order

@@ -420,17 +420,11 @@ object RelationalQueries {
         GraftSession.tune(spark)
         val ev = Tables.events(spark, dir)
           .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
-        val gapW = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-        val exactGapPairs = ev
-          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(gapW))
-          .where(unix_micros(col("ts")) - col("prev_us") === lit(30L * 60 * 1000000L))
-          .count()
-        require(exactGapPairs == 0L,
-          s"q_session_window boundary invariant violated: $exactGapPairs consecutive " +
-          "pairs at exactly the 30-minute gap — half-open session_window and the " +
-          "strict-> lag oracle would diverge; pick one boundary form for this data")
+        graft.streaming.Streaming.requireNoExactGapPairs(ev, "q_session_window")
         ev
-          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .groupBy(col("user_id"),
+                   session_window(col("ts"),
+                     s"${graft.streaming.Streaming.SessionGapMs / 60000} minutes").as("w"))
           .agg(count(lit(1)).as("n"))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).cast(LongType).as("n_sessions"),
@@ -901,7 +895,7 @@ object RelationalQueries {
       "q_skew_join_aqe",
       (spark, dir) => {
         GraftSession.tune(spark)
-        val scoped = Seq(
+        GraftSession.withConfs(spark,
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2k",
           "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1k",
           "spark.sql.autoBroadcastJoinThreshold" -> "-1",
@@ -910,10 +904,7 @@ object RelationalQueries {
           // harness's local[4] default (4 shuffle partitions) the hot key
           // holds ~50% vs a ~16% median — under the factor-5 rule. 32
           // partitions make it ~50% vs ~1.6%, skewed at any session default.
-          "spark.sql.shuffle.partitions" -> "32")
-        val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
-        scoped.foreach { case (k, v) => spark.conf.set(k, v) }
-        try {
+          "spark.sql.shuffle.partitions" -> "32") {
           val ev = Tables.events(spark, dir)
             .select(when(pmod(col("user_id"), lit(4)) < 2, lit(1L))
                       .otherwise(col("user_id")).as("user_id"),
@@ -936,9 +927,6 @@ object RelationalQueries {
           ck.groupBy(col("segment"))
             .agg(count(lit(1)).as("n_events"),
                  Money.lsum(Money.cents(col("value"))).as("sum_value_cents"))
-        } finally prev.foreach {
-          case (k, Some(v)) => spark.conf.set(k, v)
-          case (k, None)    => spark.conf.unset(k)
         }
       },
       Some(s"""WITH ev AS (

@@ -654,15 +654,10 @@ object StorageQueries {
         // yyyy-MM-dd partition values would otherwise come back as
         // timestamps and need re-formatting to match the oracle's civil-
         // date strings — keeping the string type drops that workaround
-        val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        val prevInf = spark.conf.getOption(infKey)
-        spark.conf.set(infKey, "false")
-        val fact =
-          try spark.read.parquet(tgt)
-          finally prevInf match {
-            case Some(v) => spark.conf.set(infKey, v)
-            case None    => spark.conf.unset(infKey)
-          }
+        val fact = GraftSession.withConfs(spark,
+          "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false") {
+          spark.read.parquet(tgt) // schema + partition discovery are eager here
+        }
         val dim = e.where(col("event_type") === "purchase")
           .groupBy(col("day")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("day")).limit(DppTopDays)

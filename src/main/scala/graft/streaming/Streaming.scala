@@ -68,6 +68,27 @@ object Streaming {
     */
   val SessionGapMs: Long = 30L * 60 * 1000
 
+  /** The `session_window` boundary invariant, enforced (shared by the batch
+    * and streaming session-window gates so the guard and the operators it
+    * protects derive the gap from ONE constant): the built-in window is
+    * half-open (an event at EXACTLY the gap starts a new session) while the
+    * lag oracle's strict `> gap` keeps it — the two agree iff NO
+    * consecutive per-user pair sits exactly at the gap. A fixture change to
+    * quantized timestamps fails here loudly instead of silently diverging.
+    */
+  def requireNoExactGapPairs(events: DataFrame, what: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val exactGapPairs = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .where(unix_micros(col("ts")) - col("prev_us") === lit(SessionGapMs * 1000L))
+      .count()
+    require(exactGapPairs == 0L,
+      s"$what boundary invariant violated: $exactGapPairs consecutive pairs at " +
+      "exactly the session gap — half-open session_window and the strict-> lag " +
+      "oracle would diverge; pick one boundary form for this data")
+  }
+
   /** Custom stateful sessionization: emits a [[Session]] whenever a user's
     * gap exceeds [[SessionGapMs]]; with `flushOnTimeout` (production
     * setting) open sessions also flush after a processing-time timeout so
