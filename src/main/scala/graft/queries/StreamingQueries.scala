@@ -580,6 +580,70 @@ object StreamingQueries {
              |ORDER BY window_start, event_type""".stripMargin)
     ),
 
+    // FILE-SOURCE LIFECYCLE MANAGEMENT — `cleanSource=archive`: a
+    // production landing zone cannot grow forever, and the file source's
+    // built-in answer is archiving consumed files out of the listing path
+    // (the alternative, re-listing millions of consumed files every
+    // trigger, is the actual 100 TB failure mode). The gate pins BOTH the
+    // data (complete-mode rollup vs the batch oracle — archiving must
+    // never lose or double-read a file) and the lifecycle semantics: a
+    // file is archived once a LATER batch commits, so under AvailableNow
+    // with n bands exactly the first n−1 land under sourceArchiveDir
+    // (which preserves the original absolute path) and the final band
+    // stays pending — measured deterministic, asserted with a poll since
+    // the cleaner runs on its own thread.
+    QueryDef(
+      "q_streaming_source_archive",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val feed = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val land = landBands(withHashBand(feed, col("event_id"), 4), 4, "stream_land_archive", dir)
+        val id = runId.incrementAndGet()
+        val arrival = new java.io.File(StorageQueries.target(s"stream_archive_arrival_$id"))
+        require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
+        arriveBands(land, arrival, 0 to 3)
+        val archiveDir = StorageQueries.target(s"stream_archive_dest_$id")
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("cleanSource", "archive")
+          .option("sourceArchiveDir", archiveDir)
+          .parquet(arrival.getAbsolutePath)
+        val sink = s"streaming_archive_$id"
+        val q = src.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast(LongType).as("n_events"),
+               sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+                 .cast(LongType).as("total_cents"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Nil)
+          else Seq(f)
+        def archivedNames: Seq[String] = walk(new java.io.File(archiveDir))
+          .map(_.getName).filter(_.endsWith(".parquet")).sorted
+        val expectArchived = (0 to 2).map(i => f"b$i%04d.parquet")
+        var waitedMs = 0
+        while (archivedNames != expectArchived && waitedMs < 20000) {
+          Thread.sleep(250); waitedMs += 250
+        }
+        require(archivedNames == expectArchived,
+          s"cleanSource=archive must move exactly the first 3 bands, got: $archivedNames")
+        val pending = Option(arrival.listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+        require(pending == Seq("b0003.parquet"),
+          s"only the final band should remain in the landing zone, got: $pending")
+        val out = spark.table(sink)
+        val resolved = out.localCheckpoint(eager = true)
+        spark.catalog.dropTempView(sink)
+        resolved
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM events
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // CUSTOM-STATE restart/recovery — q_streaming_restart proves the
     // built-in windowed aggregation's state survives a stop/resume; this
     // proves the HAND-ROLLED `flatMapGroupsWithState` sessionizer's

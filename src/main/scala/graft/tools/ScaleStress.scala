@@ -157,7 +157,10 @@ object ScaleStress {
     "q_streaming_restart_sessions",
     // foreachBatch idempotent upsert: per-batch work is one hash-agg argmax
     // over that batch plus a keyed overwrite — stateless, linear
-    "q_streaming_foreach_upsert")
+    "q_streaming_foreach_upsert",
+    // cleanSource=archive: the archive move is per-FILE metadata work
+    // (4 renames at any factor); the rollup is one complete-mode hash-agg
+    "q_streaming_source_archive")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
