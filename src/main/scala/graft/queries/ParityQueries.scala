@@ -78,8 +78,20 @@ object ParityQueries {
           } catch {
             case t: Throwable =>
               val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).toSeq
+              // classify by exception CLASS first (SparkDateTimeException
+              // extends java.time.DateTimeException; any SparkThrowable
+              // carries a stable error-condition name), falling back to
+              // message text only last — messages are version/locale-
+              // sensitive and a reworded one must not turn this graded
+              // FALSE into a hard error
               val isDateTime = chain.exists { c =>
                 c.isInstanceOf[java.time.DateTimeException] ||
+                (c match {
+                  case st: org.apache.spark.SparkThrowable =>
+                    Option(st.getCondition).exists(cond =>
+                      cond.contains("CANNOT_PARSE") || cond.contains("INVALID_DATETIME"))
+                  case _ => false
+                }) ||
                 Option(c.getMessage).exists(m =>
                   m.contains("CANNOT_PARSE_TIMESTAMP") || m.contains("could not be parsed"))
               }

@@ -940,6 +940,62 @@ object RelationalQueries {
              |GROUP BY 1""".stripMargin)
     ),
 
+    // GLOBAL SORT through RangePartitioning — the one classic shuffle
+    // shape the rest of the surface never pins (top-k correctly plans
+    // TakeOrderedAndProject; this is the total-order EXPORT, the sorted
+    // training-shard writer's shuffle). `ORDER BY` plans a range exchange
+    // (sampled boundaries) + per-partition sort; the gate then proves the
+    // TOTAL order three ways: (a) the executed plan must carry
+    // `rangepartitioning` (not a single-partition sort — that's the
+    // 100 TB failure mode this exists to rule out); (b) a per-partition
+    // boundary audit — (min,max) key ranges, one row per partition,
+    // metadata-grain — must be pairwise disjoint and ordered by partition
+    // id; (c) the global sequence RECONSTRUCTED FROM THE PHYSICAL LAYOUT
+    // (partition row-count offsets + within-partition rank) must equal
+    // the oracle's ROW_NUMBER over the same total key — any misplaced row
+    // anywhere hash-mismatches. The key (user_id, event_id) is tie-free
+    // (event_id unique), so the order is deterministic on both engines.
+    QueryDef(
+      "q_global_sort",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val ev = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+        val sorted = ev.orderBy(col("user_id"), col("event_id"))
+          .withColumn("pid", spark_partition_id())
+        // AQE finalizes at runtime: execute (the checkpoint also feeds
+        // the audit + output, so the sort runs once), then inspect
+        val ck = sorted.localCheckpoint(eager = true)
+        val plan = sorted.queryExecution.executedPlan.toString
+        require(plan.toLowerCase.contains("rangepartitioning"),
+          s"global sort must plan a range exchange, got:\n$plan")
+        val stats = ck.groupBy(col("pid"))
+          .agg(min(struct(col("user_id"), col("event_id"))).as("lo"),
+               max(struct(col("user_id"), col("event_id"))).as("hi"),
+               count(lit(1)).as("n"))
+        // one row per shuffle partition — metadata-grain, so the
+        // unpartitioned windows below are a single small task
+        val wp = Window.orderBy(col("pid"))
+        val overlaps = stats
+          .withColumn("prev_hi", lag(col("hi"), 1).over(wp))
+          .where(col("prev_hi").isNotNull && !(col("prev_hi") < col("lo")))
+          .count()
+        require(overlaps == 0,
+          "range partitions must hold disjoint, pid-ordered key ranges")
+        val offsets = stats
+          .withColumn("offset",
+            coalesce(sum(col("n")).over(wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("pid"), col("offset"))
+        val wr = Window.partitionBy(col("pid")).orderBy(col("user_id"), col("event_id"))
+        ck.join(broadcast(offsets), Seq("pid"))
+          .withColumn("seq", (col("offset") + row_number().over(wr)).cast(LongType))
+          .select(col("seq"), col("user_id"), col("event_id"), col("event_type"))
+      },
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY user_id, event_id) AS seq,
+             |       user_id, event_id, event_type
+             |FROM events""".stripMargin)
+    ),
+
     // O: pivot / conditional aggregation — events per day per type as columns.
     QueryDef(
       "q_pivot_daily_events",

@@ -27,11 +27,20 @@ import org.apache.spark.sql.types.LongType
   * fully retired): feeds, sentinels, and band assignment are all computed
   * distributedly, and the only driver involvement is moving finished part
   * FILES into the landing directory — metadata, not rows.
+  *
+  * And every stream LANDS in files too: append-mode queries use the
+  * exactly-once parquet sink; update/complete-mode queries land each
+  * micro-batch's emissions via `foreachBatch` into batchId-keyed (update)
+  * or whole-dir-overwritten (complete) parquet — both idempotent under
+  * at-least-once batch redelivery. No result is ever driver-resident (the
+  * former memory sinks are fully retired); readbacks are batch reads of
+  * the sink files.
   */
 object StreamingQueries {
 
-  /** Memory-sink names must be unique per run within a session (Bench and
-    * Verify invoke the builder repeatedly).
+  /** Sink/checkpoint dir names must be unique per run within a session
+    * (Bench and Verify invoke the builder repeatedly, and append-mode file
+    * sinks and checkpoints have no overwrite).
     */
   private val runId = new AtomicInteger(0)
 
@@ -63,8 +72,13 @@ object StreamingQueries {
     // and it records the cache key so an sf switch in-process re-lands.
     val cacheKey = s"$sfDir|$n"
     val marker = new java.io.File(root, "_LANDED")
+    // a marker hit must also see all n band files: the marker says a
+    // landing COMPLETED, not that nothing deleted a band since — verify
+    // the cheap invariant (n stat calls) and re-land on any gap rather
+    // than silently streaming a partial feed
     if (marker.isFile &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == cacheKey)
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == cacheKey &&
+        (0 until n).forall(i => new java.io.File(root, f"b$i%04d.parquet").isFile))
       return dir
     def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit }
     rm(root); root.mkdirs()
@@ -197,22 +211,19 @@ object StreamingQueries {
         val src = spark.readStream.schema(feed.schema)
           .option("maxFilesPerTrigger", "1").parquet(land)
           .as[Streaming.Event]
-        val sink = s"streaming_sessionize_${runId.incrementAndGet()}"
-        val q = Streaming.sessionize(src, flushOnTimeout = false)
-          .writeStream.format("memory").queryName(sink)
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_sessionize_sink_$id")
+        val q = Streaming.sessionize(src, flushOnTimeout = false).toDF()
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_sessionize_ckpt_$id"))
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
-        // resolve the aggregate against the sink eagerly (the plan keeps a
-        // reference to the already-resolved in-memory relation), then drop
-        // the temp view so repeated invocations in one session (Bench reps,
-        // Verify) don't accumulate one retained session table per run
-        val sessions = spark.table(sink)
+        spark.read.parquet(sinkDir)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).cast(LongType).as("n_sessions"),
                sum(col("n_events")).cast(LongType).as("n_events"))
-        val resolved = sessions.localCheckpoint(eager = true)
-        spark.catalog.dropTempView(sink)
-        resolved
+          .localCheckpoint(eager = true)
       },
       // the batch q_sessionize oracle, verbatim: the stream must land on
       // the identical per-user session partition
@@ -254,22 +265,23 @@ object StreamingQueries {
         val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_session_window", dir)
         val src = spark.readStream.schema(feed.schema)
           .option("maxFilesPerTrigger", "1").parquet(land)
-        val sink = s"streaming_session_window_${runId.incrementAndGet()}"
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_session_window_sink_$id")
         val q = src
           .withWatermark("ts", s"${Streaming.SessionGapMs / 60000} minutes")
           .groupBy(col("user_id"), session_window(col("ts"), s"${Streaming.SessionGapMs / 60000} minutes").as("w"))
           .agg(count(lit(1)).as("n"))
-          .writeStream.format("memory").queryName(sink)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_session_window_ckpt_$id"))
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
-        val out = spark.table(sink)
+        spark.read.parquet(sinkDir)
           .where(col("user_id") =!= -1L)
           .groupBy(col("user_id"))
           .agg(count(lit(1)).cast(LongType).as("n_sessions"),
                sum(col("n")).cast(LongType).as("n_events"))
-        val resolved = out.localCheckpoint(eager = true)
-        spark.catalog.dropTempView(sink)
-        resolved
+          .localCheckpoint(eager = true)
       },
       // the batch q_sessionize oracle verbatim (same as q_streaming_sessionize)
       Some("""SELECT user_id,
@@ -303,18 +315,19 @@ object StreamingQueries {
         val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_click_attr", dir)
         val src = spark.readStream.schema(eventsDf.schema)
           .option("maxFilesPerTrigger", "1").parquet(land)
-        val sink = s"streaming_click_attr_${runId.incrementAndGet()}"
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_click_attr_sink_$id")
         val q = Streaming.clickAttribution(src)
-          .writeStream.format("memory").queryName(sink)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_click_attr_ckpt_$id"))
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
-        val out = spark.table(sink)
+        spark.read.parquet(sinkDir)
           .groupBy(col("purchase_id"))
           .agg(count(lit(1)).cast(LongType).as("n_clicks"),
                max(col("click_ts")).as("last_click_ts"))
-        val resolved = out.localCheckpoint(eager = true)
-        spark.catalog.dropTempView(sink)
-        resolved
+          .localCheckpoint(eager = true)
       },
       Some(s"""SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks,
               |       MAX(c.ts) AS last_click_ts
@@ -325,6 +338,138 @@ object StreamingQueries {
               | AND c.ts >= p.ts - INTERVAL ${Streaming.AttributionDays} DAY
               |WHERE p.event_type = 'purchase'
               |GROUP BY p.event_id""".stripMargin)
+    ),
+
+    // the stream-stream LEFT OUTER interval join
+    // ([[Streaming.clickAttributionLeftOuter]]) — the other half of
+    // attribution: EVERY purchase must appear, and a purchase with no
+    // click in its 7-day lookback emits a null-click row only once the
+    // WATERMARK proves no match can still arrive. The licensing watermark
+    // is the query's GLOBAL one — the MIN over both sides' event-time
+    // watermarks (multipleWatermarkPolicy=min) — so BOTH sides need a
+    // sentinel: a sentinel CLICK alone leaves the purchase-side watermark
+    // at max_purchase−1h and every unmatched purchase in the corpus's
+    // final hour would silently never emit its null row (found by the
+    // unit spec; the sf0.01 oracle happened not to cover it). Two
+    // sentinels at max+2h (user −1 click, user −2 purchase — joinable to
+    // nothing) push the global watermark to max+1h, licensing every real
+    // purchase's null row in the closing no-data batch; the sentinel
+    // purchase's own null is never licensed (the watermark never passes
+    // max+2h) and is filtered belt-and-braces. The readback
+    // keeps BOTH counts per purchase: n_clicks (non-null matches) AND
+    // n_rows (all emissions) — a spurious early null row for a matched
+    // purchase leaves n_clicks intact but bumps n_rows, so premature null
+    // emission is a hash mismatch, not just a lost-row one. The in-gate
+    // `require` pins the null path live (some purchase genuinely
+    // unmatched). Parquet-sink readback; batch DuckDB LEFT JOIN oracle.
+    QueryDef(
+      "q_streaming_left_outer",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val mts = eventsDf.agg(max(col("ts")).as("mts"))
+        val sentinels = mts
+          .select(lit(-1L).as("event_id"),
+                  expr("timestamp_millis(unix_millis(mts) + 7200000)").as("ts"),
+                  lit(-1L).as("user_id"), lit("click").as("event_type"),
+                  lit(0.0).as("value"))
+          .unionByName(mts.select(lit(-2L).as("event_id"),
+                  expr("timestamp_millis(unix_millis(mts) + 7200000)").as("ts"),
+                  lit(-2L).as("user_id"), lit("purchase").as("event_type"),
+                  lit(0.0).as("value")))
+        val feed = eventsDf.unionByName(sentinels)
+        val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_left_outer", dir)
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_left_outer_sink_$id")
+        val q = Streaming.clickAttributionLeftOuter(src)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_left_outer_ckpt_$id"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+        val out = spark.read.parquet(sinkDir)
+          .where(col("purchase_id") >= 0L)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_rows"),
+               count(col("click_id")).cast(LongType).as("n_clicks"),
+               max(col("click_ts")).as("last_click_ts"))
+          .localCheckpoint(eager = true)
+        val unmatched = out.where(col("n_clicks") === 0L).count()
+        require(unmatched > 0,
+          "left-outer grade degenerate: every purchase matched — the watermark-gated null path never fired")
+        out
+      },
+      Some(s"""SELECT p.event_id AS purchase_id,
+              |       COUNT(*) AS n_rows,
+              |       COUNT(c.ts) AS n_clicks,
+              |       MAX(c.ts) AS last_click_ts
+              |FROM events p LEFT JOIN events c
+              |  ON c.user_id = p.user_id
+              | AND c.event_type = 'click'
+              | AND c.ts < p.ts
+              | AND c.ts >= p.ts - INTERVAL ${Streaming.AttributionDays} DAY
+              |WHERE p.event_type = 'purchase'
+              |GROUP BY p.event_id""".stripMargin)
+    ),
+
+    // the sessionizer's PRODUCTION close path
+    // ([[Streaming.sessionizeEventTimeout]]): sessions close by
+    // `GroupStateTimeout.EventTimeTimeout` when the watermark passes
+    // last+gap — no per-user sentinels (the q_streaming_sessionize
+    // construction is a harness device; this is what a deployment runs).
+    // ONE global sentinel (user −1) at max+3·gap exists only to push the
+    // final watermark to max+2·gap, past every real session's last+gap,
+    // so every open session times out and emits in the closing no-data
+    // batch; the sentinel's own session (timeout at max+4·gap) never
+    // fires and is filtered belt-and-braces. Same landed-band feed shape
+    // and the same batch lag-gap oracle as the sentinel-closed leg — two
+    // close mechanisms must land on the identical session partition.
+    QueryDef(
+      "q_streaming_sessionize_timeout",
+      (spark, dir) => withStreamParts(spark) {
+        import spark.implicits._
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val sentinel = eventsDf.agg(max(col("ts")).as("mts"))
+          .select(lit(-1L).as("event_id"),
+                  expr(s"timestamp_millis(unix_millis(mts) + ${3 * Streaming.SessionGapMs})").as("ts"),
+                  lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+                  lit(0.0).as("value"))
+        val feed = eventsDf.unionByName(sentinel)
+        val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_sess_timeout", dir)
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+          .as[Streaming.Event]
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_sess_timeout_sink_$id")
+        val q = Streaming.sessionizeEventTimeout(src).toDF()
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_sess_timeout_ckpt_$id"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+        spark.read.parquet(sinkDir)
+          .where(col("user_id") =!= -1L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_sessions"),
+               sum(col("n_events")).cast(LongType).as("n_events"))
+          .localCheckpoint(eager = true)
+      },
+      // the batch q_sessionize oracle verbatim: timeout-closed sessions
+      // must equal the lag-gap partition
+      Some("""SELECT user_id,
+             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
+             |       COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id,
+             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+             |              THEN 1 ELSE 0 END AS is_session_start
+             |  FROM (SELECT user_id, ts, event_id,
+             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |        FROM events))
+             |GROUP BY user_id""".stripMargin)
     ),
 
     // the REAL watermark-bounded streaming dedup
@@ -348,15 +493,16 @@ object StreamingQueries {
                   expr("timestamp_millis(1704067200000 + doc_id * 1000)").as("ts"))
         val land = landBands(docs.withColumn("__band", lit(0)), 1, "stream_land_dedup", dir)
         val src = spark.readStream.schema(docs.schema).parquet(land)
-        val sink = s"streaming_dedup_${runId.incrementAndGet()}"
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_dedup_sink_$id")
         val q = Streaming.streamingDedup(src)
-          .writeStream.format("memory").queryName(sink)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_dedup_ckpt_$id"))
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
-        val out = spark.table(sink).select(col("content_md5"))
-        val resolved = out.localCheckpoint(eager = true)
-        spark.catalog.dropTempView(sink)
-        resolved
+        spark.read.parquet(sinkDir).select(col("content_md5"))
+          .localCheckpoint(eager = true)
       },
       Some(s"""SELECT DISTINCT ${graft.text.TextAnalysis.contentHashSql("text")} AS content_md5
               |FROM documents""".stripMargin)
@@ -381,20 +527,21 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", "1").parquet(land)
         val dim = graft.Tables.customer(spark, dir)
           .select(col("c_custkey"), col("c_mktsegment"))
-        val sink = s"streaming_enrich_${runId.incrementAndGet()}"
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_enrich_sink_$id")
         val q = Streaming.enrich(src, dim)
-          .writeStream.format("memory").queryName(sink)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_enrich_ckpt_$id"))
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
-        val out = spark.table(sink)
+        spark.read.parquet(sinkDir)
           .groupBy(col("segment"))
           .agg(count(lit(1)).cast(LongType).as("n_events"),
                countDistinct(col("user_id")).cast(LongType).as("n_users"),
                sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
                  .cast(LongType).as("total_cents"))
-        val resolved = out.localCheckpoint(eager = true)
-        spark.catalog.dropTempView(sink)
-        resolved
+          .localCheckpoint(eager = true)
       },
       Some("""SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
              |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
@@ -434,19 +581,20 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", "1").parquet(land)
         val centsIn = src
           .withColumn("value", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DOUBLE)"))
-        val sink = s"streaming_window_counts_${runId.incrementAndGet()}"
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_window_counts_sink_$id")
         val q = Streaming.windowedCounts(centsIn)
-          .writeStream.format("memory").queryName(sink)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_window_counts_ckpt_$id"))
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
-        val out = spark.table(sink)
+        spark.read.parquet(sinkDir)
           .select(col("window_start"), col("event_type"),
                   col("n_events").cast(LongType).as("n_events"),
                   col("total_value").cast(LongType).as("total_cents"))
           .orderBy(col("window_start"), col("event_type"))
-        val resolved = out.localCheckpoint(eager = true)
-        spark.catalog.dropTempView(sink)
-        resolved
+          .localCheckpoint(eager = true)
       },
       Some("""SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)) AS TIMESTAMP) AS window_start,
              |       event_type, COUNT(*) AS n_events,
@@ -609,12 +757,23 @@ object StreamingQueries {
           .option("cleanSource", "archive")
           .option("sourceArchiveDir", archiveDir)
           .parquet(arrival.getAbsolutePath)
-        val sink = s"streaming_archive_$id"
+        // complete-mode rollup landed via foreachBatch: each batch emits
+        // the FULL state (metadata-grain, a handful of rows), so an
+        // idempotent whole-dir overwrite per batch leaves the last batch's
+        // complete answer on disk — the update/complete-mode analogue of
+        // the append-mode parquet-sink readback, keeping the result off
+        // the driver
+        val rollupDir = StorageQueries.target(s"stream_archive_rollup_$id")
         val q = src.groupBy(col("event_type"))
           .agg(count(lit(1)).cast(LongType).as("n_events"),
                sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
                  .cast(LongType).as("total_cents"))
-          .writeStream.format("memory").queryName(sink)
+          .writeStream
+          .option("checkpointLocation", StorageQueries.target(s"stream_archive_ckpt_$id"))
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(rollupDir)
+            ()
+          }
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
         def walk(f: java.io.File): Seq[java.io.File] =
@@ -622,21 +781,30 @@ object StreamingQueries {
           else Seq(f)
         def archivedNames: Seq[String] = walk(new java.io.File(archiveDir))
           .map(_.getName).filter(_.endsWith(".parquet")).sorted
+        // observed-deterministic on the pinned Spark: exactly the first 3
+        // bands archive (a file archives once a LATER batch commits, and
+        // AvailableNow stops after band 3's). The cleaner is an async
+        // best-effort thread, though, so the HARD requires below grade only
+        // what the mechanism guarantees — progress (≥ the first band moved),
+        // safety (the final band never archives: no later batch commits
+        // past it), and conservation (archived ⊎ pending = all bands, no
+        // file lost or duplicated) — while the poll still waits toward the
+        // exact 3-band steady state so a timing wobble doesn't flake.
         val expectArchived = (0 to 2).map(i => f"b$i%04d.parquet")
         var waitedMs = 0
         while (archivedNames != expectArchived && waitedMs < 20000) {
           Thread.sleep(250); waitedMs += 250
         }
-        require(archivedNames == expectArchived,
-          s"cleanSource=archive must move exactly the first 3 bands, got: $archivedNames")
+        val archived = archivedNames
+        require(archived.contains("b0000.parquet"),
+          s"cleanSource=archive made no progress — the first consumed band never archived: $archived")
+        require(archived.toSet.subsetOf(expectArchived.toSet),
+          s"only bands a later batch committed past may archive (never b0003), got: $archived")
         val pending = Option(arrival.listFiles()).getOrElse(Array.empty)
-          .map(_.getName).filter(_.endsWith(".parquet")).toSeq
-        require(pending == Seq("b0003.parquet"),
-          s"only the final band should remain in the landing zone, got: $pending")
-        val out = spark.table(sink)
-        val resolved = out.localCheckpoint(eager = true)
-        spark.catalog.dropTempView(sink)
-        resolved
+          .map(_.getName).filter(_.endsWith(".parquet")).toSeq.sorted
+        require((archived ++ pending).sorted == (0 to 3).map(i => f"b$i%04d.parquet"),
+          s"archive must move files, not lose or duplicate them: archived=$archived pending=$pending")
+        spark.read.parquet(rollupDir).localCheckpoint(eager = true)
       },
       Some("""SELECT event_type, COUNT(*) AS n_events,
              |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
@@ -726,8 +894,9 @@ object StreamingQueries {
     // BATCH DuckDB oracle — valid because the k-min fold is order- and
     // duplicate-insensitive, so the stream must land on exactly the batch
     // sketch whatever the batch boundaries. Update-mode emissions
-    // accumulate in the memory sink; the latest per shard is selected by
-    // its monotone n_seen. Shingling/hashing run INSIDE the stream.
+    // accumulate as batchId-keyed parquet dirs; the latest per shard is
+    // selected by its monotone n_seen. Shingling/hashing run INSIDE the
+    // stream.
     QueryDef(
       "q_streaming_kmv",
       (spark, dir) => withStreamParts(spark) {
@@ -741,7 +910,10 @@ object StreamingQueries {
           4, "stream_land_kmv", dir)
         val src = spark.readStream.schema(feed.schema)
           .option("maxFilesPerTrigger", "1").parquet(land)
-        val sink = s"streaming_kmv_${runId.incrementAndGet()}"
+        val id = runId.incrementAndGet()
+        // update-mode emissions → batchId-keyed parquet dirs (see
+        // cdcSnapshotRun); latest per shard selected by monotone n_seen
+        val emitDir = StorageQueries.target(s"stream_kmv_emit_$id")
         val hashes = src
           .select(when(substring(col("source"), 4, 10).cast("int") < 10, lit("a"))
                     .otherwise(lit("b")).as("grp"),
@@ -752,12 +924,17 @@ object StreamingQueries {
           .select(col("grp"), Hashing.h32(col("term")).as("h"))
           .select(col("grp"), pmod(col("h"), lit(8)).cast("int").as("sub"), col("h"))
           .as[Streaming.SubHash]
-        val q = Streaming.kmvSketch(hashes, K)
-          .writeStream.format("memory").queryName(sink)
+        val q = Streaming.kmvSketch(hashes, K).toDF()
+          .writeStream
+          .option("checkpointLocation", StorageQueries.target(s"stream_kmv_ckpt_$id"))
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$emitDir/batch=$batchId")
+            ()
+          }
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
         val w = Window.partitionBy(col("grp"), col("sub")).orderBy(col("n_seen").desc)
-        val latest = spark.table(sink)
+        val latest = spark.read.parquet(emitDir)
           .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         val merged = latest
           .select(col("grp"), explode(col("sketch")).as("h")).distinct()
@@ -770,9 +947,7 @@ object StreamingQueries {
             expr(s"CASE WHEN size(sk) < $K THEN CAST(size(sk) AS BIGINT) " +
                  s"ELSE CAST($num div element_at(sk, $K) AS BIGINT) END").as("kmv_est"))
           .orderBy(col("grp"))
-        val resolved = out.localCheckpoint(eager = true)
-        spark.catalog.dropTempView(sink)
-        resolved
+        out.localCheckpoint(eager = true)
       },
       Some {
         val K = TextQueries.KmvK
@@ -822,18 +997,26 @@ object StreamingQueries {
         val land = landBands(withHashBand(feed, col("doc_id"), 4), 4, "stream_land_hh", dir)
         val src = spark.readStream.schema(feed.schema)
           .option("maxFilesPerTrigger", "1").parquet(land)
-        val sink = s"streaming_hh_${runId.incrementAndGet()}"
+        val id = runId.incrementAndGet()
+        // update-mode emissions → batchId-keyed parquet dirs (see
+        // cdcSnapshotRun); latest per shard selected by monotone n_seen
+        val emitDir = StorageQueries.target(s"stream_hh_emit_$id")
         val shardTerms = src
           .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
           .select(pmod(Hashing.h32(col("term")), lit(8)).cast("int").as("shard"),
                   col("term"))
           .as[Streaming.ShardTerm]
-        val q = Streaming.mgSketch(shardTerms, K)
-          .writeStream.format("memory").queryName(sink)
+        val q = Streaming.mgSketch(shardTerms, K).toDF()
+          .writeStream
+          .option("checkpointLocation", StorageQueries.target(s"stream_hh_ckpt_$id"))
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$emitDir/batch=$batchId")
+            ()
+          }
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
         val w = Window.partitionBy(col("shard")).orderBy(col("n_seen").desc)
-        val summary = spark.table(sink)
+        val summary = spark.read.parquet(emitDir)
           .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
           .select(explode(map_keys(col("summary"))).as("term"))
           .distinct()
@@ -854,9 +1037,7 @@ object StreamingQueries {
                   guaranteed.as("guaranteed"),
                   (!guaranteed || coalesce(col("in_summary"), lit(false))).as("ok"))
           .orderBy(col("n_exact").desc, col("term").asc)
-        val resolved = out.localCheckpoint(eager = true)
-        spark.catalog.dropTempView(sink)
-        resolved
+        out.localCheckpoint(eager = true)
       },
       Some {
         val K = TextQueries.HhK
@@ -904,7 +1085,11 @@ object StreamingQueries {
                   col("event_type"), col("value"))
         batch.repartition(8, col("event_id"))
           .write.mode("overwrite").parquet(land)
-        val sink = s"streaming_file_source_${runId.incrementAndGet()}"
+        val id = runId.incrementAndGet()
+        // complete-mode rollup via foreachBatch whole-dir overwrite (see
+        // q_streaming_source_archive): the last batch's full state is the
+        // answer, landed as files, never driver-resident
+        val rollupDir = StorageQueries.target(s"stream_file_source_rollup_$id")
         val q = spark.readStream.schema(batch.schema)
           .option("maxFilesPerTrigger", "3")
           .parquet(land)
@@ -914,13 +1099,15 @@ object StreamingQueries {
                sum(col("cents")).cast(LongType).as("total_cents"),
                min(col("event_id")).cast(LongType).as("min_event_id"),
                max(col("event_id")).cast(LongType).as("max_event_id"))
-          .writeStream.format("memory").queryName(sink)
+          .writeStream
+          .option("checkpointLocation", StorageQueries.target(s"stream_file_source_ckpt_$id"))
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(rollupDir)
+            ()
+          }
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
-        val out = spark.table(sink)
-        val resolved = out.localCheckpoint(eager = true)
-        spark.catalog.dropTempView(sink)
-        resolved
+        spark.read.parquet(rollupDir).localCheckpoint(eager = true)
       },
       Some("""SELECT event_type, COUNT(*) AS n_events,
              |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
@@ -1047,13 +1234,24 @@ object StreamingQueries {
     val src = spark.readStream.schema(changes.schema)
       .option("maxFilesPerTrigger", "1").parquet(land)
       .as[Streaming.CdcChange]
-    val sink = s"streaming_${tag}_${runId.incrementAndGet()}"
-    val q = Streaming.cdcState(src)
-      .writeStream.format("memory").queryName(sink)
+    val id = runId.incrementAndGet()
+    // update-mode emissions landed via foreachBatch into batchId-keyed
+    // dirs (idempotent overwrite per batch — the q_streaming_foreach_upsert
+    // contract); the readback selects the latest emission per key by its
+    // monotone n_changes, exactly as the memory-sink readback did, but the
+    // emissions live in files, never on the driver
+    val emitDir = StorageQueries.target(s"stream_${tag}_emit_$id")
+    val q = Streaming.cdcState(src).toDF()
+      .writeStream
+      .option("checkpointLocation", StorageQueries.target(s"stream_${tag}_ckpt_$id"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$emitDir/batch=$batchId")
+        ()
+      }
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
     val w = Window.partitionBy(col("user_id")).orderBy(col("n_changes").desc)
-    val out = spark.table(sink)
+    spark.read.parquet(emitDir)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1 && col("op") === "U")
       .select(col("user_id"),
@@ -1061,9 +1259,7 @@ object StreamingQueries {
               col("event_id").cast(LongType).as("last_event_id"),
               col("cents").cast(LongType).as("last_cents"),
               col("n_changes").cast(LongType).as("n_changes"))
-    val resolved = out.localCheckpoint(eager = true)
-    spark.catalog.dropTempView(sink)
-    resolved
+      .localCheckpoint(eager = true)
   }
 
   /** The batch q_cdc_snapshot oracle, shared verbatim by both state-backend

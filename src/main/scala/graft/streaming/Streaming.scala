@@ -106,37 +106,77 @@ object Streaming {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(s =>
-              Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.last <= SessionGapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
-                case Some(s) =>
-                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1L, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1L, e.value))
-              }
-            }
-            cur match {
-              case Some(s) =>
-                state.update(s)
-                if (flushOnTimeout) state.setTimeoutDuration(SessionGapMs)
-              case None => state.remove()
-            }
-            closed.result().iterator
-          }
+          sessionStep(userId, it, state,
+            onOpen = s => if (flushOnTimeout) state.setTimeoutDuration(SessionGapMs))
       }
   }
+
+  /** The sessionizer with the PRODUCTION close path: event-time timeout.
+    * Each update arms `state.setTimeoutTimestamp(last + gap)`; when the
+    * WATERMARK passes that instant the group fires with `hasTimedOut` and
+    * the open session emits — no per-user sentinels, no wall-clock. This
+    * is the close semantics a real deployment runs (a user who goes
+    * silent has their session emitted as soon as event time provably
+    * passes their gap), and the timeout is deterministic in event time,
+    * so a batch oracle can grade it. Requires a watermark on `ts`
+    * upstream (EventTimeTimeout's contract); in-order (time-banded)
+    * arrival guarantees last+gap is always ahead of the current watermark
+    * (setTimeoutTimestamp rejects timestamps the watermark already
+    * passed).
+    */
+  def sessionizeEventTimeout(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"${SessionGapMs / 60000} minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          sessionStep(userId, it, state,
+            onOpen = s => state.setTimeoutTimestamp(s.last + SessionGapMs))
+      }
+  }
+
+  /** One `flatMapGroupsWithState` invocation of the session fold, shared
+    * by both close paths: on timeout emit-and-clear the open session;
+    * otherwise fold this batch's events in event-time order, emitting
+    * every session closed by a gap and arming `onOpen` for the one left
+    * open.
+    */
+  private def sessionStep(
+      userId: Long,
+      it: Iterator[Event],
+      state: GroupState[SessionState],
+      onOpen: SessionState => Unit): Iterator[Session] =
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(s =>
+        Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+      state.remove()
+      out.iterator
+    } else {
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      var cur = state.getOption
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= SessionGapMs =>
+            cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+            cur = Some(SessionState(t, t, 1L, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1L, e.value))
+        }
+      }
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          onOpen(s)
+        case None => state.remove()
+      }
+      closed.result().iterator
+    }
 
   /** Streaming exact dedup of a document stream: one row per normalized
     * content hash, duplicates arriving within the watermark horizon
@@ -179,6 +219,36 @@ object Streaming {
       col("c_user") === col("p_user") &&
         col("click_ts") < col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $AttributionDays DAYS"))
+  }
+
+  /** The LEFT OUTER half of attribution: EVERY purchase emits — matched
+    * purchases as (purchase, click) pairs as soon as both sides arrive
+    * (inner-join behavior), and a purchase with NO click in its lookback
+    * as a single null-click row, emitted only once the CLICK-side
+    * watermark proves no matching click can still arrive (clicks join
+    * strictly before the purchase, so click-watermark ≥ purchase_ts is
+    * the proof of absence). This late, watermark-gated null emission is
+    * the hardest semantics in the stateful-join family: emit early and a
+    * straggler click makes the null row WRONG; never emit and unmatched
+    * purchases silently vanish from the attribution report. Both
+    * watermarks plus the interval predicate bound both state stores
+    * exactly as in the inner join.
+    */
+  def clickAttributionLeftOuter(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(
+      clicks,
+      col("c_user") === col("p_user") &&
+        col("click_ts") < col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $AttributionDays DAYS"),
+      "leftOuter")
   }
 
   /** Stream–static dimension enrichment: the event stream broadcast-hash-

@@ -59,12 +59,24 @@ class LandBandsSpec extends SparkTestBase {
     val land = graft.queries.StreamingQueries.landBands(df, 2, "spec_land_cache", "sfA")
     val b1 = new java.io.File(land, "b0001.parquet")
     assert(b1.isFile)
-    // delete one band, then call again with the SAME key: a pure cache hit
-    // returns without touching the dir, so the hole must remain
-    assert(b1.delete())
+    // a canary distinguishes a cache hit (dir untouched, canary survives)
+    // from a re-land (dir wiped first, canary gone) — band mtimes can't,
+    // they are deterministic stamps
+    val canary = new java.io.File(land, "_canary")
+    java.nio.file.Files.write(canary.toPath, Array[Byte](1)): Unit
+    // same key with all bands intact: a pure cache hit returns without
+    // re-landing
     val land2 = graft.queries.StreamingQueries.landBands(df, 2, "spec_land_cache", "sfA")
-    assert(land2 == land && !b1.exists, "same key must be a no-op cache hit")
+    assert(land2 == land && canary.isFile, "same key must be a no-op cache hit")
+    // delete one band, then call again with the SAME key: the marker alone
+    // is not enough — a hit must see all n band files, so the gap forces a
+    // full re-land instead of silently streaming a partial feed
+    assert(b1.delete())
+    val land3 = graft.queries.StreamingQueries.landBands(df, 2, "spec_land_cache", "sfA")
+    assert(land3 == land && b1.isFile, "missing band on a marker hit must re-land")
+    assert(!canary.exists, "a re-land must start from a wiped dir")
     // a different key (sf switch) must invalidate and fully re-land
+    assert(b1.delete())
     graft.queries.StreamingQueries.landBands(df, 2, "spec_land_cache", "sfB"): Unit
     assert(b1.isFile, "key change must re-land all bands")
   }

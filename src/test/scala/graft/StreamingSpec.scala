@@ -293,4 +293,63 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set(1L, 2L),
            s"expected clicks {1,2} attributed (inclusive 7-day start, exclusive end), got $got")
   }
+
+  test("left-outer attribution emits the null row only after the click watermark proves absence") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // purchase 2 (user 10) has a click; purchase 3 (user 77) has none
+    input.addData(
+      Event(1, ts(10), 10, "click", 0.0),
+      Event(2, ts(20), 10, "purchase", 9.0),
+      Event(3, ts(20), 77, "purchase", 9.0))
+    val q = Streaming.clickAttributionLeftOuter(input.toDF())
+      .writeStream.format("memory").queryName("louter_spec")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    def rows() = spark.table("louter_spec")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    // click watermark is ts(20) − 1h, NOT past purchase 3's ts(20): the
+    // match emits eagerly, the null row must NOT exist yet
+    assert(rows().contains((2L, 1L)), "matched pair must emit eagerly")
+    assert(!rows().exists(_._1 == 3L),
+      "null row must not emit before the watermark proves no click can arrive")
+    // null emission is licensed by the GLOBAL watermark — the MIN of both
+    // sides' — so BOTH sides need a late event: a click alone would leave
+    // the purchase-side watermark at ts(20) − 1h and the global one stuck
+    // there. User 99's pair (joins nothing) pushes the global watermark to
+    // ts(90) − 1h = ts(30) > ts(20): absence is now proven, the null emits
+    input.addData(Event(4, ts(90), 99, "click", 0.0),
+                  Event(5, ts(90), 98, "purchase", 0.0))
+    q.processAllAvailable(); q.stop()
+    val after = rows()
+    spark.catalog.dropTempView("louter_spec")
+    assert(after.count(_ == ((3L, -1L))) == 1,
+      s"exactly one null row for the unmatched purchase once licensed, got $after")
+    assert(after.count(_._1 == 2L) == 1, "matched purchase must not also emit a null row")
+  }
+
+  test("event-time-timeout sessionize closes a session when the watermark passes last+gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 10: two events 10 min apart — one open session
+    input.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(10), 10, "click", 2.0))
+    val q = Streaming.sessionizeEventTimeout(input.toDS())
+      .writeStream.format("memory").queryName("sess_eto_spec")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    def sessions() = spark.table("sess_eto_spec").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSeq
+    assert(sessions().isEmpty, "an open session must not emit before its timeout")
+    // user 11's event pushes the watermark to ts(100) − gap = ts(70), past
+    // user 10's last+gap = ts(40): the timeout fires and the session emits
+    input.addData(Event(3, ts(100), 11, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val got = sessions()
+    spark.catalog.dropTempView("sess_eto_spec")
+    assert(got == Seq((10L, ts(0), ts(10), 2L)),
+      s"user 10's session must close by event-time timeout (and user 11's stay open), got $got")
+  }
 }
