@@ -75,6 +75,13 @@ object Bench {
 
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       spark.catalog.clearCache()
+      // settle the JVM before the timer starts: collect the previous
+      // query-rep's garbage now so ITS collection pause doesn't land
+      // inside THIS rep's measurement — the r10 driver run flagged 21/139
+      // rows noisy vs 1 builder-side, and cross-query GC pressure is the
+      // controllable part of that spread (~50-100 ms per call on a mostly
+      // clean 8 GB heap; bounded, unlike a mid-measurement full GC)
+      System.gc()
       val t0 = System.nanoTime()
       val t =
         try {

