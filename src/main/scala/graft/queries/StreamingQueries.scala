@@ -472,6 +472,67 @@ object StreamingQueries {
              |GROUP BY user_id""".stripMargin)
     ),
 
+    // the SAME event-time-closed sessionization through the STATE-V2
+    // operator ([[Streaming.sessionizeTws]]): `transformWithState` with a
+    // typed `ValueState` and explicit per-key TIMERS — the API Spark is
+    // moving arbitrary state to, and a third independent sessionizer
+    // state machine (GroupState-sentinel, GroupState-event-time-timeout,
+    // StatefulProcessor-timer) that must land on the identical per-user
+    // session partition. The operator requires the RocksDB state store
+    // provider (scoped conf, as in q_streaming_cdc_rocksdb), so this gate
+    // also re-proves the off-heap backend on the timer path. Identical
+    // feed to q_streaming_sessionize_timeout — the landing is shared via
+    // the land-once cache.
+    QueryDef(
+      "q_streaming_sessionize_tws",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          import spark.implicits._
+          graft.GraftSession.tune(spark)
+          val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+          val sentinel = eventsDf.agg(max(col("ts")).as("mts"))
+            .select(lit(-1L).as("event_id"),
+                    expr(s"timestamp_millis(unix_millis(mts) + ${3 * Streaming.SessionGapMs})").as("ts"),
+                    lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+                    lit(0.0).as("value"))
+          val feed = eventsDf.unionByName(sentinel)
+          val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_sess_timeout", dir)
+          val src = spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", "1").parquet(land)
+            .as[Streaming.Event]
+          val id = runId.incrementAndGet()
+          val sinkDir = StorageQueries.target(s"stream_sess_tws_sink_$id")
+          val q = Streaming.sessionizeTws(src).toDF()
+            .writeStream.format("parquet")
+            .option("path", sinkDir)
+            .option("checkpointLocation", StorageQueries.target(s"stream_sess_tws_ckpt_$id"))
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+          spark.read.parquet(sinkDir)
+            .where(col("user_id") =!= -1L)
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).cast(LongType).as("n_sessions"),
+                 sum(col("n_events")).cast(LongType).as("n_events"))
+            .localCheckpoint(eager = true)
+        }
+      },
+      // the batch q_sessionize oracle verbatim — third state machine, same
+      // session partition
+      Some("""SELECT user_id,
+             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
+             |       COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id,
+             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+             |              THEN 1 ELSE 0 END AS is_session_start
+             |  FROM (SELECT user_id, ts, event_id,
+             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |        FROM events))
+             |GROUP BY user_id""".stripMargin)
+    ),
+
     // the REAL watermark-bounded streaming dedup
     // ([[Streaming.streamingDedup]], `dropDuplicatesWithinWatermark` on the
     // normalized content hash) replayed over the documents table. WHICH

@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the `events` stream: watermarked
   * tumbling-window aggregation and custom sessionization state.
@@ -135,6 +135,80 @@ object Streaming {
           sessionStep(userId, it, state,
             onOpen = s => state.setTimeoutTimestamp(s.last + SessionGapMs))
       }
+  }
+
+  /** The THIRD sessionizer implementation, on the state-v2 API: a
+    * [[StatefulProcessor]] run through `transformWithState` (TimeMode
+    * EventTime) — typed `ValueState` + explicit per-key TIMERS instead of
+    * `GroupState`'s single implicit timeout. Each update re-arms one timer
+    * at last+gap (the superseded deadline is deleted — the API allows many
+    * timers per key, this operator wants exactly one live); when the
+    * watermark passes the timer, `handleExpiredTimer` emits the open
+    * session and clears state. Same semantics as
+    * [[sessionizeEventTimeout]] by a different state machine — and the
+    * operator REQUIRES the RocksDB state store provider, so its gate also
+    * re-proves the off-heap backend against the same oracle. This is the
+    * API Spark is moving arbitrary state to; a user migrating off
+    * `flatMapGroupsWithState` copies this shape.
+    */
+  def sessionizeTws(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"${SessionGapMs / 60000} minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The state machine behind [[sessionizeTws]]. Serializable; state
+    * handles are acquired in `init` on the executor.
+    */
+  final class SessionProcessor extends StatefulProcessor[Long, Event, Session] {
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event], tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (st.exists()) Some(st.get()) else None
+      val prevDeadline = cur.map(_.last + SessionGapMs)
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= SessionGapMs =>
+            cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+            cur = Some(SessionState(t, t, 1L, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        val deadline = s.last + SessionGapMs
+        prevDeadline.filter(_ != deadline).foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(deadline)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[Session] =
+      if (st.exists()) {
+        val s = st.get()
+        // guard against a stale timer (superseded deadline whose delete
+        // raced the fire): only a timer at-or-past the CURRENT deadline
+        // closes the session
+        if (info.getExpiryTimeInMs >= s.last + SessionGapMs) {
+          st.clear()
+          Iterator.single(
+            Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+        } else Iterator.empty
+      } else Iterator.empty
   }
 
   /** One `flatMapGroupsWithState` invocation of the session fold, shared

@@ -160,7 +160,18 @@ object ScaleStress {
     "q_streaming_foreach_upsert",
     // cleanSource=archive: the archive move is per-FILE metadata work
     // (4 renames at any factor); the rollup is one complete-mode hash-agg
-    "q_streaming_source_archive")
+    "q_streaming_source_archive",
+    // round-11 additions: the left-outer interval join carries the same
+    // watermark-bounded symmetric state as the inner leg plus an
+    // eviction-time null scan — state tracks the lookback window, not the
+    // corpus; the event-time-timeout sessionizer's timeout sweep is
+    // per-OPEN-session work (live keys, not raw volume); the global sort
+    // is one range exchange + per-partition sort, n log(n/p) per task
+    "q_streaming_left_outer", "q_streaming_sessionize_timeout",
+    "q_global_sort",
+    // state-v2 sessionizer: same per-open-session timer sweep as the
+    // GroupState event-time leg, through RocksDB (off-heap state)
+    "q_streaming_sessionize_tws")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the

@@ -352,4 +352,37 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Seq((10L, ts(0), ts(10), 2L)),
       s"user 10's session must close by event-time timeout (and user 11's stay open), got $got")
   }
+
+  test("transformWithState sessionizer closes by per-key timer when the watermark passes last+gap") {
+    implicit val sqlCtx = spark.sqlContext
+    // the state-v2 operator requires the RocksDB provider
+    GraftSession.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val input = MemoryStream[Event]
+      // batch 1: user 10 has a gap-closed session AND an open one — the
+      // gap close emits inline, the open one arms a timer at ts(50)+gap
+      input.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(2, ts(10), 10, "click", 2.0),
+        Event(3, ts(50), 10, "click", 3.0))
+      val q = Streaming.sessionizeTws(input.toDS())
+        .writeStream.format("memory").queryName("sess_tws_spec")
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      q.processAllAvailable()
+      def sessions() = spark.table("sess_tws_spec").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(sessions() == Set((10L, ts(0), ts(10), 2L)),
+        "the gap-closed session emits inline; the open one must wait for its timer")
+      // user 11's event pushes the watermark to ts(200) − gap = ts(170),
+      // past the open session's deadline ts(50)+30 = ts(80): the timer
+      // fires and exactly that session emits
+      input.addData(Event(4, ts(200), 11, "click", 1.0))
+      q.processAllAvailable(); q.stop()
+      val got = sessions()
+      spark.catalog.dropTempView("sess_tws_spec")
+      assert(got == Set((10L, ts(0), ts(10), 2L), (10L, ts(50), ts(50), 1L)),
+        s"the timer must close the open session (and user 11's stay open), got $got")
+    }
+  }
 }
