@@ -946,6 +946,82 @@ object StreamingQueries {
              |GROUP BY user_id""".stripMargin)
     ),
 
+    // state-v2 RESTART/RECOVERY — the third state shape a checkpoint must
+    // restore: q_streaming_restart covers the built-in aggregation,
+    // q_streaming_restart_sessions the GroupState sessionizer; this
+    // covers `transformWithState`'s TWO state-store column families —
+    // the typed ValueState AND the TIMER REGISTRY. A session open at the
+    // end of run #1 has a timer armed at last+gap persisted in the
+    // checkpointed RocksDB store; run #2 must restore BOTH (a lost timer
+    // never closes the session — it silently vanishes from the output; a
+    // lost ValueState splits it and n_sessions mismatches). Same
+    // two-lifecycle harness (bands 0-1 then 2-3 arriving between real
+    // `start()` calls), same landed feed and lag-gap oracle as the other
+    // sessionizer legs.
+    QueryDef(
+      "q_streaming_restart_tws",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          import spark.implicits._
+          graft.GraftSession.tune(spark)
+          val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+          val sentinel = eventsDf.agg(max(col("ts")).as("mts"))
+            .select(lit(-1L).as("event_id"),
+                    expr(s"timestamp_millis(unix_millis(mts) + ${3 * Streaming.SessionGapMs})").as("ts"),
+                    lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+                    lit(0.0).as("value"))
+          val feed = eventsDf.unionByName(sentinel)
+          // identical feed to q_streaming_sessionize_tws — shares its
+          // landing via the land-once cache
+          val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_sess_timeout", dir)
+          val id = runId.incrementAndGet()
+          val arrival = new java.io.File(StorageQueries.target(s"stream_restart_tws_arrival_$id"))
+          require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
+          val sinkDir = StorageQueries.target(s"stream_restart_tws_sink_$id")
+          val ckpt = StorageQueries.target(s"stream_restart_tws_ckpt_$id")
+          def runOnce(): Unit = {
+            val src = spark.readStream.schema(feed.schema)
+              .option("maxFilesPerTrigger", "1").parquet(arrival.getAbsolutePath)
+              .as[Streaming.Event]
+            val q = Streaming.sessionizeTws(src).toDF()
+              .writeStream.format("parquet")
+              .option("path", sinkDir)
+              .option("checkpointLocation", ckpt)
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+            q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+          }
+          arriveBands(land, arrival, 0 to 1); runOnce()
+          val afterRun1 = sinkRowCount(spark, sinkDir)
+          require(afterRun1 > 0,
+            "state-v2 restart degenerate: run #1 closed no sessions — nothing at stake")
+          arriveBands(land, arrival, 2 to 3); runOnce()
+          require(sinkRowCount(spark, sinkDir) > afterRun1,
+            "state-v2 restart degenerate: run #2 emitted nothing — the resume did no work")
+          spark.read.parquet(sinkDir)
+            .where(col("user_id") =!= -1L)
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).cast(LongType).as("n_sessions"),
+                 sum(col("n_events")).cast(LongType).as("n_events"))
+            .localCheckpoint(eager = true)
+        }
+      },
+      // the batch q_sessionize oracle verbatim: the two-lifecycle session
+      // set must equal one uninterrupted run's
+      Some("""SELECT user_id,
+             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
+             |       COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id,
+             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+             |              THEN 1 ELSE 0 END AS is_session_start
+             |  FROM (SELECT user_id, ts, event_id,
+             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |        FROM events))
+             |GROUP BY user_id""".stripMargin)
+    ),
+
     // streaming KMV distinct-cardinality over the document stream — the
     // sketch × streaming crossover: per-(half, shard) bounded O(k) state
     // via mapGroupsWithState ([[Streaming.kmvSketch]]), fed in FOUR

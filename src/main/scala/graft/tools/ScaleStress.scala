@@ -170,8 +170,10 @@ object ScaleStress {
     "q_streaming_left_outer", "q_streaming_sessionize_timeout",
     "q_global_sort",
     // state-v2 sessionizer: same per-open-session timer sweep as the
-    // GroupState event-time leg, through RocksDB (off-heap state)
-    "q_streaming_sessionize_tws")
+    // GroupState event-time leg, through RocksDB (off-heap state); its
+    // restart grade's recovery cost tracks OPEN sessions + armed timers
+    // (live keys), not raw event volume
+    "q_streaming_sessionize_tws", "q_streaming_restart_tws")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
