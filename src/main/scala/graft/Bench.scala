@@ -73,15 +73,19 @@ object Bench {
       .selectExpr("count(distinct h)").collect()
     Tables.load(spark, sfDir, "region").count()
 
+    // NOTE on a tempting non-fix (measured, round 11): inserting
+    // `System.gc()` before each rep's timer — to keep the previous rep's
+    // collection pause out of the next measurement — made the whole bench
+    // SLOWER and NOISIER, not cleaner: 249.5 s vs 194.6 s total on the
+    // same build at sf0.1. The forced full GC isn't timed, but its
+    // aftermath is: evacuated regions, cold TLABs, and the reference-
+    // queue-driven ContextCleaner churn it triggers all land inside the
+    // following timed region. Per-rep mins absorbed ~+1 s nearly
+    // uniformly, including queries whose code hadn't changed in rounds.
+    // Driver-vs-builder bench spread is host contention; the `n_noisy`
+    // flag documents it, and that is the honest treatment.
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       spark.catalog.clearCache()
-      // settle the JVM before the timer starts: collect the previous
-      // query-rep's garbage now so ITS collection pause doesn't land
-      // inside THIS rep's measurement — the r10 driver run flagged 21/139
-      // rows noisy vs 1 builder-side, and cross-query GC pressure is the
-      // controllable part of that spread (~50-100 ms per call on a mostly
-      // clean 8 GB heap; bounded, unlike a mid-measurement full GC)
-      System.gc()
       val t0 = System.nanoTime()
       val t =
         try {

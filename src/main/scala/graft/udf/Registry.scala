@@ -50,9 +50,13 @@ object Registry {
   def list(dir: String): Seq[Path] = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) Seq.empty
-    else Files.list(root).iterator.asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".sql"))
-      .sortBy(_.getFileName.toString)
+    else {
+      val stream = Files.list(root)
+      try stream.iterator.asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".sql"))
+        .sortBy(_.getFileName.toString)
+      finally stream.close()
+    }
   }
 
   /** Replays every saved DDL into `spark` (sorted file order = saved
