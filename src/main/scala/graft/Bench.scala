@@ -52,7 +52,9 @@ object Bench {
     "q_curation_pipeline", "dedup_clusters", "q_streaming_sessionize",
     "ann_recall", "ann_quantized_recall", "ann_ivf_topk", "q_approx_quantiles",
     "dedup_fuzzy_recall", "dedup_semantic", "dedup_minhash_recall",
-    "q_streaming_click_attribution", "q_streaming_left_outer", "q_triangles")
+    "q_streaming_click_attribution", "q_streaming_left_outer",
+    "q_streaming_sessionize_timeout", "q_streaming_sessionize_tws",
+    "q_streaming_restart_tws", "q_triangles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -910,14 +910,24 @@ object RelationalQueries {
           // harness landing (ingest layout, not a query-body rewrite):
           // the skewed fact as a 16-file table, so the scan has 16
           // mappers and the hot reduce partition is splittable at mapper
-          // granularity — the shape any real multi-file table has
+          // granularity — the shape any real multi-file table has.
+          // Landed ONCE per (process, sfDir) — the content is a
+          // deterministic function of the input, and re-writing it every
+          // bench rep would time harness landing, not the join (the
+          // landBands marker pattern; written LAST so a crashed landing
+          // never looks complete)
           val factDir = StorageQueries.target("skew_fact_land")
-          Tables.events(spark, dir)
-            .select(when(pmod(col("user_id"), lit(4)) < 2, lit(1L))
-                      .otherwise(col("user_id")).as("user_id"),
-                    col("value"))
-            .repartition(16)
-            .write.mode("overwrite").parquet(factDir)
+          val marker = new java.io.File(factDir, "_LANDED_KEY")
+          if (!(marker.isFile &&
+                new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == dir)) {
+            Tables.events(spark, dir)
+              .select(when(pmod(col("user_id"), lit(4)) < 2, lit(1L))
+                        .otherwise(col("user_id")).as("user_id"),
+                      col("value"))
+              .repartition(16)
+              .write.mode("overwrite").parquet(factDir)
+            java.nio.file.Files.write(marker.toPath, dir.getBytes("UTF-8")): Unit
+          }
           val ev = spark.read.parquet(factDir)
           val dim = Tables.customer(spark, dir)
             .select(col("c_custkey").as("user_id"),

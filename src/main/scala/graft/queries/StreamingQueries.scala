@@ -184,6 +184,59 @@ object StreamingQueries {
       cls.getMethod("unloadAll").invoke(m): Unit
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** The batch sessionization oracle (the lag-gap partition), shared
+    * VERBATIM by every sessionizer gate: six independent streaming state
+    * machines/close paths must land on this one answer.
+    */
+  private val SessionizeOracleSql: String =
+    """SELECT user_id,
+      |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
+      |       COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+      |              THEN 1 ELSE 0 END AS is_session_start
+      |  FROM (SELECT user_id, ts, event_id,
+      |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |        FROM events))
+      |GROUP BY user_id""".stripMargin
+
+  /** The timer/timeout sessionizer feed, landed: events + ONE global
+    * sentinel (user −1) at max+3·gap, whose only job is to push the final
+    * watermark (sentinel − gap = max+2·gap) past every real session's
+    * last+gap so every open session times out; the sentinel's own session
+    * (deadline max+4·gap) never fires and readbacks filter user −1.
+    * ONE definition on purpose: the three gates that consume it
+    * (GroupState event-time timeout, transformWithState, and the state-v2
+    * restart) share the cached landing `stream_land_sess_timeout`, and the
+    * landBands cache key is (sfDir, n) — construction drift between copies
+    * would silently stream another query's bands within a process.
+    * Returns (feed schema source, landed dir).
+    */
+  private def timeoutSessionFeed(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): (DataFrame, String) = {
+    val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+    val sentinel = eventsDf.agg(max(col("ts")).as("mts"))
+      .select(lit(-1L).as("event_id"),
+              expr(s"timestamp_millis(unix_millis(mts) + ${3 * Streaming.SessionGapMs})").as("ts"),
+              lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+              lit(0.0).as("value"))
+    val feed = eventsDf.unionByName(sentinel)
+    (feed, landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_sess_timeout", dir))
+  }
+
+  /** The per-user session rollup every sessionizer gate reads back from
+    * its sink (filtering the sentinel user), column-matched to
+    * [[SessionizeOracleSql]].
+    */
+  private def sessionRollup(sessions: DataFrame): DataFrame =
+    sessions
+      .where(col("user_id") =!= -1L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_sessions"),
+           sum(col("n_events")).cast(LongType).as("n_events"))
+      .localCheckpoint(eager = true)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_streaming_sessionize",
@@ -227,17 +280,7 @@ object StreamingQueries {
       },
       // the batch q_sessionize oracle, verbatim: the stream must land on
       // the identical per-user session partition
-      Some("""SELECT user_id,
-             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
-             |       COUNT(*) AS n_events
-             |FROM (
-             |  SELECT user_id,
-             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
-             |              THEN 1 ELSE 0 END AS is_session_start
-             |  FROM (SELECT user_id, ts, event_id,
-             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-             |        FROM events))
-             |GROUP BY user_id""".stripMargin)
+      Some(SessionizeOracleSql)
     ),
 
     // the SAME streaming sessionization through Spark's BUILT-IN
@@ -284,17 +327,7 @@ object StreamingQueries {
           .localCheckpoint(eager = true)
       },
       // the batch q_sessionize oracle verbatim (same as q_streaming_sessionize)
-      Some("""SELECT user_id,
-             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
-             |       COUNT(*) AS n_events
-             |FROM (
-             |  SELECT user_id,
-             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
-             |              THEN 1 ELSE 0 END AS is_session_start
-             |  FROM (SELECT user_id, ts, event_id,
-             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-             |        FROM events))
-             |GROUP BY user_id""".stripMargin)
+      Some(SessionizeOracleSql)
     ),
 
     // the REAL stream-stream interval join ([[Streaming.clickAttribution]]):
@@ -431,14 +464,7 @@ object StreamingQueries {
       (spark, dir) => withStreamParts(spark) {
         import spark.implicits._
         graft.GraftSession.tune(spark)
-        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
-        val sentinel = eventsDf.agg(max(col("ts")).as("mts"))
-          .select(lit(-1L).as("event_id"),
-                  expr(s"timestamp_millis(unix_millis(mts) + ${3 * Streaming.SessionGapMs})").as("ts"),
-                  lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-                  lit(0.0).as("value"))
-        val feed = eventsDf.unionByName(sentinel)
-        val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_sess_timeout", dir)
+        val (feed, land) = timeoutSessionFeed(spark, dir)
         val src = spark.readStream.schema(feed.schema)
           .option("maxFilesPerTrigger", "1").parquet(land)
           .as[Streaming.Event]
@@ -450,26 +476,11 @@ object StreamingQueries {
           .option("checkpointLocation", StorageQueries.target(s"stream_sess_timeout_ckpt_$id"))
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
-        spark.read.parquet(sinkDir)
-          .where(col("user_id") =!= -1L)
-          .groupBy(col("user_id"))
-          .agg(count(lit(1)).cast(LongType).as("n_sessions"),
-               sum(col("n_events")).cast(LongType).as("n_events"))
-          .localCheckpoint(eager = true)
+        sessionRollup(spark.read.parquet(sinkDir))
       },
       // the batch q_sessionize oracle verbatim: timeout-closed sessions
       // must equal the lag-gap partition
-      Some("""SELECT user_id,
-             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
-             |       COUNT(*) AS n_events
-             |FROM (
-             |  SELECT user_id,
-             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
-             |              THEN 1 ELSE 0 END AS is_session_start
-             |  FROM (SELECT user_id, ts, event_id,
-             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-             |        FROM events))
-             |GROUP BY user_id""".stripMargin)
+      Some(SessionizeOracleSql)
     ),
 
     // the SAME event-time-closed sessionization through the STATE-V2
@@ -491,14 +502,7 @@ object StreamingQueries {
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
           import spark.implicits._
           graft.GraftSession.tune(spark)
-          val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
-          val sentinel = eventsDf.agg(max(col("ts")).as("mts"))
-            .select(lit(-1L).as("event_id"),
-                    expr(s"timestamp_millis(unix_millis(mts) + ${3 * Streaming.SessionGapMs})").as("ts"),
-                    lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-                    lit(0.0).as("value"))
-          val feed = eventsDf.unionByName(sentinel)
-          val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_sess_timeout", dir)
+          val (feed, land) = timeoutSessionFeed(spark, dir)
           val src = spark.readStream.schema(feed.schema)
             .option("maxFilesPerTrigger", "1").parquet(land)
             .as[Streaming.Event]
@@ -510,27 +514,12 @@ object StreamingQueries {
             .option("checkpointLocation", StorageQueries.target(s"stream_sess_tws_ckpt_$id"))
             .outputMode("append").trigger(Trigger.AvailableNow()).start()
           q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
-          spark.read.parquet(sinkDir)
-            .where(col("user_id") =!= -1L)
-            .groupBy(col("user_id"))
-            .agg(count(lit(1)).cast(LongType).as("n_sessions"),
-                 sum(col("n_events")).cast(LongType).as("n_events"))
-            .localCheckpoint(eager = true)
+          sessionRollup(spark.read.parquet(sinkDir))
         }
       },
       // the batch q_sessionize oracle verbatim — third state machine, same
       // session partition
-      Some("""SELECT user_id,
-             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
-             |       COUNT(*) AS n_events
-             |FROM (
-             |  SELECT user_id,
-             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
-             |              THEN 1 ELSE 0 END AS is_session_start
-             |  FROM (SELECT user_id, ts, event_id,
-             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-             |        FROM events))
-             |GROUP BY user_id""".stripMargin)
+      Some(SessionizeOracleSql)
     ),
 
     // the REAL watermark-bounded streaming dedup
@@ -933,17 +922,7 @@ object StreamingQueries {
       },
       // the batch q_sessionize oracle verbatim: the two-lifecycle session
       // set must equal one uninterrupted run's
-      Some("""SELECT user_id,
-             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
-             |       COUNT(*) AS n_events
-             |FROM (
-             |  SELECT user_id,
-             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
-             |              THEN 1 ELSE 0 END AS is_session_start
-             |  FROM (SELECT user_id, ts, event_id,
-             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-             |        FROM events))
-             |GROUP BY user_id""".stripMargin)
+      Some(SessionizeOracleSql)
     ),
 
     // state-v2 RESTART/RECOVERY — the third state shape a checkpoint must
@@ -966,16 +945,9 @@ object StreamingQueries {
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
           import spark.implicits._
           graft.GraftSession.tune(spark)
-          val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
-          val sentinel = eventsDf.agg(max(col("ts")).as("mts"))
-            .select(lit(-1L).as("event_id"),
-                    expr(s"timestamp_millis(unix_millis(mts) + ${3 * Streaming.SessionGapMs})").as("ts"),
-                    lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
-                    lit(0.0).as("value"))
-          val feed = eventsDf.unionByName(sentinel)
-          // identical feed to q_streaming_sessionize_tws — shares its
-          // landing via the land-once cache
-          val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_sess_timeout", dir)
+          // identical feed to q_streaming_sessionize_tws — ONE construction,
+          // shared landing via the land-once cache
+          val (feed, land) = timeoutSessionFeed(spark, dir)
           val id = runId.incrementAndGet()
           val arrival = new java.io.File(StorageQueries.target(s"stream_restart_tws_arrival_$id"))
           require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
@@ -999,27 +971,12 @@ object StreamingQueries {
           arriveBands(land, arrival, 2 to 3); runOnce()
           require(sinkRowCount(spark, sinkDir) > afterRun1,
             "state-v2 restart degenerate: run #2 emitted nothing — the resume did no work")
-          spark.read.parquet(sinkDir)
-            .where(col("user_id") =!= -1L)
-            .groupBy(col("user_id"))
-            .agg(count(lit(1)).cast(LongType).as("n_sessions"),
-                 sum(col("n_events")).cast(LongType).as("n_events"))
-            .localCheckpoint(eager = true)
+          sessionRollup(spark.read.parquet(sinkDir))
         }
       },
       // the batch q_sessionize oracle verbatim: the two-lifecycle session
       // set must equal one uninterrupted run's
-      Some("""SELECT user_id,
-             |       CAST(SUM(is_session_start) AS BIGINT) AS n_sessions,
-             |       COUNT(*) AS n_events
-             |FROM (
-             |  SELECT user_id,
-             |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
-             |              THEN 1 ELSE 0 END AS is_session_start
-             |  FROM (SELECT user_id, ts, event_id,
-             |               LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-             |        FROM events))
-             |GROUP BY user_id""".stripMargin)
+      Some(SessionizeOracleSql)
     ),
 
     // streaming KMV distinct-cardinality over the document stream — the

@@ -35,11 +35,16 @@ object Registry {
   /** Writes each DDL as `NNNN_<sanitized-name>.sql` under `dir` (created if
     * missing), index-prefixed so [[bootstrap]]'s sorted replay preserves the
     * caller's dependency order (a TVF whose body calls a scalar UDF must be
-    * created after it — Spark analyzes the body at CREATE time).
+    * created after it — Spark analyzes the body at CREATE time). The save
+    * REPLACES the registry: stale `.sql` files from a previous save are
+    * removed first, so a shrunk or reordered managed set never leaves
+    * orphan DDL for [[bootstrap]] to replay (the registry is a projection
+    * of the managed set, not an append log).
     */
   def save(dir: String, entries: Seq[(String, String)]): Unit = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
+    list(dir).foreach(Files.delete)
     entries.zipWithIndex.foreach { case ((name, ddl), i) =>
       val safe = name.replaceAll("[^A-Za-z0-9_.]", "_")
       Files.writeString(root.resolve(f"$i%04d_$safe.sql"), ddl): Unit

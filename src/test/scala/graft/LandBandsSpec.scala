@@ -75,9 +75,11 @@ class LandBandsSpec extends SparkTestBase {
     val land3 = graft.queries.StreamingQueries.landBands(df, 2, "spec_land_cache", "sfA")
     assert(land3 == land && b1.isFile, "missing band on a marker hit must re-land")
     assert(!canary.exists, "a re-land must start from a wiped dir")
-    // a different key (sf switch) must invalidate and fully re-land
-    assert(b1.delete())
+    // a different key (sf switch) must invalidate a STRUCTURALLY COMPLETE
+    // landing: all bands intact, canary planted — only the key comparison
+    // can force this re-land, so a key-check regression fails here
+    java.nio.file.Files.write(canary.toPath, Array[Byte](1)): Unit
     graft.queries.StreamingQueries.landBands(df, 2, "spec_land_cache", "sfB"): Unit
-    assert(b1.isFile, "key change must re-land all bands")
+    assert(b1.isFile && !canary.exists, "key change must wipe and re-land all bands")
   }
 }
