@@ -373,6 +373,66 @@ object StreamingQueries {
               |GROUP BY p.event_id""".stripMargin)
     ),
 
+    // stream-stream JOIN restart/recovery — completing the restart
+    // matrix's fourth state shape (built-in agg, GroupState, state-v2
+    // timers, and now the SYMMETRIC JOIN'S TWO BUFFERS): the inner
+    // interval join run as two `start()` lifecycles against one
+    // checkpoint. The sharp edge: a click that arrived in run #1 whose
+    // matching purchase only arrives in run #2 — the click sits in the
+    // join's click-side state store when run #1 terminates, and run #2
+    // must restore BOTH sides' buffers and emit the cross-lifecycle pair,
+    // or late purchases lose attribution counts and the rollup
+    // hash-mismatches the batch interval-join oracle (the lookback is
+    // 7 days and bands split the corpus mid-stream, so cross-boundary
+    // pairs are guaranteed dense). Inner join = eager emission, so no
+    // sentinels; the same rollup/oracle as q_streaming_click_attribution.
+    QueryDef(
+      "q_streaming_restart_join",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_click_attr", dir)
+        val id = runId.incrementAndGet()
+        val arrival = new java.io.File(StorageQueries.target(s"stream_restart_join_arrival_$id"))
+        require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
+        val sinkDir = StorageQueries.target(s"stream_restart_join_sink_$id")
+        val ckpt = StorageQueries.target(s"stream_restart_join_ckpt_$id")
+        def runOnce(): Unit = {
+          val src = spark.readStream.schema(eventsDf.schema)
+            .option("maxFilesPerTrigger", "1").parquet(arrival.getAbsolutePath)
+          val q = Streaming.clickAttribution(src)
+            .writeStream.format("parquet")
+            .option("path", sinkDir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+        }
+        arriveBands(land, arrival, 0 to 1); runOnce()
+        val afterRun1 = sinkRowCount(spark, sinkDir)
+        require(afterRun1 > 0,
+          "join restart degenerate: run #1 emitted no pairs — nothing at stake in the resume")
+        arriveBands(land, arrival, 2 to 3); runOnce()
+        require(sinkRowCount(spark, sinkDir) > afterRun1,
+          "join restart degenerate: run #2 emitted nothing — the resume did no work")
+        spark.read.parquet(sinkDir)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_clicks"),
+               max(col("click_ts")).as("last_click_ts"))
+          .localCheckpoint(eager = true)
+      },
+      // q_streaming_click_attribution's oracle verbatim: the two-lifecycle
+      // pair set must equal one uninterrupted run's
+      Some(s"""SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+              |       MAX(c.ts) AS last_click_ts
+              |FROM events p JOIN events c
+              |  ON c.user_id = p.user_id
+              | AND c.event_type = 'click'
+              | AND c.ts < p.ts
+              | AND c.ts >= p.ts - INTERVAL ${Streaming.AttributionDays} DAY
+              |WHERE p.event_type = 'purchase'
+              |GROUP BY p.event_id""".stripMargin)
+    ),
+
     // the stream-stream LEFT OUTER interval join
     // ([[Streaming.clickAttributionLeftOuter]]) — the other half of
     // attribution: EVERY purchase must appear, and a purchase with no

@@ -173,7 +173,10 @@ object ScaleStress {
     // GroupState event-time leg, through RocksDB (off-heap state); its
     // restart grade's recovery cost tracks OPEN sessions + armed timers
     // (live keys), not raw event volume
-    "q_streaming_sessionize_tws", "q_streaming_restart_tws")
+    "q_streaming_sessionize_tws", "q_streaming_restart_tws",
+    // join restart: recovery restores the two symmetric join buffers,
+    // whose size the watermark+interval bound to the lookback window
+    "q_streaming_restart_join")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
