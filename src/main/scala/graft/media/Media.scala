@@ -51,6 +51,20 @@ final case class WavFeatures(
     peak_abs: Long
 )
 
+/** Features decoded + temporally sampled from a real Y4M payload (see
+  * [[Y4m]]): all-integer consequences of the decoded sampled planes, so the
+  * DuckDB oracle lands on identical values from the generating formulas.
+  */
+final case class Y4mFeatures(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    n_sampled: Int,
+    y_sum_sampled: Long,
+    sampled_md5: String
+)
+
 /** A real, pure-JVM image codec: 24-bit uncompressed BMP (BITMAPFILEHEADER
   * + BITMAPINFOHEADER, BI_RGB). This is the one genuinely decodable format
   * in a container with no image libraries — the decoder must get the
@@ -383,6 +397,58 @@ object Media {
         md.reset()
         val digest = md.digest(hexLower(decoded).getBytes("UTF-8"))
         BmpFeatures(id, dw, dh, dw.toLong * dh, hexLower(digest))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ real Y4M
+
+  /** Deterministic per-document VIDEO spec for the Y4M fixture: C444 at the
+    * [[bmpDims]] frame size, n = 1 + doc_id%8 frames (the same frame-count
+    * formula as [[mediaTable]]), plane bytes affine in (doc_id, frame, k)
+    * with coprime strides so a frame-boundary or plane-order defect changes
+    * bytes. The ORACLE recomputes every output from these formulas directly
+    * — never through Y4M — so encode→decode→sample must round-trip exactly.
+    */
+  def y4mFrameCount(docId: Long): Int = (1 + docId % 8).toInt
+
+  def y4mY(docId: Long, t: Int, k: Int): Byte = ((docId * 31 + t * 17 + k.toLong * 7 + 13) % 256).toByte
+  def y4mU(docId: Long, t: Int, k: Int): Byte = ((docId * 5 + t * 11 + k.toLong * 3 + 1) % 256).toByte
+  def y4mV(docId: Long, t: Int, k: Int): Byte = ((docId * 3 + t * 13 + k.toLong * 5 + 2) % 256).toByte
+
+  /** Per-id: synthesize frames → encode as a real Y4M stream → decode with
+    * the real parser → TEMPORAL SAMPLE (every 2nd frame, the same 1-based-
+    * odd-positions rule as [[sampleFrames]]) → features from the DECODED
+    * sampled planes only. This is the video-ingest shape — parse the
+    * container once, then subsample frames BEFORE any expensive per-frame
+    * work — and it is map-only: payloads never cross a shuffle.
+    */
+  def y4mRoundTrip(ids: Dataset[java.lang.Long]): Dataset[Y4mFeatures] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val (w, h) = bmpDims(id)
+        val planeLen = w * h
+        val frames = (0 until y4mFrameCount(id)).map { t =>
+          Y4m.Frame(
+            Array.tabulate(planeLen)(k => y4mY(id, t, k)),
+            Array.tabulate(planeLen)(k => y4mU(id, t, k)),
+            Array.tabulate(planeLen)(k => y4mV(id, t, k)))
+        }
+        val (dw, dh, decoded) = Y4m.decode(Y4m.encode(w, h, frames))
+        val sampled = decoded.zipWithIndex.collect { case (f, t) if t % 2 == 0 => f }
+        var ySum = 0L
+        val hex = new java.lang.StringBuilder(sampled.size * 3 * planeLen * 2)
+        sampled.foreach { f =>
+          f.y.foreach { b => ySum += (b & 0xff); hex.append(f"${b & 0xff}%02x") }
+          f.u.foreach(b => hex.append(f"${b & 0xff}%02x"))
+          f.v.foreach(b => hex.append(f"${b & 0xff}%02x"))
+        }
+        md.reset()
+        val digest = md.digest(hex.toString.getBytes("UTF-8"))
+        Y4mFeatures(id, dw, dh, decoded.size, sampled.size, ySum, hexLower(digest))
       }
     }
   }

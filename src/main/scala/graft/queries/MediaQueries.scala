@@ -227,6 +227,53 @@ object MediaQueries {
       }
     ),
 
+    // the first VIDEO codec: YUV4MPEG2 ([[graft.media.Y4m]] — ASCII tagged
+    // stream header, per-frame FRAME markers, raw C444 Y/U/V planes). Per
+    // doc a deterministic multi-frame video is encoded to a real Y4M
+    // stream, re-decoded with the real parser, then TEMPORALLY SAMPLED
+    // (every 2nd frame — the video-ingest shape: parse the container once,
+    // subsample frames BEFORE any per-frame work); every output (dims,
+    // frame counts, sampled luma sum, sampled-plane hash) is computed from
+    // the DECODED planes only, and the oracle recomputes all of them from
+    // the generating formulas — a plane-order, frame-boundary, or header
+    // defect mismatches. Completes the modality set: image (BMP/PPM/PNG/
+    // GIF) + audio (WAV) + video (Y4M).
+    QueryDef(
+      "media_y4m_frames",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val ids = Tables.documents(spark, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        Media.y4mRoundTrip(ids).toDF()
+      },
+      Some {
+        // sampled frames t = 2s for s in 0..(n_frames-1)//2; per frame the
+        // hex stream is Y then U then V plane bytes in k order — exactly
+        // the string the Spark side hashes from the decoder's output
+        def plane(f: String) =
+          s"list_transform(generate_series(0, width*height - 1), k -> printf('%02x', $f))"
+        val y = "(doc_id*31 + (s*2)*17 + k*7 + 13) % 256"
+        val u = "(doc_id*5 + (s*2)*11 + k*3 + 1) % 256"
+        val v = "(doc_id*3 + (s*2)*13 + k*5 + 2) % 256"
+        val hex = "list_aggregate(flatten(list_transform(generate_series(0, (n_frames-1)//2), s -> " +
+          s"${plane(y)} || ${plane(u)} || ${plane(v)})), 'string_agg', '')"
+        val ySum = "list_aggregate(flatten(list_transform(generate_series(0, (n_frames-1)//2), s -> " +
+          s"list_transform(generate_series(0, width*height - 1), k -> CAST($y AS BIGINT)))), 'sum')"
+        s"""SELECT doc_id, width, height, n_frames,
+           |       CAST((n_frames + 1) // 2 AS INT) AS n_sampled,
+           |       CAST($ySum AS BIGINT) AS y_sum_sampled,
+           |       md5($hex) AS sampled_md5
+           |FROM (
+           |  SELECT doc_id,
+           |         CAST(4 + doc_id % 5 AS INT) AS width,
+           |         CAST(3 + doc_id % 4 AS INT) AS height,
+           |         CAST(1 + doc_id % 8 AS INT) AS n_frames
+           |  FROM documents
+           |)""".stripMargin
+      }
+    ),
+
     // third REAL codec — and the first AUDIO one: RIFF/WAVE 16-bit mono
     // PCM ([[graft.media.Wav]]: real chunk walker with word alignment,
     // fmt validation, hardened sizes). Per doc a deterministic integer

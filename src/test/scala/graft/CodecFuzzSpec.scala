@@ -1,6 +1,6 @@
 package graft
 
-import graft.media.{Bmp, Gif, Media, Png, Ppm, Wav}
+import graft.media.{Bmp, Gif, Media, Png, Ppm, Wav, Y4m}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -224,6 +224,95 @@ class CodecFuzzSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](Png.decode(hostile))
     assert(ex.getMessage.contains("IDAT too small"),
       s"hostile dims must hit the pre-allocation bound, got: ${ex.getMessage}")
+  }
+
+  private val genVideo: Gen[(Int, Int, Seq[Y4m.Frame])] = for {
+    w <- Gen.choose(1, 10)
+    h <- Gen.choose(1, 8)
+    n <- Gen.choose(1, 6)
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    def plane() = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    (w, h, Seq.fill(n)(Y4m.Frame(plane(), plane(), plane())))
+  }
+
+  test("Y4M: random round-trip preserves every plane of every frame") {
+    for (i <- 0 until 200) {
+      val (w, h, frames) = sample(genVideo, 0x74D0000L + i)
+      val (dw, dh, back) = Y4m.decode(Y4m.encode(w, h, frames))
+      assert(dw == w && dh == h && back.size == frames.size)
+      frames.zip(back).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a.y, b.y) && java.util.Arrays.equals(a.u, b.u)
+          && java.util.Arrays.equals(a.v, b.v), s"Y4M round-trip drifted at ${w}x$h")
+      }
+    }
+  }
+
+  test("Y4M: 1000+ single-byte mutations reject cleanly or decode") {
+    for (i <- 0 until 1100) {
+      val (w, h, frames) = sample(genVideo, 0x74D1000L + i)
+      val valid = Y4m.encode(w, h, frames)
+      cleanly(s"Y4M decode of mutated input #$i", mutate(valid, 0x74D2000L + i))(Y4m.decode): Unit
+    }
+  }
+
+  test("Y4M: truncations accepted ONLY at exact frame boundaries, as a frame prefix") {
+    // unlike the image codecs, Y4M declares no frame count — a stream cut
+    // exactly after a complete frame IS a valid shorter video (that is how
+    // the format streams). The contract under truncation: mid-frame and
+    // mid-header cuts reject cleanly; boundary cuts decode to a prefix.
+    for (i <- 0 until 20) {
+      val (w, h, frames) = sample(genVideo, 0x74D3000L + i)
+      val valid = Y4m.encode(w, h, frames)
+      val headerLen = valid.indexOf('\n'.toByte) + 1
+      val frameLen = "FRAME\n".length + 3 * w * h
+      for (len <- 0 until valid.length) {
+        cleanly(s"Y4M decode of $len-byte truncation", java.util.Arrays.copyOf(valid, len))(Y4m.decode) match {
+          case Some((dw, dh, back)) =>
+            assert(len >= headerLen && (len - headerLen) % frameLen == 0,
+              s"Y4M accepted a mid-frame truncation at $len of ${valid.length}")
+            assert(dw == w && dh == h && back.size == (len - headerLen) / frameLen)
+            back.zip(frames).foreach { case (b, a) =>
+              assert(java.util.Arrays.equals(b.y, a.y) && java.util.Arrays.equals(b.u, a.u)
+                && java.util.Arrays.equals(b.v, a.v))
+            }
+          case None => // clean reject — always fine
+        }
+      }
+    }
+  }
+
+  test("Y4M: random garbage bytes reject cleanly") {
+    for (i <- 0 until 400) {
+      val rnd = new scala.util.Random(0x74D4000L + i)
+      val junk = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      cleanly(s"Y4M decode of garbage #$i", junk)(Y4m.decode): Unit
+    }
+  }
+
+  test("Y4M rejects a tiny hostile header claiming huge dimensions BEFORE allocating") {
+    // the frame-size bound must fire on the header alone — before any
+    // FRAME walk or plane allocation
+    val hostile = "YUV4MPEG2 W1000000 H1000000 F25:1 C444\nFRAME\n".getBytes("US-ASCII")
+    val ex = intercept[IllegalArgumentException](Y4m.decode(hostile))
+    assert(ex.getMessage.contains("frame size exceeds bound"),
+      s"hostile dims must hit the pre-allocation bound, got: ${ex.getMessage}")
+  }
+
+  test("Y4M rejects non-C444 colorspaces, including the implicit spec default") {
+    val frames = Seq(Y4m.Frame(Array.fill(4)(1.toByte), Array.fill(4)(2.toByte), Array.fill(4)(3.toByte)))
+    val valid = Y4m.encode(2, 2, frames)
+    // C420: different plane sizes — must reject, not mis-slice
+    val c420 = new String(valid, "ISO-8859-1").replace("C444", "C420").getBytes("ISO-8859-1")
+    assert(cleanly("Y4M C420", c420)(Y4m.decode).isEmpty)
+    // ABSENT C tag: the spec default is 4:2:0, so accepting it as C444
+    // would silently mis-slice planes — it must reject
+    val noC = new String(valid, "ISO-8859-1").replace(" C444", "").getBytes("ISO-8859-1")
+    assert(cleanly("Y4M absent C tag", noC)(Y4m.decode).isEmpty)
+    // unknown X metadata tag must be tolerated (spec-conformant streams carry them)
+    val withX = new String(valid, "ISO-8859-1").replace("C444", "C444 XYSCSS=444").getBytes("ISO-8859-1")
+    assert(cleanly("Y4M with X tag", withX)(Y4m.decode).isDefined)
   }
 
   test("codec fixture matches across all four image codecs exactly (four-way)") {
