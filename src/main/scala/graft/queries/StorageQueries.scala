@@ -348,6 +348,83 @@ object StorageQueries {
              |GROUP BY 1, 2""".stripMargin)
     ),
 
+    // TFRecord shard export + re-read — the canonical TRAINING-SHARD wire
+    // format ([[graft.sources.TfRecord]]: uint64-length + masked-CRC32C
+    // framing, both CRCs verified per record on read). This is the 100 TB
+    // export path a training pipeline actually ships: an explicit
+    // repartition to the shard count, then each task STREAMS its shard to
+    // one .tfrecord file (write-to-temp + atomic rename, so task retries
+    // and bench reps are idempotent — last writer wins with identical
+    // bytes, since a hash repartition is deterministic), no driver
+    // involvement beyond shard-count metadata. The read leg is the real
+    // distributed path too: binaryFile lists the shard files and each
+    // task re-frames one shard with the strict reader — so every length
+    // word and every CRC in every shard is re-verified in-gate — and the
+    // per-doc payload digests must hash-match the oracle, which computes
+    // them from the ORIGINAL table: a framing defect, lost/duplicated
+    // record, or payload corruption anywhere mismatches. Scale: shard
+    // grain is the unit of parallelism on both legs (same as production,
+    // where shard size ~512 MB is tuned so a task's stream fits memory);
+    // payloads never cross a shuffle after the one explicit repartition.
+    QueryDef(
+      "q_tfrecord_shards",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val tgt = target("tfrecord_shards")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
+        val nShards = 8
+        val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        val shardStats = docs.repartition(nShards, col("doc_id"))
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+            val dst = java.nio.file.Paths.get(tgt, f"shard-$pid%05d.tfrecord")
+            val tmp = java.nio.file.Paths.get(tgt, f"_tmp-$pid%05d-$attempt")
+            val out = new java.io.BufferedOutputStream(
+              java.nio.file.Files.newOutputStream(tmp))
+            var n = 0L
+            try {
+              it.foreach { row =>
+                val payload = (row.getLong(0).toString + "\t" + row.getString(1))
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                graft.sources.TfRecord.writeRecord(out, payload)
+                n += 1
+              }
+            } finally out.close()
+            java.nio.file.Files.move(tmp, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            Iterator.single((pid, n))
+          }
+        // metadata-grain action (nShards rows) forces the export and pins
+        // the shard layout before the read leg lists the directory
+        val layout = shardStats.toDF("shard", "n_records")
+          .agg(countDistinct(col("shard")).cast("long"),
+               sum(col("n_records")).cast("long")).first()
+        require(layout.getLong(0) == nShards,
+          s"expected $nShards shard files, saw ${layout.getLong(0)} writer tasks")
+        require(layout.getLong(1) > 0, "no records exported")
+        spark.read.format("binaryFile")
+          .option("pathGlobFilter", "shard-*.tfrecord").load(tgt)
+          .select(col("content")).as[Array[Byte]]
+          .flatMap { shard =>
+            graft.sources.TfRecord.readAll(shard).iterator.map { payload =>
+              val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+              (s.substring(0, s.indexOf('\t')).toLong, payload)
+            }
+          }
+          .toDF("doc_id", "payload")
+          .select(col("doc_id"),
+                  octet_length(col("payload")).cast("long").as("payload_bytes"),
+                  md5(col("payload")).as("payload_md5"))
+      },
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(CAST(doc_id AS VARCHAR) || chr(9) || text)) AS BIGINT) AS payload_bytes,
+             |       md5(CAST(doc_id AS VARCHAR) || chr(9) || text) AS payload_md5
+             |FROM documents""".stripMargin)
+    ),
+
     // dbt's VIEW MATERIALIZATION — the remaining cell of the
     // materialization matrix (table = q_ctas_roundtrip, incremental =
     // q_incremental_model, snapshot = q_scd2/q_cdc, seed =
