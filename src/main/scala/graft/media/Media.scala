@@ -51,6 +51,18 @@ final case class WavFeatures(
     peak_abs: Long
 )
 
+/** Pitch-detection features from a real WAV payload (see [[Media.wavPitch]]):
+  * the autocorrelation argmax and its supporting integer sums, all computed
+  * from the decoded samples.
+  */
+final case class WavPitch(
+    doc_id: Long,
+    n_samples: Long,
+    best_lag: Int,
+    r_best: Long,
+    r0: Long
+)
+
 /** Features decoded + temporally sampled from a real Y4M payload (see
   * [[Y4m]]): all-integer consequences of the decoded sampled planes, so the
   * DuckDB oracle lands on identical values from the generating formulas.
@@ -525,6 +537,60 @@ object Media {
       }
       WavFeatures(id, rate2, decoded2.length.toLong,
         decoded2.length.toLong * 1000L / rate2, sumSq, peak)
+    })
+  }
+
+  /** Deterministic per-document PERIODIC audio spec for the pitch fixture:
+    * a pure sawtooth with period p = 16 + doc_id%17 samples (sample
+    * i = (i mod p)·64 − 1024), n = 200 + doc_id%200 samples — so the
+    * autocorrelation argmax over the lag search window recovers p exactly
+    * (validated exhaustively over the id space: for an exactly periodic
+    * signal R(p) is a sum of n−p squares, strictly above every other lag
+    * in the window).
+    */
+  def wavPitchPeriod(docId: Long): Int = (16 + docId % 17).toInt
+
+  def wavPitchSample(docId: Long, i: Int): Short =
+    ((i % wavPitchPeriod(docId)) * 64 - 1024).toShort
+
+  /** Lag search window for [[wavPitch]]: covers every fixture period
+    * (16..32) plus headroom to 40 so the first harmonic's 2p candidate is
+    * IN the window for small p — the detector must beat it on R, not be
+    * protected from it. Lower lags are excluded the way every
+    * autocorrelation pitch detector excludes them (R(small lag) tracks
+    * R(0) for any slowly-varying signal).
+    */
+  val PitchMinLag = 16
+  val PitchMaxLag = 40
+
+  /** Audio FEATURE EXTRACTION through the real codec: decode the WAV,
+    * then detect the fundamental period by integer autocorrelation —
+    * R(lag) = Σ s[i]·s[i+lag], argmax over the lag window, first-occurrence
+    * tie-break (matches the oracle's list_position). All-integer math so
+    * the result is bit-equal cross-engine; every output derives from the
+    * DECODED samples only. O(n·window) per doc, map-only.
+    */
+  def wavPitch(ids: Dataset[java.lang.Long]): Dataset[WavPitch] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions(_.map { boxed =>
+      val id = boxed.longValue()
+      val n = wavSampleCount(id)
+      val samples = Array.tabulate(n)(i => wavPitchSample(id, i))
+      val (_, s) = Wav.decode(Wav.encode(WavRate, samples))
+      var r0 = 0L
+      var i = 0
+      while (i < s.length) { r0 += s(i).toLong * s(i); i += 1 }
+      var bestLag = -1
+      var bestR = Long.MinValue
+      var lag = PitchMinLag
+      while (lag <= PitchMaxLag) {
+        var r = 0L
+        var j = 0
+        while (j + lag < s.length) { r += s(j).toLong * s(j + lag); j += 1 }
+        if (r > bestR) { bestR = r; bestLag = lag } // strict: first max wins
+        lag += 1
+      }
+      WavPitch(id, s.length.toLong, bestLag, bestR, r0)
     })
   }
 

@@ -305,6 +305,52 @@ object MediaQueries {
       }
     ),
 
+    // audio FEATURE EXTRACTION through the real codec — the DSP stage of
+    // a multimodal ingest (here: fundamental-period detection by integer
+    // autocorrelation, the classic pitch detector): decode the WAV, then
+    // R(lag) = Σ s[i]·s[i+lag] over a lag window covering every fixture
+    // period AND its first 2p harmonic (the detector must out-score the
+    // harmonic, not be protected from it), argmax with first-occurrence
+    // tie-break. ALL-INTEGER math (products of 16-bit samples summed in
+    // Long) so the oracle — which recomputes every R from the generating
+    // formulas, never through the codec — lands on bit-equal values; a
+    // float DSP would make rounding observable. The fixture's exact
+    // periodicity makes the recovered lag provably equal the generating
+    // period (R(p) is a sum of n−p squares, strictly maximal in the
+    // window — validated exhaustively over the id space). Map-only.
+    QueryDef(
+      "media_wav_pitch",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val ids = Tables.documents(spark, dir)
+          .select(col("doc_id")).as[java.lang.Long]
+        Media.wavPitch(ids).toDF()
+      },
+      Some {
+        def s(i: String) = s"((($i) % p) * 64 - 1024)"
+        val rLag = s"CAST(list_aggregate(list_transform(generate_series(0, n-lag-1), " +
+          s"i -> CAST(${s("i")} * ${s("i+lag")} AS BIGINT)), 'sum') AS BIGINT)"
+        val r0 = s"CAST(list_aggregate(list_transform(generate_series(0, n-1), " +
+          s"i -> CAST(${s("i")} * ${s("i")} AS BIGINT)), 'sum') AS BIGINT)"
+        s"""SELECT doc_id,
+           |       CAST(n AS BIGINT) AS n_samples,
+           |       CAST(${Media.PitchMinLag} + list_position(rl, rmax) - 1 AS INT) AS best_lag,
+           |       CAST(rmax AS BIGINT) AS r_best,
+           |       CAST(r0 AS BIGINT) AS r0
+           |FROM (
+           |  SELECT doc_id, n, rl, list_aggregate(rl, 'max') AS rmax, r0
+           |  FROM (
+           |    SELECT doc_id, n,
+           |           list_transform(generate_series(${Media.PitchMinLag}, ${Media.PitchMaxLag}),
+           |                          lag -> $rLag) AS rl,
+           |           $r0 AS r0
+           |    FROM (SELECT doc_id, 200 + doc_id % 200 AS n, 16 + doc_id % 17 AS p FROM documents)
+           |  )
+           |)""".stripMargin
+      }
+    ),
+
     // audio RESAMPLE through the real codec — the audio parallel of the
     // image decode→resize→re-encode chain: decode the WAV, decimate by 2
     // (pair mean in truncating integer division, matching DuckDB's `//`),

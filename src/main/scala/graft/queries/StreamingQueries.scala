@@ -507,6 +507,86 @@ object StreamingQueries {
               |GROUP BY p.event_id""".stripMargin)
     ),
 
+    // the stream-stream FULL OUTER interval join
+    // ([[Streaming.clickAttributionFullOuter]]) — both null paths at
+    // once, completing the join-type matrix (inner, left outer, full
+    // outer): every purchase emits (null-click gated on the click
+    // watermark, as in the left-outer leg) AND every click emits
+    // (null-purchase gated on the watermark passing click_ts + the FULL
+    // 7-day lookback — the two sides' absence proofs have different
+    // horizons, which is the semantics full-outer adds). Sentinels
+    // therefore sit a full lookback past max (max+7d+2h, both sides,
+    // joinable to nothing): the global min-watermark lands at max+7d+1h,
+    // licensing every real click's null row AND every real purchase's.
+    // The readback rolls up BOTH sides with n_rows beside n_matched —
+    // premature nulls on either side are a hash mismatch — and both null
+    // paths are `require`d live. Batch DuckDB two-sided LEFT JOIN union
+    // oracle (a full-outer rollup stated side-by-side).
+    QueryDef(
+      "q_streaming_full_outer",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val mts = eventsDf.agg(max(col("ts")).as("mts"))
+        val shiftMs = Streaming.AttributionDays.toLong * 86400000L + 7200000L
+        def sentinel(id: Long, kind: String) = mts.select(
+          lit(id).as("event_id"),
+          expr(s"timestamp_millis(unix_millis(mts) + $shiftMs)").as("ts"),
+          lit(id).as("user_id"), lit(kind).as("event_type"), lit(0.0).as("value"))
+        val feed = eventsDf
+          .unionByName(sentinel(-1L, "click"))
+          .unionByName(sentinel(-2L, "purchase"))
+        val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_full_outer", dir)
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_full_outer_sink_$id")
+        val q = Streaming.clickAttributionFullOuter(src)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_full_outer_ckpt_$id"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+        val rows = spark.read.parquet(sinkDir)
+        def side(idCol: String, otherId: String, otherTs: String, tag: String) =
+          rows.where(col(idCol) >= 0L) // null-safe: sentinel and null ids both fail
+            .groupBy(col(idCol).as("entity_id"))
+            .agg(count(lit(1)).cast(LongType).as("n_rows"),
+                 count(col(otherId)).cast(LongType).as("n_matched"),
+                 max(col(otherTs)).as("last_match_ts"))
+            .select(lit(tag).as("entity"), col("entity_id"),
+                    col("n_rows"), col("n_matched"), col("last_match_ts"))
+        val out = side("purchase_id", "click_id", "click_ts", "purchase")
+          .unionByName(side("click_id", "purchase_id", "purchase_ts", "click"))
+          .localCheckpoint(eager = true)
+        for (tag <- Seq("purchase", "click"))
+          require(out.where(col("entity") === tag && col("n_matched") === 0L).count() > 0,
+            s"full-outer grade degenerate: every $tag matched — that side's null path never fired")
+        out
+      },
+      Some(s"""SELECT 'purchase' AS entity, p.event_id AS entity_id,
+              |       COUNT(*) AS n_rows, COUNT(c.ts) AS n_matched,
+              |       MAX(c.ts) AS last_match_ts
+              |FROM events p LEFT JOIN events c
+              |  ON c.user_id = p.user_id
+              | AND c.event_type = 'click'
+              | AND c.ts < p.ts
+              | AND c.ts >= p.ts - INTERVAL ${Streaming.AttributionDays} DAY
+              |WHERE p.event_type = 'purchase'
+              |GROUP BY p.event_id
+              |UNION ALL
+              |SELECT 'click' AS entity, c.event_id AS entity_id,
+              |       COUNT(*) AS n_rows, COUNT(p.ts) AS n_matched,
+              |       MAX(p.ts) AS last_match_ts
+              |FROM events c LEFT JOIN events p
+              |  ON p.user_id = c.user_id
+              | AND p.event_type = 'purchase'
+              | AND c.ts < p.ts
+              | AND c.ts >= p.ts - INTERVAL ${Streaming.AttributionDays} DAY
+              |WHERE c.event_type = 'click'
+              |GROUP BY c.event_id""".stripMargin)
+    ),
+
     // the sessionizer's PRODUCTION close path
     // ([[Streaming.sessionizeEventTimeout]]): sessions close by
     // `GroupStateTimeout.EventTimeTimeout` when the watermark passes

@@ -325,6 +325,35 @@ object Streaming {
       "leftOuter")
   }
 
+  /** The FULL OUTER attribution join — both null paths at once: every
+    * purchase emits (matched, or null-click once the click watermark
+    * proves absence, as in [[clickAttributionLeftOuter]]) AND every click
+    * emits (matched to each purchase in its FORWARD window, or a
+    * null-purchase row once the watermark proves no purchase with
+    * ts ≤ click_ts + lookback can still arrive — the click-side proof
+    * needs the watermark a full lookback PAST the click, which is why the
+    * harness sentinels sit at max+7d: the two sides' absence proofs have
+    * different horizons, the asymmetry that makes full-outer the general
+    * case of the family). Same watermarks + interval predicate bound both
+    * state stores.
+    */
+  def clickAttributionFullOuter(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(
+      clicks,
+      col("c_user") === col("p_user") &&
+        col("click_ts") < col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $AttributionDays DAYS"),
+      "fullOuter")
+  }
+
   /** Stream–static dimension enrichment: the event stream broadcast-hash-
     * joined to a static dimension (the canonical "attach the customer
     * segment to every event" pipeline stage). Stateless — no watermark, no

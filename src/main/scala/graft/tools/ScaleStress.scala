@@ -176,7 +176,19 @@ object ScaleStress {
     "q_streaming_sessionize_tws", "q_streaming_restart_tws",
     // join restart: recovery restores the two symmetric join buffers,
     // whose size the watermark+interval bound to the lookback window
-    "q_streaming_restart_join")
+    "q_streaming_restart_join",
+    // Y4M video decode+frame-sample is map-only per doc like the other
+    // codecs; the TFRecord export is one explicit repartition + per-task
+    // shard streaming, and its read leg is per-shard re-framing — both
+    // legs linear in corpus bytes
+    // WAV pitch is the same map-only per-doc shape as the other codec
+    // paths, with an O(n·lag-window) integer autocorrelation per doc
+    "media_y4m_frames", "q_tfrecord_shards", "media_wav_pitch",
+    // full-outer join: the same watermark-bounded symmetric state as the
+    // inner/left-outer legs — click-side state lives one lookback longer
+    // before its null evicts, but the horizon is still the WINDOW, never
+    // the corpus
+    "q_streaming_full_outer")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the

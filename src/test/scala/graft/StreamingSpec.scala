@@ -329,6 +329,50 @@ class StreamingSpec extends SparkTestBase {
     assert(after.count(_._1 == 2L) == 1, "matched purchase must not also emit a null row")
   }
 
+  test("full-outer attribution: the two sides' null rows need different watermark horizons") {
+    implicit val sqlCtx = spark.sqlContext
+    val week = 7 * 24 * 60 // minutes
+    val input = MemoryStream[Event]
+    // user 10: matched pair; user 77: purchase w/o click; user 55: click w/o purchase
+    input.addData(
+      Event(1, ts(10), 10, "click", 0.0),
+      Event(2, ts(20), 10, "purchase", 9.0),
+      Event(3, ts(20), 77, "purchase", 9.0),
+      Event(4, ts(30), 55, "click", 0.0))
+    val q = Streaming.clickAttributionFullOuter(input.toDF())
+      .writeStream.format("memory").queryName("fouter_spec")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    def rows() = spark.table("fouter_spec")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                 if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(rows().contains((2L, 1L)), "matched pair must emit eagerly")
+    assert(!rows().exists(r => r._1 == -1L || r._2 == -1L),
+      "no null row on either side before the watermark proves absence")
+    // pushers (join nothing) move the global watermark to ts(90) − 1h =
+    // ts(30): PAST purchase 3's ts(20) — its null row is licensed — but a
+    // full lookback SHORT of click 4's ts(30)+7d horizon, so the
+    // click-side null must still be withheld: the asymmetry under test
+    input.addData(Event(5, ts(90), 99, "click", 0.0),
+                  Event(6, ts(90), 98, "purchase", 0.0))
+    q.processAllAvailable()
+    assert(rows().count(_ == ((3L, -1L))) == 1,
+      s"purchase null must emit once the watermark passes its ts, got ${rows()}")
+    assert(!rows().exists(_._2 == 4L),
+      "click null must NOT emit before the watermark passes click_ts + lookback")
+    // second push to ts(30)+week(+60 margin): click 4's absence is proven
+    input.addData(Event(7, ts(30 + week + 120), 96, "click", 0.0),
+                  Event(8, ts(30 + week + 120), 95, "purchase", 0.0))
+    q.processAllAvailable(); q.stop()
+    val after = rows()
+    spark.catalog.dropTempView("fouter_spec")
+    assert(after.count(_ == ((-1L, 4L))) == 1,
+      s"exactly one null row for the unmatched click once licensed, got $after")
+    assert(after.count(_._2 == 1L) == 1, "matched click must not also emit a null row")
+    assert(after.count(_._1 == 2L) == 1, "matched purchase must not also emit a null row")
+  }
+
   test("event-time-timeout sessionize closes a session when the watermark passes last+gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
