@@ -217,6 +217,151 @@ object SimilarityQueries {
        |SELECT query_id, vec_id, rank, cosine FROM r WHERE rank <= $K""".stripMargin
   }
 
+  // PQ (product quantization) parameters, shared by the Spark build and
+  // the oracle SQL so the two sides cannot drift: M subspaces of Dim/M
+  // dims, K' centroids per subspace → one 4-bit code per subspace,
+  // M·log₂(K') = 32 bits per vector — 16× smaller than the int8 encoding,
+  // 16× smaller again than the float64 corpus. Same fixed-point scale as
+  // IVF for the centroid means.
+  private val PqM = 8
+  private val PqSubDim = Vectors.Dim / PqM
+  private val PqCodes = 16
+  private val PqFx = 1L << 20
+
+  /** Product-quantized ADC top-k (Spark build; graded by `ann_pq_recall`).
+    * Per subspace m: a deterministic seeded Lloyd iteration (seeds = the
+    * first PqCodes vectors' m-th subvectors; fixed-point centroid means —
+    * the IVF scheme applied per subspace) trains a 16-entry codebook; each
+    * corpus vector is encoded as its nearest-centroid id per subspace.
+    * Retrieval is asymmetric distance computation (ADC), in its production
+    * shape: a per-query LOOKUP TABLE of exact-query-subvector ·centroid
+    * partial dots (queries × M × K' rows — tiny, broadcast) is joined to
+    * the code table, so the corpus is scanned once at CODE width, never at
+    * vector width; partial dots fold in fixed subspace order (array_sort
+    * on (m, d) structs, then a strict left fold from 0.0 — the oracle's
+    * `list(d ORDER BY m)` + list_reduce lands bit-identically). Scores
+    * divide by the TRUE stored norms (kept at encode time, as production
+    * PQ indexes do).
+    */
+  private def pqTopkSpark(spark: SparkSession, dir: String): DataFrame = {
+    val n = normed(spark, dir).persist()
+    n.count()
+    // subvector relation (vec_id, m, sv) with staged sv·sv; persisted —
+    // the two nearest-centroid assignments and the query LUT all read it
+    val sub = n
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("v"))
+      .select(col("vec_id"), col("m"),
+              slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+      .withColumn("svv", Vectors.dot(col("sv"), col("sv")))
+      .persist()
+    sub.count()
+    val seeds = sub.where(col("vec_id") < PqCodes)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+    // same association order as the oracle: (sv·sv − 2 sv·cv) + cv·cv
+    val dist = (col("svv") - lit(2.0) * Vectors.dot(col("sv"), col("cv"))) +
+      Vectors.dot(col("cv"), col("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    def nearest(cents: DataFrame): DataFrame =
+      sub.join(broadcast(cents), "m")
+        .select(col("vec_id"), col("m"), col("cid"), dist.as("dist"))
+        .withColumn("rk", row_number().over(wAssign))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("m"), col("cid"))
+    // one Lloyd refinement per subspace, fixed-point means (IVF's scheme)
+    val cell0 = nearest(seeds)
+      .join(sub.select(col("vec_id"), col("m"), col("sv")), Seq("vec_id", "m"))
+    val cents = cell0
+      .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("cid"), col("pos"))
+      .agg(sum(floor(col("x") * PqFx).cast("long")).as("sx"), count(lit(1)).as("cnt"))
+      .select(col("m"), col("cid"), col("pos"),
+              (col("sx").cast("double") / col("cnt").cast("double") / lit(PqFx.toDouble)).as("cx"))
+      .groupBy(col("m"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+                     s => s.getField("cx")).as("cv"))
+    val codes = nearest(cents) // the 32-bit-per-vector PQ index
+    // ADC lookup table: exact query subvectors × trained centroids
+    val lut = sub.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv").as("qv"))
+      .join(cents, Seq("m"))
+      .select(col("query_id"), col("m"), col("cid"),
+              Vectors.dot(col("qv"), col("cv")).as("d"))
+    val scored = codes.join(broadcast(lut), Seq("m", "cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(collect_list(struct(col("m"), col("d"))).as("ps"))
+      .join(n.select(col("vec_id"), col("nrm")), "vec_id")
+      .join(n.select(col("vec_id").as("query_id"), col("nrm").as("qn")), "query_id")
+      .select(col("query_id"), col("vec_id"), lit("").as("label"),
+              (aggregate(transform(array_sort(col("ps")), s => s.getField("d")),
+                         lit(0.0d), (a, x) => a + x) / (col("qn") * col("nrm"))).as("cosine"))
+    perQueryTopK(spark, scored, K).select(col("query_id"), col("vec_id"))
+  }
+
+  /** SQL twin of [[pqTopkSpark]] — the full train/encode/ADC chain in
+    * CTEs, ending in the (query_id, vec_id) approximate top-K relation.
+    */
+  private val pqTopkSql = {
+    def sdot(a: String, b: String) = Vectors.dotSqlDim(a, b, PqSubDim)
+    def dist(sv: String, cv: String) =
+      s"((${sdot(sv, sv)} - 2.0 * ${sdot(sv, cv)}) + ${sdot(cv, cv)})"
+    val d0 = dist("sub.sv", "seeds.cv")
+    val d1 = dist("sub.sv", "cents.cv")
+    s"""WITH $normedSql,
+       |ms AS (SELECT unnest(range(0, $PqM)) AS m),
+       |sub AS (
+       |  SELECT vec_id, m, v[(m * $PqSubDim + 1):((m + 1) * $PqSubDim)] AS sv
+       |  FROM n CROSS JOIN ms
+       |),
+       |seeds AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $PqCodes),
+       |a0 AS (
+       |  SELECT sub.vec_id, sub.m, sub.sv, seeds.cid, $d0 AS dist,
+       |         row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |                            ORDER BY $d0 ASC, seeds.cid ASC) AS rk
+       |  FROM sub JOIN seeds ON seeds.m = sub.m
+       |),
+       |cell0 AS (SELECT vec_id, m, sv, cid FROM a0 WHERE rk = 1),
+       |cx AS (
+       |  SELECT m, cid, i AS pos,
+       |         CAST(SUM(CAST(floor(sv[i] * $PqFx) AS BIGINT)) AS DOUBLE)
+       |           / COUNT(*) / CAST($PqFx AS DOUBLE) AS cx
+       |  FROM cell0 CROSS JOIN (SELECT unnest(range(1, ${PqSubDim + 1})) AS i) ps
+       |  GROUP BY m, cid, i
+       |),
+       |cents AS (SELECT m, cid, list(cx ORDER BY pos) AS cv FROM cx GROUP BY m, cid),
+       |codes AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT sub.vec_id, sub.m, cents.cid, $d1 AS dist,
+       |           row_number() OVER (PARTITION BY sub.vec_id, sub.m
+       |                              ORDER BY $d1 ASC, cents.cid ASC) AS rk
+       |    FROM sub JOIN cents ON cents.m = sub.m
+       |  ) WHERE rk = 1
+       |),
+       |lut AS (
+       |  SELECT sub.vec_id AS query_id, sub.m, cents.cid,
+       |         ${sdot("sub.sv", "cents.cv")} AS d
+       |  FROM sub JOIN cents ON cents.m = sub.m
+       |  WHERE sub.vec_id < $NumQueries
+       |),
+       |adc AS (
+       |  SELECT lut.query_id, codes.vec_id,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lut.d ORDER BY lut.m)),
+       |                     (acc, x) -> acc + x) / (qn.nrm * tn.nrm) AS cosine
+       |  FROM codes JOIN lut ON lut.m = codes.m AND lut.cid = codes.cid
+       |  JOIN n qn ON qn.vec_id = lut.query_id
+       |  JOIN n tn ON tn.vec_id = codes.vec_id
+       |  WHERE codes.vec_id <> lut.query_id
+       |  GROUP BY lut.query_id, codes.vec_id, qn.nrm, tn.nrm
+       |),
+       |pr AS (
+       |  SELECT query_id, vec_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM adc
+       |)
+       |SELECT query_id, vec_id FROM pr WHERE rank <= $K""".stripMargin
+  }
+
   /** Sign-LSH approximate top-k (Spark build; shared by `ann_lsh_topk` and
     * `ann_recall`). Persist + eager count: bands and the two score
     * join-backs all read the signature cache.
@@ -684,6 +829,44 @@ object SimilarityQueries {
            |SELECT b.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
            |       CAST(COUNT(a.vec_id) AS DOUBLE) / CAST($K AS DOUBLE) AS recall_at_k
            |FROM bf b LEFT JOIN qz a ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+           |GROUP BY b.query_id""".stripMargin
+      }
+    ),
+
+    // product-quantization retrieval grade: recall@k of ADC retrieval over
+    // the PQ-ENCODED corpus (per-subspace seeded-Lloyd codebooks, 32 bits
+    // per vector — 16× smaller than int8, the compression regime where a
+    // 100 TB embedding corpus fits a cluster's aggregate RAM) against the
+    // float brute-force top-k. Retrieval runs in the production ADC shape:
+    // per-query lookup tables of exact-subvector·centroid partials
+    // (queries × M × K' rows, broadcast), one scan of the CODE table,
+    // partial dots folded in fixed subspace order so both engines sum
+    // bit-identically. The oracle re-derives the whole train/encode/ADC
+    // chain and the recall arithmetic independently; quantization loss is
+    // the measured recall itself, reported per query.
+    QueryDef(
+      "ann_pq_recall",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache() // sequential query contract
+        val pq = pqTopkSpark(spark, dir)
+        val bf = topkSpark(spark, dir).select(col("query_id"), col("vec_id"))
+        bf.join(pq.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(col("hit")).as("hits"))
+          .select(col("query_id"), col("hits"),
+                  (col("hits").cast("double") / lit(K.toDouble)).as("recall_at_k"))
+      },
+      Some {
+        s"""WITH bf AS (
+           |$bruteforceSql
+           |),
+           |pq AS (
+           |$pqTopkSql
+           |)
+           |SELECT b.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+           |       CAST(COUNT(a.vec_id) AS DOUBLE) / CAST($K AS DOUBLE) AS recall_at_k
+           |FROM bf b LEFT JOIN pq a ON a.query_id = b.query_id AND a.vec_id = b.vec_id
            |GROUP BY b.query_id""".stripMargin
       }
     ),

@@ -188,7 +188,11 @@ object ScaleStress {
     // inner/left-outer legs — click-side state lives one lookback longer
     // before its null evicts, but the horizon is still the WINDOW, never
     // the corpus
-    "q_streaming_full_outer")
+    "q_streaming_full_outer",
+    // PQ-ADC: codebook training is M×K'-grain, encoding and retrieval are
+    // single scans (codes vs broadcast LUTs); the brute-force grading arm
+    // is the fixed tiny query set × corpus scan every ANN grade carries
+    "ann_pq_recall")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
