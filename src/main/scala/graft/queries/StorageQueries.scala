@@ -760,6 +760,97 @@ object StorageQueries {
               |       CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
               |FROM events e JOIN d ON strftime(e.ts, '%Y-%m-%d') = d.day
               |GROUP BY 1""".stripMargin)
+    ),
+
+    // AQE REBALANCE on write — the runtime fixer for the skewed-write /
+    // small-files problem, the write-side sibling of q_skew_join_aqe's
+    // join split. Writing `df.repartition(key)` output with a hot key
+    // (here ~50% of rows on one wkey by construction) produces one 50 GB
+    // file next to hundreds of 10 KB files at 100 TB; the REBALANCE hint
+    // plans a REBALANCE_PARTITIONS_BY_COL exchange whose post-shuffle
+    // layout AQE re-sizes at RUNTIME — splitting the hot partition at
+    // mapper grain and coalescing the tiny ones toward the advisory size —
+    // so every written file lands near the target regardless of key skew.
+    // Physical proofs, all in-gate: (a) the executed adaptive plan must
+    // carry the REBALANCE exchange AND a skew-split AQEShuffleRead; (b) a
+    // pigeonhole balance audit — the hot key is ~50% of rows, so if the
+    // split were cosmetic some partition would hold ≥~49%; the gate
+    // requires max ≤ 25% (measured ~12% at sf0.001, ~6% at sf0.01);
+    // (c) the written file count must equal the post-AQE partition count
+    // (one balanced file per runtime partition — the layout IS the
+    // feature). The data oracle then re-aggregates the round-tripped
+    // files per wkey, so no row may be lost or duplicated through
+    // land → rebalance → write → read-back. The fact is LANDED as 16
+    // parquet files first because rebalance's skew split (like the join
+    // split) can only cut at mapper boundaries — a single-file scan is one
+    // mapper and unsplittable; 16 mappers is the real multi-task scan
+    // shape. Advisory sizes are scoped tiny (2 KB) so runtime splitting
+    // triggers at test SF; production only changes the constants
+    // (~512 MB advisory). parallelismFirst is scoped OFF because it makes
+    // the coalescer target minPartitionSize instead of the advisory —
+    // with it on, every partition here is "small" and the layout collapses
+    // to one partition, hiding the skew entirely.
+    QueryDef(
+      "q_rebalance_write",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        // land once per input dir (base and scaled stress corpora get
+        // distinct targets so alternating reps don't thrash re-landing)
+        val factDir = target(s"rebalance_fact_${Integer.toHexString(dir.hashCode)}")
+        val marker = new java.io.File(factDir, "_LANDED_KEY")
+        if (!(marker.isFile &&
+              new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == dir)) {
+          Tables.events(spark, dir)
+            .select(when(pmod(col("user_id"), lit(4)) < 2, lit(1L))
+                      .otherwise(pmod(col("user_id"), lit(16))).as("wkey"),
+                    col("event_id"), col("value"))
+            .repartition(16)
+            .write.mode("overwrite").parquet(factDir)
+          java.nio.file.Files.write(marker.toPath, dir.getBytes("UTF-8")): Unit
+        }
+        GraftSession.withConfs(spark,
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2048",
+          "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+          "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1024",
+          "spark.sql.files.maxPartitionBytes" -> "16384",
+          "spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled" -> "true") {
+          val reb = spark.read.parquet(factDir).hint("rebalance", col("wkey"))
+          // AQE finalizes at runtime: execute (the checkpoint also feeds
+          // the audit + write, so the shuffle runs once), then inspect
+          val ck = reb.localCheckpoint(eager = true)
+          val plan = reb.queryExecution.executedPlan.toString
+          require(plan.contains("REBALANCE_PARTITIONS_BY_COL"),
+            s"expected a REBALANCE exchange in the executed plan, got:\n$plan")
+          require(plan.linesIterator.exists(l =>
+              l.contains("AQEShuffleRead") && l.contains("skewed")),
+            s"AQE did not split the planted hot write key — no skewed AQEShuffleRead:\n$plan")
+          // pigeonhole balance audit: one row per post-AQE partition
+          // (metadata-grain), then a single-row max/sum
+          val parts = ck.groupBy(spark_partition_id().as("pid"))
+            .agg(count(lit(1)).as("n"))
+          requireMetadataGrain(parts.count(), "q_rebalance_write partition audit")
+          val audit = parts.agg(max(col("n")).as("mx"), sum(col("n")).as("tot"),
+                                count(lit(1)).as("np")).head()
+          val (mx, tot, np) = (audit.getLong(0), audit.getLong(1), audit.getLong(2))
+          require(mx * 4 <= tot,
+            s"rebalanced layout still skewed: max partition $mx of $tot rows across $np")
+          val outDir = target(s"rebalance_out_${Integer.toHexString(dir.hashCode)}")
+          ck.write.mode("overwrite").parquet(outDir)
+          val nFiles = Option(new java.io.File(outDir).listFiles())
+            .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+          require(nFiles == np,
+            s"write must emit one balanced file per runtime partition: $nFiles files vs $np partitions")
+          spark.read.parquet(outDir)
+            .groupBy(col("wkey"))
+            .agg(count(lit(1)).as("n_rows"),
+                 Money.lsum(Money.cents(col("value"))).as("sum_value_cents"))
+        }
+      },
+      Some(s"""SELECT CASE WHEN user_id % 4 < 2 THEN 1 ELSE user_id % 16 END AS wkey,
+              |       COUNT(*) AS n_rows,
+              |       ${Money.lsumSql(Money.centsSql("value"))} AS sum_value_cents
+              |FROM events
+              |GROUP BY 1""".stripMargin)
     )
   )
 

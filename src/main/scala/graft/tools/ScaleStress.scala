@@ -192,7 +192,11 @@ object ScaleStress {
     // PQ-ADC: codebook training is M×K'-grain, encoding and retrieval are
     // single scans (codes vs broadcast LUTs); the brute-force grading arm
     // is the fixed tiny query set × corpus scan every ANN grade carries
-    "ann_pq_recall")
+    "ann_pq_recall",
+    // rebalance-on-write: the landing write and the REBALANCE shuffle are
+    // both linear; the mechanism under test (runtime skew split at mapper
+    // grain) IS what keeps the hot write key parallel at every factor
+    "q_rebalance_write")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the

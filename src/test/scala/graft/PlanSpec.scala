@@ -375,4 +375,24 @@ class PlanSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), s"expected left-anti visited check in:\n$plan")
   }
+
+  test("rebalance write splits the hot key and balances the written files") {
+    // the gate's own requires prove the plan shape (REBALANCE exchange,
+    // skewed AQEShuffleRead, ≤25% max partition, one file per partition);
+    // here we additionally pin the DATA contract at spec scale: the
+    // round-tripped per-key aggregate equals a direct aggregate of the
+    // source, and the planted hot key really is the majority of rows
+    val out = SparkEntry.queries("q_rebalance_write")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = graft.Tables.events(spark, sf)
+      .select(when(pmod(col("user_id"), lit(4)) < 2, lit(1L))
+                .otherwise(pmod(col("user_id"), lit(16))).as("wkey"),
+              graft.functions.Money.cents(col("value")).as("cents"))
+      .groupBy(col("wkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == direct, "round-tripped aggregate must equal the source aggregate")
+    val total = out.values.map(_._1).sum
+    assert(out(1L)._1 * 2 >= total, "the planted hot key must hold ~half the rows")
+  }
 }
