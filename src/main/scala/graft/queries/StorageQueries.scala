@@ -851,6 +851,71 @@ object StorageQueries {
               |       ${Money.lsumSql(Money.centsSql("value"))} AS sum_value_cents
               |FROM events
               |GROUP BY 1""".stripMargin)
+    ),
+
+    // NESTED SCHEMA PRUNING + NESTED PREDICATE PUSHDOWN — the multimodal-
+    // metadata scan shape: at 100 TB a documents table carries wide
+    // struct metadata next to heavy payload columns (text, binary media),
+    // and a metadata-only query must read ONLY the struct leaves it names
+    // — columnar formats store each leaf as its own column chunk, so the
+    // pruned ReadSchema is the difference between scanning gigabytes and
+    // scanning the whole corpus. The landing nests lang/source and a
+    // stats struct (n_chars plus a text-derived head_char decoy) beside
+    // the full text payload; the query touches two leaves and filters on
+    // one. In-gate requires on the FileScan line: the ReadSchema keeps
+    // ONLY meta.lang + meta.stats.n_chars (text, source, head_char all
+    // pruned — the decoy shares its parent struct with the kept leaf, so
+    // a struct-grain "pruner" that keeps whole branches fails), and the
+    // n_chars predicate reaches PushedFilters AS A NESTED FIELD
+    // (GreaterThan(meta.stats.n_chars, …)) so row groups skip on leaf
+    // statistics. The oracle recomputes from the flat source columns —
+    // the nesting must be a pure layout change, never a value change.
+    QueryDef(
+      "q_nested_pruning",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val tgt = target(s"nested_docs_${Integer.toHexString(dir.hashCode)}")
+        val marker = new java.io.File(tgt, "_LANDED_KEY")
+        if (!(marker.isFile &&
+              new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == dir)) {
+          Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text"),
+                    struct(col("lang"), col("source"),
+                           struct(col("n_chars"),
+                                  substring(col("text"), 1, 1).as("head_char")).as("stats"))
+                      .as("meta"))
+            .write.mode("overwrite").parquet(tgt)
+          java.nio.file.Files.write(marker.toPath, dir.getBytes("UTF-8")): Unit
+        }
+        // both on by default since 3.0/3.1 — pinned so a default flip
+        // fails loudly here instead of silently widening every scan
+        GraftSession.withConfs(spark,
+          "spark.sql.optimizer.nestedSchemaPruning.enabled" -> "true",
+          "spark.sql.optimizer.nestedPredicatePushdown.supportedFileSources" -> "parquet,orc") {
+          val q = spark.read.parquet(tgt)
+            .where(col("meta.stats.n_chars") > 120)
+            .groupBy(col("meta.lang").as("lang"))
+            .agg(count(lit(1)).as("n_docs"),
+                 sum(col("meta.stats.n_chars")).cast(LongType).as("sum_chars"))
+          val scanLine = q.queryExecution.executedPlan.toString
+            .linesIterator.find(_.contains("ReadSchema"))
+            .getOrElse(sys.error("no FileScan with a ReadSchema in the plan"))
+          require(scanLine.contains("n_chars") && scanLine.contains("lang"),
+            s"kept leaves missing from the scan schema:\n$scanLine")
+          Seq("text", "source", "head_char").foreach { leaked =>
+            require(!scanLine.contains(leaked),
+              s"nested pruning leaked '$leaked' into the scan:\n$scanLine")
+          }
+          require(scanLine.contains("GreaterThan(meta.stats.n_chars"),
+            s"n_chars predicate did not push down as a nested field:\n$scanLine")
+          q
+        }
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE n_chars > 120
+             |GROUP BY 1""".stripMargin)
     )
   )
 

@@ -196,7 +196,12 @@ object ScaleStress {
     // rebalance-on-write: the landing write and the REBALANCE shuffle are
     // both linear; the mechanism under test (runtime skew split at mapper
     // grain) IS what keeps the hot write key parallel at every factor
-    "q_rebalance_write")
+    "q_rebalance_write",
+    // nested pruning: the landing write is linear in corpus bytes; the
+    // graded scan reads two struct leaves + one hash-agg — the pruned
+    // ReadSchema is what keeps the scan linear in METADATA bytes, not
+    // payload bytes, as the corpus grows
+    "q_nested_pruning")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the

@@ -395,4 +395,19 @@ class PlanSpec extends SparkTestBase {
     val total = out.values.map(_._1).sum
     assert(out(1L)._1 * 2 >= total, "the planted hot key must hold ~half the rows")
   }
+
+  test("nested pruning keeps only the named struct leaves and matches the flat source") {
+    // the gate requires pin the plan (pruned ReadSchema, nested
+    // PushedFilters); here we pin the DATA contract: nesting the columns
+    // must be a pure layout change
+    val out = SparkEntry.queries("q_nested_pruning")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = graft.Tables.documents(spark, sf)
+      .where(col("n_chars") > 120)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == direct, "nested-scan aggregate must equal the flat-source aggregate")
+    assert(out.nonEmpty && out.values.map(_._1).sum > 0, "filter must keep rows at spec scale")
+  }
 }
