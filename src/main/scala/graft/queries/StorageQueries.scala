@@ -916,6 +916,91 @@ object StorageQueries {
              |FROM documents
              |WHERE n_chars > 120
              |GROUP BY 1""".stripMargin)
+    ),
+
+    // CORRUPT-RECORD INGEST — all three JSON parser modes graded in one
+    // gate. Public crawl dumps ship malformed lines, and the ingest
+    // semantics (quarantine vs drop vs abort) are a correctness surface,
+    // not a convenience: a parser that silently drops or half-parses a
+    // line corrupts the corpus census downstream. The landing serializes
+    // every document as a JSON line and TRUNCATES the line for a
+    // deterministic planted subset (doc_id % 37 == 0 — the unclosed
+    // object is malformed regardless of field content). The graded read
+    // is PERMISSIVE with a corrupt-record column: malformed lines must
+    // surface as rows with ALL data fields null and the raw line
+    // preserved in quarantine — the rollup buckets them under
+    // '__corrupt__' and counts non-null doc_ids per bucket, so a partial
+    // parse (fields populated on a malformed line) or a mis-classified
+    // good line hash-mismatches the oracle, which recomputes both
+    // populations from the original table by the planting rule. In-gate
+    // requires pin the other two modes on the same files: DROPMALFORMED
+    // must keep exactly the good count, and FAILFAST must throw (matched
+    // by exception class + error-class token, not message prose). Scale
+    // shape: one map-only text scan per mode, parse work linear in bytes;
+    // quarantined raw lines stay columnar — no driver round-trip.
+    QueryDef(
+      "q_jsonl_corrupt",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val tgt = target(s"jsonl_corrupt_${Integer.toHexString(dir.hashCode)}")
+        val marker = new java.io.File(tgt, "_LANDED_KEY")
+        if (!(marker.isFile &&
+              new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == dir)) {
+          val line = to_json(struct(col("doc_id"), col("source"), col("lang"), col("text")))
+          Tables.documents(spark, dir)
+            .select(when(pmod(col("doc_id"), lit(37)) === 0,
+                         line.substr(lit(1), length(line) - 2))
+                      .otherwise(line).as("value"))
+            .write.mode("overwrite").text(tgt)
+          java.nio.file.Files.write(marker.toPath, dir.getBytes("UTF-8")): Unit
+        }
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("source", StringType),
+          StructField("lang", StringType), StructField("text", StringType),
+          StructField("_corrupt_record", StringType)))
+        val dataSchema = StructType(schema.dropRight(1))
+        // DROPMALFORMED: the lossy mode must lose EXACTLY the planted set
+        val kept = spark.read.schema(dataSchema)
+          .option("mode", "DROPMALFORMED").json(tgt).count()
+        // FAILFAST: the strict mode must abort; match class + error-class
+        // token, not message prose (version/locale-sensitive)
+        val strictRaised =
+          try { spark.read.schema(dataSchema).option("mode", "FAILFAST").json(tgt).count(); false }
+          catch {
+            case e: Throwable =>
+              val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12).toSeq
+              chain.exists { c =>
+                c.isInstanceOf[org.apache.spark.SparkException] &&
+                  Option(c.getMessage).exists(m =>
+                    m.contains("MALFORMED_RECORD_IN_PARSING") || m.contains("FAILFAST"))
+              }
+          }
+        require(strictRaised, "FAILFAST must abort on the planted malformed lines")
+        val parsed = spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(tgt)
+        val out = parsed
+          .groupBy(when(col("_corrupt_record").isNotNull, lit("__corrupt__"))
+                     .otherwise(col("source")).as("bucket"))
+          .agg(count(lit(1)).cast(LongType).as("n_rows"),
+               sum(coalesce(length(col("text")), lit(0))).cast(LongType).as("sum_chars"),
+               count(col("doc_id")).cast(LongType).as("n_ids"))
+          .localCheckpoint(eager = true)
+        val corrupt = out.collect().find(_.getString(0) == "__corrupt__")
+          .getOrElse(sys.error("planted corrupt lines never surfaced"))
+        require(corrupt.getLong(1) > 0 && corrupt.getLong(3) == 0,
+          s"quarantined rows must be live and fully null-fielded: $corrupt")
+        require(kept + corrupt.getLong(1) == parsed.count(),
+          "DROPMALFORMED must drop exactly the quarantined rows")
+        out
+      },
+      Some("""SELECT CASE WHEN doc_id % 37 = 0 THEN '__corrupt__' ELSE source END AS bucket,
+             |       COUNT(*) AS n_rows,
+             |       CAST(SUM(CASE WHEN doc_id % 37 = 0 THEN 0 ELSE length(text) END) AS BIGINT) AS sum_chars,
+             |       CAST(COUNT(CASE WHEN doc_id % 37 = 0 THEN NULL ELSE doc_id END) AS BIGINT) AS n_ids
+             |FROM documents
+             |GROUP BY 1""".stripMargin)
     )
   )
 

@@ -201,7 +201,11 @@ object ScaleStress {
     // graded scan reads two struct leaves + one hash-agg — the pruned
     // ReadSchema is what keeps the scan linear in METADATA bytes, not
     // payload bytes, as the corpus grows
-    "q_nested_pruning")
+    "q_nested_pruning",
+    // corrupt-record ingest: three map-only text scans (one per parser
+    // mode), parse work linear in bytes; the quarantine bucket is one
+    // conditional in the same hash-agg, never a separate pass
+    "q_jsonl_corrupt")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the

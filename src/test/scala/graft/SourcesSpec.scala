@@ -93,4 +93,22 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), Not(EqualTo(o_orderstatus,P"),
            s"view filter did not reach the parquet scan:\n$plan")
   }
+
+  test("corrupt jsonl ingest quarantines exactly the planted lines") {
+    // the gate's requires pin FAILFAST/DROPMALFORMED; here pin the
+    // PERMISSIVE census row-exactly against the planting rule
+    val out = SparkEntry.queries("q_jsonl_corrupt")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf)
+    val nCorrupt = docs.where(pmod(col("doc_id"), lit(37)) === 0).count()
+    assert(nCorrupt > 0, "the planting rule must hit at spec scale")
+    assert(out("__corrupt__") == ((nCorrupt, 0L, 0L)),
+           s"quarantine bucket drifted: ${out("__corrupt__")} vs $nCorrupt planted")
+    val good = docs.where(pmod(col("doc_id"), lit(37)) =!= 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(length(col("text"))).cast("long").as("s"),
+           count(col("doc_id")).cast("long").as("i"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out - "__corrupt__" == good, "per-source good census drifted")
+  }
 }
