@@ -454,9 +454,8 @@ object Media {
         var ySum = 0L
         val hex = new java.lang.StringBuilder(sampled.size * 3 * planeLen * 2)
         sampled.foreach { f =>
-          f.y.foreach { b => ySum += (b & 0xff); hex.append(f"${b & 0xff}%02x") }
-          f.u.foreach(b => hex.append(f"${b & 0xff}%02x"))
-          f.v.foreach(b => hex.append(f"${b & 0xff}%02x"))
+          f.y.foreach(b => ySum += (b & 0xff))
+          hex.append(hexLower(f.y)).append(hexLower(f.u)).append(hexLower(f.v))
         }
         md.reset()
         val digest = md.digest(hex.toString.getBytes("UTF-8"))

@@ -38,6 +38,9 @@ object Y4m {
     */
   def encode(width: Int, height: Int, frames: Seq[Frame]): Array[Byte] = {
     require(width > 0 && height > 0, "dimensions must be positive")
+    // same Long-math bound as decode: without it the Int product wraps and
+    // plane-length validation runs against the wrong (or zero) size
+    require(width.toLong * height <= MaxTotalBytes / 3, "frame size exceeds bound")
     val planeLen = width * height
     frames.foreach { f =>
       require(f.y.length == planeLen && f.u.length == planeLen && f.v.length == planeLen,
@@ -67,8 +70,10 @@ object Y4m {
     val headerEnd = bytes.indexOf('\n'.toByte)
     require(headerEnd > 0, "truncated Y4M: no stream-header terminator")
     val header = new String(bytes, 0, headerEnd, "US-ASCII")
+    // the magic must sit at byte 0 — split-then-filter would tolerate
+    // leading spaces, a malformed stream per spec
+    require(header == "YUV4MPEG2" || header.startsWith("YUV4MPEG2 "), "bad Y4M magic")
     val tokens = header.split(" ").filter(_.nonEmpty)
-    require(tokens.nonEmpty && tokens.head == "YUV4MPEG2", "bad Y4M magic")
 
     var width = -1
     var height = -1
@@ -86,7 +91,9 @@ object Y4m {
     require(width > 0 && height > 0, "Y4M header missing W or H")
     require(width <= MaxDim && height <= MaxDim,
       s"unreasonable Y4M dimensions ${width}x$height")
-    require(colorspace == "C444" || colorspace == "444",
+    // the tag parse strips the leading 'C', so the stored value is "444" —
+    // matching "C444" here would accept only the malformed token CC444
+    require(colorspace == "444",
       s"only C444 supported (got ${Option(colorspace).fold("<absent — spec default 4:2:0>")("C" + _)})")
 
     // Long-math size bound BEFORE the Int product: 2^20 × 2^20 overflows Int

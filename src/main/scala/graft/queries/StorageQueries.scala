@@ -900,10 +900,14 @@ object StorageQueries {
           val scanLine = q.queryExecution.executedPlan.toString
             .linesIterator.find(_.contains("ReadSchema"))
             .getOrElse(sys.error("no FileScan with a ReadSchema in the plan"))
-          require(scanLine.contains("n_chars") && scanLine.contains("lang"),
+          // anchor the leaf checks to the ReadSchema struct itself — the
+          // full FileScan line embeds the landing PATH, and a tmpdir with
+          // 'source'/'text' as a path component would trip them spuriously
+          val readSchema = scanLine.substring(scanLine.indexOf("ReadSchema"))
+          require(readSchema.contains("n_chars") && readSchema.contains("lang"),
             s"kept leaves missing from the scan schema:\n$scanLine")
           Seq("text", "source", "head_char").foreach { leaked =>
-            require(!scanLine.contains(leaked),
+            require(!readSchema.contains(leaked),
               s"nested pruning leaked '$leaked' into the scan:\n$scanLine")
           }
           require(scanLine.contains("GreaterThan(meta.stats.n_chars"),
@@ -967,13 +971,17 @@ object StorageQueries {
         val strictRaised =
           try { spark.read.schema(dataSchema).option("mode", "FAILFAST").json(tgt).count(); false }
           catch {
-            case e: Throwable =>
-              val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(12).toSeq
-              chain.exists { c =>
+            case scala.util.control.NonFatal(e) =>
+              val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(12).toSeq
+              val matched = chain.exists { c =>
                 c.isInstanceOf[org.apache.spark.SparkException] &&
                   Option(c.getMessage).exists(m =>
                     m.contains("MALFORMED_RECORD_IN_PARSING") || m.contains("FAILFAST"))
               }
+              // an unrelated failure (missing landing dir, executor loss)
+              // must surface as ITSELF, not as a false contract verdict
+              if (!matched) throw e
+              true
           }
         require(strictRaised, "FAILFAST must abort on the planted malformed lines")
         val parsed = spark.read.schema(schema)
@@ -987,11 +995,15 @@ object StorageQueries {
                sum(coalesce(length(col("text")), lit(0))).cast(LongType).as("sum_chars"),
                count(col("doc_id")).cast(LongType).as("n_ids"))
           .localCheckpoint(eager = true)
-        val corrupt = out.collect().find(_.getString(0) == "__corrupt__")
+        val rows = out.collect()
+        val corrupt = rows.find(_.getString(0) == "__corrupt__")
           .getOrElse(sys.error("planted corrupt lines never surfaced"))
         require(corrupt.getLong(1) > 0 && corrupt.getLong(3) == 0,
           s"quarantined rows must be live and fully null-fielded: $corrupt")
-        require(kept + corrupt.getLong(1) == parsed.count(),
+        // row conservation from the already-collected rollup — a fourth
+        // full parse (parsed.count()) would re-read the corpus for a
+        // total the checkpoint already holds
+        require(kept + corrupt.getLong(1) == rows.map(_.getLong(1)).sum,
           "DROPMALFORMED must drop exactly the quarantined rows")
         out
       },

@@ -279,7 +279,17 @@ object Streaming {
     * arrive; the state is hash-partitioned by the equi-key (user_id). The
     * batch twin is the q_asof/q_funnel interval-join family.
     */
-  def clickAttribution(events: DataFrame): DataFrame = {
+  def clickAttribution(events: DataFrame): DataFrame =
+    attributionJoin(events, "inner")
+
+  /** The one projection + watermark + interval-condition block shared by
+    * the whole attribution join family — the three public legs differ ONLY
+    * in join type, so the lookback predicate and watermark delay have
+    * exactly one definition to drift from. Purchases are the left side in
+    * every leg (the outer legs' null semantics are defined from there;
+    * for the inner leg the side order is semantically irrelevant).
+    */
+  private def attributionJoin(events: DataFrame, joinType: String): DataFrame = {
     val clicks = events.where(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
               col("ts").as("click_ts"))
@@ -288,11 +298,12 @@ object Streaming {
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
               col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "1 hour")
-    clicks.join(
-      purchases,
+    purchases.join(
+      clicks,
       col("c_user") === col("p_user") &&
         col("click_ts") < col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $AttributionDays DAYS"))
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $AttributionDays DAYS"),
+      joinType)
   }
 
   /** The LEFT OUTER half of attribution: EVERY purchase emits — matched
@@ -308,22 +319,8 @@ object Streaming {
     * watermarks plus the interval predicate bound both state stores
     * exactly as in the inner join.
     */
-  def clickAttributionLeftOuter(events: DataFrame): DataFrame = {
-    val clicks = events.where(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-              col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val purchases = events.where(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-              col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
-    purchases.join(
-      clicks,
-      col("c_user") === col("p_user") &&
-        col("click_ts") < col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $AttributionDays DAYS"),
-      "leftOuter")
-  }
+  def clickAttributionLeftOuter(events: DataFrame): DataFrame =
+    attributionJoin(events, "leftOuter")
 
   /** The FULL OUTER attribution join — both null paths at once: every
     * purchase emits (matched, or null-click once the click watermark
@@ -337,22 +334,8 @@ object Streaming {
     * case of the family). Same watermarks + interval predicate bound both
     * state stores.
     */
-  def clickAttributionFullOuter(events: DataFrame): DataFrame = {
-    val clicks = events.where(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-              col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val purchases = events.where(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-              col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
-    purchases.join(
-      clicks,
-      col("c_user") === col("p_user") &&
-        col("click_ts") < col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $AttributionDays DAYS"),
-      "fullOuter")
-  }
+  def clickAttributionFullOuter(events: DataFrame): DataFrame =
+    attributionJoin(events, "fullOuter")
 
   /** Stream–static dimension enrichment: the event stream broadcast-hash-
     * joined to a static dimension (the canonical "attach the customer

@@ -313,6 +313,23 @@ class CodecFuzzSpec extends AnyFunSuite {
     // unknown X metadata tag must be tolerated (spec-conformant streams carry them)
     val withX = new String(valid, "ISO-8859-1").replace("C444", "C444 XYSCSS=444").getBytes("ISO-8859-1")
     assert(cleanly("Y4M with X tag", withX)(Y4m.decode).isDefined)
+    // the malformed doubled tag CC444 must reject (a '== "C444"' check on
+    // the 'C'-stripped value would accept exactly this and nothing else)
+    val cc444 = new String(valid, "ISO-8859-1").replace("C444", "CC444").getBytes("ISO-8859-1")
+    assert(cleanly("Y4M CC444", cc444)(Y4m.decode).isEmpty)
+    // magic must sit at byte 0: a leading space is a malformed stream,
+    // not whitespace to tolerate
+    val padded = (" " + new String(valid, "ISO-8859-1")).getBytes("ISO-8859-1")
+    assert(cleanly("Y4M leading space", padded)(Y4m.decode).isEmpty)
+  }
+
+  test("Y4M encode bounds width*height with Long math before plane checks") {
+    // 65536 x 65536 wraps the Int product to 0 — empty planes would pass
+    // a wrapped-length check and emit an undecodable stream
+    val ex = intercept[IllegalArgumentException](
+      Y4m.encode(65536, 65536, Seq(Y4m.Frame(Array.empty, Array.empty, Array.empty))))
+    assert(ex.getMessage.contains("frame size exceeds bound"),
+      s"encode must bound dims before validating planes, got: ${ex.getMessage}")
   }
 
   test("codec fixture matches across all four image codecs exactly (four-way)") {
