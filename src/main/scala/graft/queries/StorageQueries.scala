@@ -1013,6 +1013,54 @@ object StorageQueries {
              |       CAST(COUNT(CASE WHEN doc_id % 37 = 0 THEN NULL ELSE doc_id END) AS BIGINT) AS n_ids
              |FROM documents
              |GROUP BY 1""".stripMargin)
+    ),
+
+    // ORC — the other big columnar format, promoted from a spec round-trip
+    // into the gate WITH its scan-efficiency properties: a lakehouse that
+    // reads ORC as fast as parquet must push predicates to the stripe
+    // reader and prune unprojected columns, or a 100 TB ORC fact costs a
+    // full-corpus scan per query. The landing writes a 4-column ORC table;
+    // the graded read projects three and filters on one. In-gate requires
+    // on the FileScan line: the qty predicate in PushedFilters (stripe/
+    // row-group statistics skip on it) and the unprojected l_orderkey
+    // absent from ReadSchema (column pruning — ORC is columnar, the
+    // unread column is IO saved). The oracle recomputes the rollup from
+    // the original parquet table, so the cross-FORMAT round-trip must
+    // preserve every row, value, and the exact integer-cents conversion.
+    QueryDef(
+      "q_orc_pushdown",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val tgt = target("orc_pushdown")
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_returnflag"),
+                  col("l_quantity").cast(LongType).as("qty"),
+                  Money.cents(col("l_extendedprice")).as("price_cents"))
+          .write.mode("overwrite").format("orc").save(tgt)
+        val q = spark.read.format("orc").load(tgt)
+          .where(col("qty") >= 25)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast(LongType).as("n_rows"),
+               sum(col("qty")).cast(LongType).as("sum_qty"),
+               sum(col("price_cents")).cast(LongType).as("sum_price_cents"))
+        val scanLine = q.queryExecution.executedPlan.toString
+          .linesIterator.find(_.contains("ReadSchema"))
+          .getOrElse(sys.error("no FileScan with a ReadSchema in the plan"))
+        require(scanLine.contains("orc"), s"expected an ORC scan, got:\n$scanLine")
+        require(scanLine.contains("GreaterThanOrEqual(qty,25"),
+          s"qty predicate did not push down to the ORC reader:\n$scanLine")
+        // anchor to the ReadSchema struct — the full line embeds the path
+        val readSchema = scanLine.substring(scanLine.indexOf("ReadSchema"))
+        require(!readSchema.contains("l_orderkey"),
+          s"unprojected column must be pruned from the ORC scan:\n$scanLine")
+        q
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+              |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              |       CAST(SUM(${Money.centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_cents
+              |FROM lineitem
+              |WHERE CAST(l_quantity AS BIGINT) >= 25
+              |GROUP BY 1""".stripMargin)
     )
   )
 

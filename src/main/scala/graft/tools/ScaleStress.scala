@@ -205,7 +205,11 @@ object ScaleStress {
     // corrupt-record ingest: three map-only text scans (one per parser
     // mode), parse work linear in bytes; the quarantine bucket is one
     // conditional in the same hash-agg, never a separate pass
-    "q_jsonl_corrupt")
+    "q_jsonl_corrupt",
+    // ORC pushdown: one columnar write + one pruned, predicate-pushed
+    // scan + hash-agg — the two graded properties ARE what keeps the
+    // read linear in the projected columns' bytes
+    "q_orc_pushdown")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
@@ -291,7 +295,11 @@ object ScaleStress {
               // q_bucketed_join's rollup measure: replicates unshifted, so
               // per-join-key sums are invariant per replica and totals
               // scale exactly ×factor
-              col("l_quantity"))
+              col("l_quantity"),
+              // q_orc_pushdown's group key + cents measure: replicated
+              // unshifted like l_quantity (columnar — queries not reading
+              // them pay nothing)
+              col("l_returnflag"), col("l_extendedprice"))
     val cust = Tables.customer(spark, baseDir)
       .select(col("c_custkey").cast("long").as("c_custkey"),
               col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
@@ -324,7 +332,7 @@ object ScaleStress {
       .select((col("l_orderkey") + col("rep") * okShift).as("l_orderkey"),
               (col("l_suppkey") + col("rep") * skShift).as("l_suppkey"),
               (col("l_partkey") + col("rep") * pkShift).as("l_partkey"),
-              col("l_quantity"))
+              col("l_quantity"), col("l_returnflag"), col("l_extendedprice"))
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
     // customer replicas (q_validate_contracts' FK target and
