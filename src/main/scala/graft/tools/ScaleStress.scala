@@ -209,7 +209,12 @@ object ScaleStress {
     // ORC pushdown: one columnar write + one pruned, predicate-pushed
     // scan + hash-agg — the two graded properties ARE what keeps the
     // read linear in the projected columns' bytes
-    "q_orc_pushdown")
+    "q_orc_pushdown",
+    // dim refresh across restart: two STATELESS enrich lifecycles (no
+    // state store); each re-reads the dim once and scans its bands once —
+    // the per-lifecycle setup is the constant term the restart grades
+    // all carry
+    "q_streaming_enrich_refresh")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
