@@ -1485,6 +1485,49 @@ object RelationalQueries {
              |SELECT user_id, ts AS last_ts, CAST(event_id AS BIGINT) AS last_event_id,
              |       cents AS last_cents, CAST(n_changes AS BIGINT) AS n_changes
              |FROM r WHERE rn = 1 AND op = 'U'""".stripMargin)
+    ),
+
+    // EXCHANGE REUSE — the diamond-plan shuffle dedup: a per-user rollup
+    // consumed twice (once as the join fact, once aggregated again into a
+    // distribution joined back onto it). Catalyst's ReuseExchange (and
+    // AQE's stage reuse) must compute the user_id shuffle — and the scan
+    // and partial aggregation feeding it — ONCE for both consumers; at
+    // 100 TB the deduped exchange halves the job's scan+shuffle IO, and a
+    // regression (a renamed column, a non-deterministic expression, a
+    // branch-specific projection) silently doubles it with no data error.
+    // Two in-gate requires on the EXECUTED final adaptive plan: a
+    // ReusedExchange node is present, and the final plan contains exactly
+    // ONE FileScan — the single-scan property is the claim, the node name
+    // just names the mechanism. The branches keep identical projections
+    // deliberately (a branch-only column would fork the exchange); the
+    // oracle recomputes the diamond from scratch in CTEs.
+    QueryDef(
+      "q_exchange_reuse",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val agg = Tables.events(spark, dir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val dist = agg.groupBy(col("n")).agg(count(lit(1)).cast(LongType).as("n_users"))
+        val out = agg.join(dist, "n")
+          .groupBy(col("n"), col("n_users"))
+          .agg(count(lit(1)).cast(LongType).as("n_rows"))
+        // AQE finalizes reuse at runtime — execute, then inspect the
+        // FINAL section only (the initial plan legitimately shows both)
+        val ck = out.localCheckpoint(eager = true)
+        val plan = out.queryExecution.executedPlan.toString
+        val finalPlan = plan.split("== Initial Plan ==")(0)
+        require(finalPlan.contains("ReusedExchange"),
+          s"the diamond's shared shuffle was not deduplicated:\n$plan")
+        require("FileScan".r.findAllIn(finalPlan).size == 1,
+          s"exchange reuse must leave exactly one scan in the final plan:\n$plan")
+        ck
+      },
+      Some("""WITH agg AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+             |dist AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS n_users FROM agg GROUP BY 1)
+             |SELECT a.n, d.n_users, CAST(COUNT(*) AS BIGINT) AS n_rows
+             |FROM agg a JOIN dist d ON a.n = d.n
+             |GROUP BY 1, 2""".stripMargin)
     )
   )
 }

@@ -214,7 +214,11 @@ object ScaleStress {
     // state store); each re-reads the dim once and scans its bands once —
     // the per-lifecycle setup is the constant term the restart grades
     // all carry
-    "q_streaming_enrich_refresh")
+    "q_streaming_enrich_refresh",
+    // exchange reuse: the mechanism under test dedups the diamond to ONE
+    // scan + ONE user_id shuffle — the in-query requires re-prove the
+    // single-scan plan at every factor
+    "q_exchange_reuse")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
