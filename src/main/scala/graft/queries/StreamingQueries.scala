@@ -872,6 +872,116 @@ object StreamingQueries {
              |ORDER BY window_start, event_type""".stripMargin)
     ),
 
+    // the watermark's DROP path (round-12, closing the r11 verdict's #2):
+    // every other order-sensitive gate feeds global time bands precisely
+    // so the watermark NEVER drops a row (the E16i note) — correct for
+    // grading the happy path, but the defining watermark semantic (a
+    // too-late row is excluded, and the exclusion is observable) had no
+    // gate. Here one band is deliberately LATE: the corpus's middle fifth
+    // [q40, q60) — integer-division boundaries shared verbatim with the
+    // oracle — arrives AFTER the tail band, when the watermark already
+    // stands at max − 30 min, far past every middle window's end. The
+    // windowed aggregation must (a) DROP those rows — pinned live by
+    // `numRowsDroppedByWatermark` summed over the run's progress events —
+    // and (b) exclude them from every emitted window, which the batch
+    // oracle pins by applying the same exclusion rule (a single straggler
+    // surviving into a closed window is a hash mismatch). Two measured
+    // Spark-4 mechanics shape the construction:
+    //   - the LATE-EVENT filter lags eviction by one batch (the
+    //     watermark-for-late-events is the PREVIOUS batch's eviction
+    //     watermark), so an EMPTY latch band sits between the tail and
+    //     the late band — by the time the late band arrives, even the
+    //     lagging filter stands at max − 30 min;
+    //   - the drop counter ticks at aggregation-BUFFER grain (the filter
+    //     sits after partial aggregation): the landing's one-file bands
+    //     read as one partition here, so the count equals the late
+    //     band's distinct (window, event_type) groups, and under any
+    //     wider partitioning it is bounded by [groups, raw rows] — the
+    //     require pins that window, the oracle pins the data exactly.
+    // A last-band sentinel at max+2h pushes the final watermark past
+    // every real window so the survivors all emit; its own window never
+    // closes and is filtered belt-and-braces.
+    QueryDef(
+      "q_streaming_late_drop",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val mm = eventsDf.agg(min(unix_millis(col("ts"))).as("t0"),
+                              max(unix_millis(col("ts"))).as("t1"))
+        // arrival bands: 0 = early (< q40), 1 = tail (≥ q60), 2 = EMPTY
+        // latch (advances the lagging late-event watermark), 3 = the LATE
+        // middle fifth [q40, q60) landing after the tail, 4 = sentinel
+        val banded = eventsDf.crossJoin(broadcast(mm))
+          .withColumn("ms", unix_millis(col("ts")))
+          .withColumn("q40", col("t0") + expr("((t1 - t0) * 2) div 5"))
+          .withColumn("q60", col("t0") + expr("((t1 - t0) * 3) div 5"))
+          .withColumn("__band",
+            when(col("ms") < col("q40"), lit(0))
+              .when(col("ms") < col("q60"), lit(3))
+              .otherwise(lit(1)).cast("int"))
+        val late = banded.where(col("__band") === 3)
+        val nLate = late.count()
+        require(nLate > 0, "late-drop grade degenerate: the planted late band is empty")
+        val nLateGroups = late
+          .select((col("ms") - pmod(col("ms"), lit(600000L))).as("w"), col("event_type"))
+          .distinct().count()
+        val sentinel = mm.select(lit(-1L).as("event_id"),
+            expr("timestamp_millis(t1 + 7200000)").as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"), lit(4).as("__band"))
+        val feed = banded
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                  col("value"), col("__band"))
+          .unionByName(sentinel)
+        val land = landBands(feed, 5, "stream_land_late_drop", dir)
+        val src = spark.readStream.schema(eventsDf.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+        val centsIn = src
+          .withColumn("value", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DOUBLE)"))
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_late_drop_sink_$id")
+        val q = Streaming.windowedCounts(centsIn)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_late_drop_ckpt_$id"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
+        // the drop must be OBSERVABLE and accounted: every late-band group
+        // dropped (at aggregation-buffer grain — see the header note),
+        // nothing from the in-order bands dropped
+        val dropped = q.recentProgress
+          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+        unloadStateStores()
+        require(dropped >= nLateGroups && dropped <= nLate,
+          s"watermark drop accounting: expected the $nLate late rows' " +
+          s"$nLateGroups (window, type) buffer groups dropped (≤ $nLate under " +
+          s"wider partial-agg partitioning), progress reports $dropped")
+        spark.read.parquet(sinkDir)
+          .where(col("event_type") =!= "sentinel")
+          .select(col("window_start"), col("event_type"),
+                  col("n_events").cast(LongType).as("n_events"),
+                  col("total_value").cast(LongType).as("total_cents"))
+          .orderBy(col("window_start"), col("event_type"))
+          .localCheckpoint(eager = true)
+      },
+      // the q_streaming_window_counts oracle with the SAME integer-division
+      // band rule excluding the late middle fifth
+      Some("""WITH mm AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
+             |e AS (
+             |  SELECT ts, event_type, value, epoch_ms(ts) AS ms,
+             |         t0 + ((t1 - t0) * 2) // 5 AS q40,
+             |         t0 + ((t1 - t0) * 3) // 5 AS q60
+             |  FROM events, mm
+             |)
+             |SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT)) AS TIMESTAMP) AS window_start,
+             |       event_type, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM e
+             |WHERE NOT (ms >= q40 AND ms < q60)
+             |GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)
+    ),
+
     // the FILE-BASED streaming SINK — with the file SOURCE feeding it, this
     // is the full file-to-file production shape: the same watermarked
     // windowed aggregation, written as append-mode PARQUET FILES with a

@@ -193,6 +193,11 @@ object ScaleStress {
     // single scans (codes vs broadcast LUTs); the brute-force grading arm
     // is the fixed tiny query set × corpus scan every ANN grade carries
     "ann_pq_recall",
+    // IVF-PQ + re-rank: cell assignment and residual encoding are single
+    // scans, ADC touches only the probed cells' code rows (a FRACTION of
+    // the flat-PQ scan), and the exact re-rank is a bounded
+    // queries×shortlist corpus re-read — constant rows at any factor
+    "ann_ivfpq_recall",
     // rebalance-on-write: the landing write and the REBALANCE shuffle are
     // both linear; the mechanism under test (runtime skew split at mapper
     // grain) IS what keeps the hot write key parallel at every factor

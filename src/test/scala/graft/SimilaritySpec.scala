@@ -87,6 +87,24 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF-PQ (residual + re-rank) decisively beats flat PQ's recall on the same corpus") {
+    def meanRecall(name: String): Double = {
+      spark.catalog.clearCache()
+      val out = SparkEntry.queries(name)(spark, sf)
+        .agg(avg(col("recall_at_k"))).head().getDouble(0)
+      spark.catalog.clearCache()
+      out
+    }
+    val pq = meanRecall("ann_pq_recall")
+    val ivfpq = meanRecall("ann_ivfpq_recall")
+    // measured 0.91 vs 0.32 at sf0.001 (0.90 vs 0.33 at sf0.01): residual
+    // encoding + the bounded exact re-rank must recover what cell probing
+    // retains, not merely edge out the 32-bit flat codes
+    assert(ivfpq > pq + 0.2,
+      s"IVF-PQ mean recall@10 $ivfpq should decisively beat flat PQ's $pq")
+    assert(ivfpq >= 0.8, s"IVF-PQ recall@10 on the real fixture measured ≥0.9; got $ivfpq")
+  }
+
   test("LSH top-k is a subset-ranking consistent with brute force at rank 1") {
     val bf = SparkEntry.queries("ann_bruteforce_topk")(spark, sf)
       .where(col("rank") === 1).collect()
