@@ -54,7 +54,8 @@ object Bench {
     "dedup_fuzzy_recall", "dedup_semantic", "dedup_minhash_recall",
     "q_streaming_click_attribution", "q_streaming_left_outer",
     "q_streaming_sessionize_timeout", "q_streaming_sessionize_tws",
-    "q_streaming_restart_tws", "q_triangles")
+    "q_streaming_restart_tws", "q_triangles",
+    "ann_ivfpq_recall", "q_streaming_restart_outer")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

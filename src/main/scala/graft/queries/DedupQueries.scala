@@ -71,9 +71,20 @@ object DedupQueries {
     * `dedup_clusters`) — stages exposed so the scale rig can re-grade the
     * banding by wall ratio after the 16×8 fix.
     */
-  private[graft] def minhashStages(spark: org.apache.spark.sql.SparkSession, dir: String)
+  private[graft] def minhashStages(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                   hsOpt: Option[org.apache.spark.sql.DataFrame] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    // repartition before the shingle+128-perm map (round-12): the
+    // documents table is one small parquet file → ONE input partition,
+    // so the signature pipeline — the query family's dominant CPU —
+    // ran as a serial stage (profiled on the fuzzy-names sibling: wall ≈
+    // summed task CPU, GC ≈ 0). One tiny shuffle buys full-core
+    // parallelism; at 100 TB the multi-file scan has it for free.
+    // `hsOpt` lets a caller that already materialized the shingle sets
+    // (dedup_minhash_recall's truth arm) feed them in instead of paying
+    // the shingle pass twice.
     val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     // Staged projections, then persist. The stages matter: each binds an
     // intermediate array ONCE per row before the next stage's lambdas
     // fan out over it — inlining instead re-evaluates the upstream
@@ -81,7 +92,7 @@ object DedupQueries {
     // 3s at sf0.1). The persist then shares the signatures across both
     // sides of the band self-join and both verification join-backs. At
     // 100 TB this stage is written to a signatures table once.
-    val sigs = Dedup.shingleHashSets(docs, ShingleK)
+    val sigs = hsOpt.getOrElse(Dedup.shingleHashSets(docs, ShingleK))
       .select(col("doc_id"), Dedup.minhashSignature(col("hs"), MinhashPerms).as("sig"))
       .persist()
     // eager: materialize ONCE before the plan fans out — the 4 cache
@@ -126,7 +137,9 @@ object DedupQueries {
     */
   private[graft] def minhashTruthPairs(spark: org.apache.spark.sql.SparkSession,
                                        dir: String): org.apache.spark.sql.DataFrame = {
-    val hs = Dedup.shingleHashSets(Tables.documents(spark, dir), ShingleK).persist()
+    val hs = Dedup.shingleHashSets(
+        Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism),
+        ShingleK).persist()
     hs.count()
     containmentCandidates(hs)
       .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
@@ -552,7 +565,17 @@ object DedupQueries {
       "dedup_fuzzy_names",
       (spark, dir) => {
         GraftSession.tune(spark)
+        // repartition the probe side to the executor core count (round-12):
+        // the part table is one small parquet file → ONE input partition,
+        // and with the exploded block side broadcast the entire
+        // candidate-gen + bounded-DP stage ran in a single task — profiled
+        // at sf0.1: wall ≈ summed task time ≈ task CPU (8.1 s, GC 0.03 s),
+        // i.e. a compute-bound SERIAL stage. One cheap 4k-row shuffle buys
+        // full-core parallelism for the per-candidate DP work (measured
+        // 7.97 s → 2.46 s bench min at local[4]); at 100 TB a multi-file
+        // table has this parallelism from the scan itself
         val p = Tables.part(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism)
           .select(col("p_partkey"), col("p_brand"), col("p_name"),
                   length(col("p_name")).cast("long").as("len"),
                   charSetMask(col("p_name")).as("cm"))
@@ -743,7 +766,9 @@ object DedupQueries {
       (spark, dir) => {
         GraftSession.tune(spark)
         spark.catalog.clearCache()
+        // repartition: same serial-map-stage fix as minhashStages
         val docs = Tables.documents(spark, dir)
+          .repartition(spark.sparkContext.defaultParallelism)
         val hs = Dedup.shingleHashSets(docs, ShingleK).persist()
         hs.count() // eager: candidate stage + two jaccard join-backs
         val truth = containmentCandidates(hs)
@@ -753,7 +778,9 @@ object DedupQueries {
           .select(col("doc_a"), col("doc_b"))
           .persist()
         truth.count() // shared by three counting arms below
-        val (sigs, band) = minhashStages(spark, dir)
+        // reuse the persisted shingle sets — the signature arm reads the
+        // cache instead of re-scanning and re-shingling the corpus
+        val (sigs, band) = minhashStages(spark, dir, Some(hs))
         val emitted = band
           .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
           .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")

@@ -433,6 +433,96 @@ object StreamingQueries {
               |GROUP BY p.event_id""".stripMargin)
     ),
 
+    // LEFT-OUTER JOIN RESTART (round-12, closing the r11 verdict's #5) —
+    // the one stateful-semantics × restart cell the matrix still had
+    // open: the watermark-gated NULL PATH across a lifecycle boundary.
+    // The inner-join restart proves the two buffers restore; this proves
+    // the resumed query also restores the WATERMARK CONTRACT — a
+    // purchase unmatched at shutdown (its absence not yet provable) must
+    // emit its null-click row after resume, once the watermark finally
+    // passes it. Guaranteed non-degenerate by a PLANTED purchase (user
+    // −3, no clicks ever) at the exact top of lifecycle #1's time range:
+    // run #1's closing watermark (max₁ − 1h) can never license its null
+    // row (require: absent from the sink), and run #2's sentinels push
+    // the watermark past everything (require: present, with a null
+    // click). The planted row and sentinels are filtered from the graded
+    // rollup, which is the left-outer rollup against the same batch LEFT
+    // JOIN oracle — resume must neither lose nulls, emit premature
+    // nulls (n_rows counts them), nor drop cross-lifecycle pairs.
+    QueryDef(
+      "q_streaming_restart_outer",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val mm = eventsDf.agg(min(unix_millis(col("ts"))).as("t0"),
+                              max(unix_millis(col("ts"))).as("t1"))
+        def sentinel(id: Long, kind: String) = mm.select(
+          lit(id).as("event_id"),
+          expr("timestamp_millis(t1 + 7200000)").as("ts"),
+          lit(id).as("user_id"), lit(kind).as("event_type"), lit(0.0).as("value"))
+        // the top of band 1 of the 4-band split over [t0, t1+2h]: the
+        // largest ms with floor((ms−t0)·4/(span+1)) ≤ 1 — inside
+        // lifecycle #1, at-or-above every real event lifecycle #1 carries
+        val planted = mm.select(
+          lit(-3L).as("event_id"),
+          expr("timestamp_millis(t0 + ((t1 + 7200000 - t0 + 1) div 2) - 1)").as("ts"),
+          lit(-3L).as("user_id"), lit("purchase").as("event_type"), lit(0.0).as("value"))
+        val feed = eventsDf
+          .unionByName(sentinel(-1L, "click"))
+          .unionByName(sentinel(-2L, "purchase"))
+          .unionByName(planted)
+        val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_restart_outer", dir)
+        val id = runId.incrementAndGet()
+        val arrival = new java.io.File(StorageQueries.target(s"stream_restart_outer_arrival_$id"))
+        require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
+        val sinkDir = StorageQueries.target(s"stream_restart_outer_sink_$id")
+        val ckpt = StorageQueries.target(s"stream_restart_outer_ckpt_$id")
+        def runOnce(): Unit = {
+          val src = spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", "1").parquet(arrival.getAbsolutePath)
+          val q = Streaming.clickAttributionLeftOuter(src)
+            .writeStream.format("parquet")
+            .option("path", sinkDir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+        }
+        arriveBands(land, arrival, 0 to 1); runOnce()
+        require(sinkRowCount(spark, sinkDir) > 0,
+          "outer restart degenerate: run #1 emitted nothing — nothing at stake in the resume")
+        require(spark.read.parquet(sinkDir).where(col("purchase_id") === -3L).count() == 0L,
+          "the planted top-of-lifecycle-1 purchase's null row emitted BEFORE the " +
+          "restart — run #1's watermark cannot have licensed it")
+        arriveBands(land, arrival, 2 to 3); runOnce()
+        val plantedRows = spark.read.parquet(sinkDir).where(col("purchase_id") === -3L)
+        require(plantedRows.count() == 1L && plantedRows.where(col("click_id").isNull).count() == 1L,
+          "the planted unmatched purchase must emit exactly one null-click row after resume")
+        val out = spark.read.parquet(sinkDir)
+          .where(col("purchase_id") >= 0L)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_rows"),
+               count(col("click_id")).cast(LongType).as("n_clicks"),
+               max(col("click_ts")).as("last_click_ts"))
+          .localCheckpoint(eager = true)
+        require(out.where(col("n_clicks") === 0L).count() > 0,
+          "outer restart degenerate: every real purchase matched — the null path never fired")
+        out
+      },
+      // the left-outer oracle verbatim: two lifecycles must equal one
+      // uninterrupted run
+      Some(s"""SELECT p.event_id AS purchase_id,
+              |       COUNT(*) AS n_rows,
+              |       COUNT(c.ts) AS n_clicks,
+              |       MAX(c.ts) AS last_click_ts
+              |FROM events p LEFT JOIN events c
+              |  ON c.user_id = p.user_id
+              | AND c.event_type = 'click'
+              | AND c.ts < p.ts
+              | AND c.ts >= p.ts - INTERVAL ${Streaming.AttributionDays} DAY
+              |WHERE p.event_type = 'purchase'
+              |GROUP BY p.event_id""".stripMargin)
+    ),
+
     // the stream-stream LEFT OUTER interval join
     // ([[Streaming.clickAttributionLeftOuter]]) — the other half of
     // attribution: EVERY purchase must appear, and a purchase with no
@@ -472,8 +562,13 @@ object StreamingQueries {
                   lit(0.0).as("value")))
         val feed = eventsDf.unionByName(sentinels)
         val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_left_outer", dir)
+        // 3 files per trigger (round-12, r11 verdict #7): the semantics
+        // need MULTIPLE batches (null emission licensed by a watermark
+        // that advances across batches) — 4 bands at 3/trigger still give
+        // two data batches + the closing no-data batch, same as the
+        // inner-join gate; 1/trigger bought nothing but lifecycle cost
         val src = spark.readStream.schema(feed.schema)
-          .option("maxFilesPerTrigger", "1").parquet(land)
+          .option("maxFilesPerTrigger", "3").parquet(land)
         val id = runId.incrementAndGet()
         val sinkDir = StorageQueries.target(s"stream_left_outer_sink_$id")
         val q = Streaming.clickAttributionLeftOuter(src)
@@ -537,8 +632,10 @@ object StreamingQueries {
           .unionByName(sentinel(-1L, "click"))
           .unionByName(sentinel(-2L, "purchase"))
         val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_full_outer", dir)
+        // 3/trigger, as in the left-outer leg (r11 verdict #7): both
+        // watermark horizons still advance across batches
         val src = spark.readStream.schema(feed.schema)
-          .option("maxFilesPerTrigger", "1").parquet(land)
+          .option("maxFilesPerTrigger", "3").parquet(land)
         val id = runId.incrementAndGet()
         val sinkDir = StorageQueries.target(s"stream_full_outer_sink_$id")
         val q = Streaming.clickAttributionFullOuter(src)

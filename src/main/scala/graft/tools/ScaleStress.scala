@@ -223,7 +223,26 @@ object ScaleStress {
     // exchange reuse: the mechanism under test dedups the diamond to ONE
     // scan + ONE user_id shuffle — the in-query requires re-prove the
     // single-scan plan at every factor
-    "q_exchange_reuse")
+    "q_exchange_reuse",
+    // round-12 additions. late-drop: the same windowed agg as the window-
+    // counts gate plus a map-side band split; the drop itself is a filter,
+    // and the buffer-grain accounting bound holds under any partitioning
+    "q_streaming_late_drop",
+    // outer-join restart: the left-outer legs' watermark-bounded state
+    // across two lifecycles — state horizon is the lookback window plus
+    // unproven-absence purchases, never the corpus
+    "q_streaming_restart_outer",
+    // forced-spill window: n/5 rows per buffer at every factor — the
+    // spill path (sorter insert + disk write) is linear in buffered rows
+    "q_window_spill",
+    // CBO gate: two dim landings + ANALYZE (one scan each) + two joins;
+    // the threshold derives from measured estimates, so the two plan
+    // legs separate at every factor
+    "q_cbo_broadcast",
+    // AQE join conversion: one landing + one join whose engineered
+    // static-vs-runtime gap (no-stats wide-row estimate vs 1/125
+    // surviving rows) stays two orders of magnitude at every factor
+    "q_aqe_broadcast_convert")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
@@ -316,7 +335,10 @@ object ScaleStress {
               col("l_returnflag"), col("l_extendedprice"))
     val cust = Tables.customer(spark, baseDir)
       .select(col("c_custkey").cast("long").as("c_custkey"),
-              col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+              col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"),
+              // q_aqe_broadcast_convert's wide kept column (replicates
+              // unshifted; per-replica MIN(c_name) is invariant)
+              col("c_name"))
     val om = ord.agg(max("o_orderkey"), max("o_custkey")).head
     val cm = cust.agg(max("c_custkey")).head
     val lm = li.agg(max("l_suppkey"), max("l_partkey")).head
@@ -354,7 +376,8 @@ object ScaleStress {
     // o_custkey, non-key columns replicate
     cust.select(col("*"), reps)
       .select((col("c_custkey") + col("rep") * ckShift).as("c_custkey"),
-              col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+              col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"),
+              col("c_name"))
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
     // events replicas for q_mad_outliers' two-round median: ids shift,
