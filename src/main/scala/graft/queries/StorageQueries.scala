@@ -816,6 +816,111 @@ object StorageQueries {
               |SELECT 'stats' AS leg, * FROM r""".stripMargin)
     ),
 
+    // CBO JOIN REORDER (round-12) — the second statistics-driven planner
+    // decision after q_cbo_broadcast's strategy choice: with rowCount +
+    // column stats on all three tables, CostBasedJoinReorder must REWRITE
+    // THE JOIN TREE. The query is WRITTEN in the worst order — the two
+    // facts first ((lineitem ⋈ orders) ⋈ dim, intermediate = |lineitem|) —
+    // and the chain's cheap order joins the 1/125-filtered dim to orders
+    // first (intermediate ≈ |orders|/125, three orders of magnitude
+    // smaller; at 100 TB that intermediate is the job). Both legs are
+    // pinned structurally on the optimized plan's BOTTOM join (the Join
+    // node with no Join beneath it): with `cbo.joinReorder` ON it must
+    // hold {orders, dim}; with the flag OFF (same stats available) the
+    // written (lineitem, orders) order must survive — so the gate grades
+    // the REORDER itself, not some other simplification. Both legs'
+    // rollups emitted tagged and oracle-checked: the rewrite must not
+    // move a row.
+    QueryDef(
+      "q_cbo_join_reorder",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val db = "graft_cbo"
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        def resetTable(name: String): Unit = {
+          spark.sql(s"DROP TABLE IF EXISTS $db.$name")
+          val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+          val loc = new java.io.File(new java.io.File(wh.getPath, s"$db.db"), name)
+          def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit }
+          rm(loc)
+        }
+        resetTable("li_r"); resetTable("ord_r"); resetTable("cust_r")
+        graft.Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_quantity").cast(LongType).as("qty"))
+          .write.mode("overwrite").format("parquet").saveAsTable(s"$db.li_r")
+        graft.Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .write.mode("overwrite").format("parquet").saveAsTable(s"$db.ord_r")
+        val cust = graft.Tables.customer(spark, dir)
+        cust.write.mode("overwrite").format("parquet").saveAsTable(s"$db.cust_r")
+        spark.sql(s"ANALYZE TABLE $db.li_r COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+        spark.sql(s"ANALYZE TABLE $db.ord_r COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+        spark.sql(s"ANALYZE TABLE $db.cust_r COMPUTE STATISTICS " +
+          "FOR COLUMNS c_custkey, c_mktsegment, c_nationkey")
+        val nk = cust.where(col("c_mktsegment") === "BUILDING")
+          .agg(min(col("c_nationkey")).cast(LongType)).head().getLong(0)
+        // the bottom-most Join's leaf catalog tables — the structural
+        // fingerprint of the chosen join order
+        def bottomJoinTables(df: org.apache.spark.sql.DataFrame): Set[String] = {
+          import org.apache.spark.sql.catalyst.plans.logical.Join
+          import org.apache.spark.sql.execution.datasources.LogicalRelation
+          val plan = df.queryExecution.optimizedPlan
+          val bottoms = plan.collect {
+            case j: Join if j.children.forall(
+              _.collectFirst { case x: Join => x }.isEmpty) => j
+          }
+          require(bottoms.size == 1, s"expected one bottom join, got ${bottoms.size}:\n$plan")
+          bottoms.head.collectLeaves().collect {
+            case lr: LogicalRelation => lr.catalogTable.map(_.identifier.table)
+          }.flatten.toSet
+        }
+        def leg(reorder: Boolean, tag: String) =
+          GraftSession.withConfs(spark,
+            "spark.sql.cbo.enabled" -> "true",
+            "spark.sql.cbo.joinReorder.enabled" -> reorder.toString,
+            // pin the strategy dimension so this gate isolates ORDER:
+            // nothing broadcasts, both legs run the same join algorithm
+            "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+            val j = spark.table(s"$db.li_r")
+              .join(spark.table(s"$db.ord_r"), col("l_orderkey") === col("o_orderkey"))
+              .join(spark.table(s"$db.cust_r")
+                      .where(col("c_mktsegment") === "BUILDING" && col("c_nationkey") === nk),
+                    col("o_custkey") === col("c_custkey"))
+            val bottom = bottomJoinTables(j)
+            if (reorder)
+              require(bottom == Set("ord_r", "cust_r"),
+                s"with statistics, join reorder must join the filtered dim first, " +
+                s"bottom join reads $bottom")
+            else
+              require(bottom == Set("li_r", "ord_r"),
+                s"with reorder off the written fact-fact order must survive, " +
+                s"bottom join reads $bottom")
+            j.groupBy(col("o_orderstatus"))
+              .agg(count(lit(1)).cast(LongType).as("n_lines"),
+                   sum(col("qty")).cast(LongType).as("sum_qty"))
+              .select(lit(tag).as("leg"), col("o_orderstatus"),
+                      col("n_lines"), col("sum_qty"))
+          }
+        leg(reorder = false, "written").unionByName(leg(reorder = true, "reordered"))
+          .localCheckpoint(eager = true)
+      },
+      Some(s"""WITH sel AS (
+              |  SELECT MIN(c_nationkey) AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+              |), r AS (
+              |  SELECT o_orderstatus, COUNT(*) AS n_lines,
+              |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+              |  FROM lineitem
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+              |  JOIN sel ON c_nationkey = nk
+              |  GROUP BY 1
+              |)
+              |SELECT 'written' AS leg, * FROM r
+              |UNION ALL
+              |SELECT 'reordered' AS leg, * FROM r""".stripMargin)
+    ),
+
     // AQE RUNTIME JOIN CONVERSION (round-12) — the RUNTIME correction of
     // the exact planning mistake q_cbo_broadcast fixes at compile time,
     // completing the pair: a statistics-less dim makes the static planner

@@ -373,6 +373,90 @@ object StreamingQueries {
               |GROUP BY p.event_id""".stripMargin)
     ),
 
+    // the watermark's DROP path on the STREAM-STREAM JOIN (round-12) —
+    // q_streaming_late_drop grades the drop on the aggregation family;
+    // this grades it on the symmetric join's two input sides, the other
+    // stateful family with a late-row contract: the corpus's middle
+    // fifth arrives two batches after the tail (same integer band rule +
+    // empty latch band — the late-event filter lags eviction by one
+    // batch), when the global min-watermark stands at max − 1h. The join
+    // must drop those rows on BOTH sides — clicks that can no longer be
+    // buffered correctly AND purchases whose lookback state is already
+    // evicted — pinned live by `numRowsDroppedByWatermark` summed over
+    // the run (row grain here: joins filter inputs directly, no partial
+    // aggregation, so the count is exact — one per late row), and the
+    // batch oracle excludes the same band from both sides, so a late
+    // row leaking into the pair set (or a kept row wrongly dropped) is
+    // a hash mismatch. Inner join = eager emission, no sentinels.
+    QueryDef(
+      "q_streaming_join_late_drop",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val mm = eventsDf.agg(min(unix_millis(col("ts"))).as("t0"),
+                              max(unix_millis(col("ts"))).as("t1"))
+        // bands: 0 = early (< q40), 1 = tail (≥ q60), 2 = EMPTY latch,
+        // 3 = the LATE middle fifth [q40, q60)
+        val banded = eventsDf.crossJoin(broadcast(mm))
+          .withColumn("ms", unix_millis(col("ts")))
+          .withColumn("q40", col("t0") + expr("((t1 - t0) * 2) div 5"))
+          .withColumn("q60", col("t0") + expr("((t1 - t0) * 3) div 5"))
+          .withColumn("__band",
+            when(col("ms") < col("q40"), lit(0))
+              .when(col("ms") < col("q60"), lit(3))
+              .otherwise(lit(1)).cast("int"))
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                  col("value"), col("__band"))
+        // the join consumes only clicks and purchases — count the late
+        // rows the OPERATOR actually sees, not the whole band
+        val nLate = banded.where(col("__band") === 3 &&
+            col("event_type").isin("click", "purchase")).count()
+        require(nLate > 0, "join late-drop grade degenerate: the late band is empty")
+        val land = landBands(banded, 4, "stream_land_join_late", dir)
+        val src = spark.readStream.schema(eventsDf.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_join_late_sink_$id")
+        val q = Streaming.clickAttribution(src)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_join_late_ckpt_$id"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
+        val dropped = q.recentProgress
+          .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+        unloadStateStores()
+        require(dropped == nLate,
+          s"join watermark drop accounting: expected exactly $nLate late " +
+          s"click/purchase rows dropped, progress reports $dropped")
+        spark.read.parquet(sinkDir)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_clicks"),
+               max(col("click_ts")).as("last_click_ts"))
+          .localCheckpoint(eager = true)
+      },
+      // the inner interval-join oracle over events EXCLUDING the late
+      // middle fifth on both sides (same integer band rule)
+      Some(s"""WITH mm AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
+              |e AS (
+              |  SELECT event_id, ts, user_id, event_type, epoch_ms(ts) AS ms,
+              |         t0 + ((t1 - t0) * 2) // 5 AS q40,
+              |         t0 + ((t1 - t0) * 3) // 5 AS q60
+              |  FROM events, mm
+              |),
+              |k AS (SELECT event_id, ts, user_id, event_type FROM e
+              |      WHERE NOT (ms >= q40 AND ms < q60))
+              |SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+              |       MAX(c.ts) AS last_click_ts
+              |FROM k p JOIN k c
+              |  ON c.user_id = p.user_id
+              | AND c.event_type = 'click'
+              | AND c.ts < p.ts
+              | AND c.ts >= p.ts - INTERVAL ${Streaming.AttributionDays} DAY
+              |WHERE p.event_type = 'purchase'
+              |GROUP BY p.event_id""".stripMargin)
+    ),
+
     // stream-stream JOIN restart/recovery — completing the restart
     // matrix's fourth state shape (built-in agg, GroupState, state-v2
     // timers, and now the SYMMETRIC JOIN'S TWO BUFFERS): the inner

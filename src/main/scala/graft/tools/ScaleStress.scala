@@ -228,6 +228,10 @@ object ScaleStress {
     // counts gate plus a map-side band split; the drop itself is a filter,
     // and the buffer-grain accounting bound holds under any partitioning
     "q_streaming_late_drop",
+    // join late-drop: the interval join with one band filtered at the
+    // operator input — drop accounting is row-grain and the state bound
+    // is the lookback window, as in the other attribution legs
+    "q_streaming_join_late_drop",
     // outer-join restart: the left-outer legs' watermark-bounded state
     // across two lifecycles — state horizon is the lookback window plus
     // unproven-absence purchases, never the corpus
@@ -242,7 +246,11 @@ object ScaleStress {
     // AQE join conversion: one landing + one join whose engineered
     // static-vs-runtime gap (no-stats wide-row estimate vs 1/125
     // surviving rows) stays two orders of magnitude at every factor
-    "q_aqe_broadcast_convert")
+    "q_aqe_broadcast_convert",
+    // CBO join reorder: three landings + ANALYZE + two 3-way joins; the
+    // reordered leg's intermediate is |orders|/125 at every factor and
+    // the structural requires re-prove the rewrite per run
+    "q_cbo_join_reorder")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
