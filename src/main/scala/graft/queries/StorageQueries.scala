@@ -816,6 +816,74 @@ object StorageQueries {
               |SELECT 'stats' AS leg, * FROM r""".stripMargin)
     ),
 
+    // SCAN SPLIT (round-12) — the READ-side parallelism contract: one
+    // large file must not mean one task. A 100 TB table is thousands of
+    // multi-GB files, and Spark's scan parallelism inside each comes
+    // entirely from byte-range splitting (`maxPartitionBytes`, with
+    // `openCostInBytes` padding small files) — the exact property whose
+    // absence this round's drift profiling exposed on the single-node
+    // side (a one-file table fed a CPU-bound map stage as ONE serial
+    // task). Both directions pinned on a single-file landing (landing
+    // `require`d one data file): with the thresholds scoped to an
+    // EIGHTH of the measured file bytes (openCost 0) the scan must plan
+    // ≥ 4 input partitions; with the threshold scoped ABOVE the file
+    // size the same file must read as exactly ONE (the default-conf
+    // form isn't pinnable — split size also folds in a bytes-per-core
+    // heuristic, measured planning 2 partitions for a 6 MB file on a
+    // wide session) — so the gate grades the knob, not an accident of
+    // layout. The rollup re-read
+    // through the split scan is oracle-checked against the original
+    // table: byte-range partitioning must neither lose nor duplicate a
+    // row-group's rows.
+    QueryDef(
+      "q_scan_split",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val tgt = target("scan_split_land")
+        graft.Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_returnflag"),
+                  col("l_quantity").cast(LongType).as("qty"),
+                  Money.cents(col("l_extendedprice")).as("price_cents"))
+          .repartition(1)
+          .write.mode("overwrite").parquet(tgt)
+        val dataFiles = Option(new java.io.File(tgt).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        require(dataFiles.length == 1,
+          s"scan-split grade needs ONE data file, landed ${dataFiles.length}")
+        val bytes = dataFiles.head.length()
+        val wanted = 8L
+        val maxBytes = math.max(bytes / wanted, 1L)
+        val (nSplit, out) = GraftSession.withConfs(spark,
+          "spark.sql.files.maxPartitionBytes" -> maxBytes.toString,
+          "spark.sql.files.openCostInBytes" -> "0") {
+          val df = spark.read.parquet(tgt)
+          (df.rdd.getNumPartitions,
+           df.groupBy(col("l_returnflag"))
+             .agg(count(lit(1)).cast(LongType).as("n_rows"),
+                  sum(col("qty")).cast(LongType).as("sum_qty"),
+                  sum(col("price_cents")).cast(LongType).as("sum_price_cents"))
+             .localCheckpoint(eager = true))
+        }
+        require(nSplit >= 4,
+          s"a $bytes-byte file at maxPartitionBytes=$maxBytes must split into " +
+          s"≥ 4 scan partitions, planned $nSplit")
+        val nWhole = GraftSession.withConfs(spark,
+          "spark.sql.files.maxPartitionBytes" -> (bytes * 2).toString,
+          "spark.sql.files.openCostInBytes" -> bytes.toString) {
+          spark.read.parquet(tgt).rdd.getNumPartitions
+        }
+        require(nWhole == 1,
+          s"with the split threshold above the file size the single file must " +
+          s"read as ONE partition, planned $nWhole")
+        out
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+              |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+              |       CAST(SUM(${Money.centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_cents
+              |FROM lineitem
+              |GROUP BY 1""".stripMargin)
+    ),
+
     // CBO JOIN REORDER (round-12) — the second statistics-driven planner
     // decision after q_cbo_broadcast's strategy choice: with rowCount +
     // column stats on all three tables, CostBasedJoinReorder must REWRITE

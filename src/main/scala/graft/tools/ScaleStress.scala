@@ -250,7 +250,10 @@ object ScaleStress {
     // CBO join reorder: three landings + ANALYZE + two 3-way joins; the
     // reordered leg's intermediate is |orders|/125 at every factor and
     // the structural requires re-prove the rewrite per run
-    "q_cbo_join_reorder")
+    "q_cbo_join_reorder",
+    // scan split: one landing + one split-scan rollup; thresholds derive
+    // from the measured file bytes, so both plan legs hold at any factor
+    "q_scan_split")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
