@@ -55,7 +55,11 @@ object Bench {
     "q_streaming_click_attribution", "q_streaming_left_outer",
     "q_streaming_sessionize_timeout", "q_streaming_sessionize_tws",
     "q_streaming_restart_tws", "q_triangles",
-    "ann_ivfpq_recall", "q_streaming_restart_outer")
+    "ann_ivfpq_recall", "q_streaming_restart_outer",
+    // round-12 setup-dominated gates (state-store lifecycles, ANALYZE
+    // sweeps, forced-spill landings) — same cap criterion as the rest
+    "q_streaming_late_drop", "q_streaming_join_late_drop", "q_window_spill",
+    "q_cbo_broadcast", "q_cbo_join_reorder", "q_aqe_broadcast_convert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

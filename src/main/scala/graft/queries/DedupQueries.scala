@@ -83,16 +83,18 @@ object DedupQueries {
     // `hsOpt` lets a caller that already materialized the shingle sets
     // (dedup_minhash_recall's truth arm) feed them in instead of paying
     // the shingle pass twice.
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
     // Staged projections, then persist. The stages matter: each binds an
     // intermediate array ONCE per row before the next stage's lambdas
     // fan out over it — inlining instead re-evaluates the upstream
     // expression per lambda element / per permutation (measured 280s →
     // 3s at sf0.1). The persist then shares the signatures across both
     // sides of the band self-join and both verification join-backs. At
-    // 100 TB this stage is written to a signatures table once.
-    val sigs = hsOpt.getOrElse(Dedup.shingleHashSets(docs, ShingleK))
+    // 100 TB this stage is written to a signatures table once. The docs
+    // scan (and its repartition) lives inside the by-name default so the
+    // hsOpt reuse path visibly never constructs it.
+    val sigs = hsOpt.getOrElse(Dedup.shingleHashSets(
+        Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism),
+        ShingleK))
       .select(col("doc_id"), Dedup.minhashSignature(col("hs"), MinhashPerms).as("sig"))
       .persist()
     // eager: materialize ONCE before the plan fans out — the 4 cache

@@ -1051,9 +1051,15 @@ object RelationalQueries {
       "q_window_spill",
       (spark, dir) => {
         GraftSession.tune(spark)
-        // ~8 spills per event-type buffer at any corpus size (floor 64)
-        val spillEvery =
-          math.max(64L, Tables.events(spark, dir).count() / 5 / 8).toString
+        // ~8 spills per event-type buffer at any corpus size (floor 64):
+        // derived from the MEASURED deepest per-event_type buffer, not from
+        // total/|assumed types| — a fixture with many event types would
+        // otherwise leave every buffer under a global-count threshold and
+        // fail the require on data shape rather than a spill regression.
+        val maxGroupRows = Tables.events(spark, dir)
+          .groupBy(col("event_type")).count()
+          .agg(max(col("count"))).head.getLong(0)
+        val spillEvery = math.max(64L, maxGroupRows / 8).toString
         GraftSession.withConfs(spark,
           "spark.sql.windowExec.buffer.in.memory.threshold" -> spillEvery,
           "spark.sql.windowExec.buffer.spill.threshold" -> spillEvery) {
@@ -1085,7 +1091,7 @@ object RelationalQueries {
             while ((spilledDisk.get() == 0L || spilledMem.get() == 0L) &&
                    System.nanoTime() < deadline) Thread.sleep(50)
             require(spilledMem.get() > 0L && spilledDisk.get() > 0L,
-              s"window buffers past the scoped 64-row threshold must spill — task " +
+              s"window buffers past the scoped $spillEvery-row threshold must spill — task " +
               s"metrics report memoryBytesSpilled=${spilledMem.get()} " +
               s"diskBytesSpilled=${spilledDisk.get()}")
             ck

@@ -545,11 +545,12 @@ object StreamingQueries {
           expr("timestamp_millis(t1 + 7200000)").as("ts"),
           lit(id).as("user_id"), lit(kind).as("event_type"), lit(0.0).as("value"))
         // the top of band 1 of the 4-band split over [t0, t1+2h]: the
-        // largest ms with floor((ms−t0)·4/(span+1)) ≤ 1 — inside
+        // largest ms with floor((ms−t0)·4/(span+1)) ≤ 1 is
+        // t0 + ceil((span+1)/2) − 1 = t0 + ((span+2) div 2) − 1 — inside
         // lifecycle #1, at-or-above every real event lifecycle #1 carries
         val planted = mm.select(
           lit(-3L).as("event_id"),
-          expr("timestamp_millis(t0 + ((t1 + 7200000 - t0 + 1) div 2) - 1)").as("ts"),
+          expr("timestamp_millis(t0 + ((t1 + 7200000 - t0 + 2) div 2) - 1)").as("ts"),
           lit(-3L).as("user_id"), lit("purchase").as("event_type"), lit(0.0).as("value"))
         val feed = eventsDf
           .unionByName(sentinel(-1L, "click"))
