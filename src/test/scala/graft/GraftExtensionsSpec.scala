@@ -25,6 +25,47 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(viaSql == viaBuiltins)
   }
 
+  // round-13: the three signature expressions moved off CodegenFallback to
+  // real doGenCode. CODEGEN_ONLY forbids the interpreted fallback (a
+  // generated-code compile error throws instead of silently degrading), so
+  // this pins BOTH that the generated code compiles AND that it is
+  // bit-identical to nullSafeEval across the edge shapes: null elements,
+  // all-null arrays, empty arrays (all-NULL minhash signature), and wide
+  // (128-perm) signatures.
+  test("signature expressions: codegen and interpreted paths are bit-identical") {
+    import graft.expressions.SignatureExpressions._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      Seq("a", "b", "c"),
+      Seq.empty[String],
+      Seq("hello world", "a", null),
+      Seq(null.asInstanceOf[String]),
+      Seq("x" * 1000, "", "δοκιμή"))
+    def collectAll(mode: String): Seq[String] = {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        import spark.implicits._
+        rows.toDF("toks")
+          .select(
+            h32Array(col("toks")).as("hs"),
+            minhashSignature(h32Array(col("toks"))).as("sig16"),
+            minhashSignature(h32Array(col("toks")),
+                             graft.functions.Hashing.NumPermsWide).as("sig128"),
+            simhash32(h32Array(col("toks"))).as("sh"))
+          .collect().toSeq.map(_.toString)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    val generated = collectAll("CODEGEN_ONLY")
+    val interpreted = collectAll("NO_CODEGEN")
+    assert(generated == interpreted)
+    // and the values are real, not accidentally all-default
+    assert(generated.head.nonEmpty && generated != collectAll("CODEGEN_ONLY").map(_ => ""))
+  }
+
   test("withExtensions builder path installs the functions") {
     val s2 = SparkSession.builder()
       .master("local[2]")
