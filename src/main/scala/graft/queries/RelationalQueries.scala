@@ -67,6 +67,26 @@ object RelationalQueries {
   val BloomBits: Long = 1L << 16
   val BloomPriceThreshold: Int = 490000
 
+  /** Scoped set/restore of CORE (SparkEnv) confs — the `withConfs` twin for
+    * the few execution knobs that are not runtime SQL confs (e.g. the
+    * force-spill thresholds `UnsafeKVExternalSorter` reads from
+    * `SparkEnv.get.conf` at sorter creation). On a cluster these are
+    * spark-submit confs; in local mode `SparkEnv.get.conf` is this JVM's
+    * live conf object, so a scoped mutation is exactly the same contract.
+    * Gates run serially (Verify/Bench/specs), so the JVM-wide scope cannot
+    * leak into a concurrently-timed query.
+    */
+  private[graft] def withSparkEnvConfs[A](pairs: (String, String)*)(body: => A): A = {
+    val conf = org.apache.spark.SparkEnv.get.conf
+    val prev = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.remove(k): Unit
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // O: group-by aggregation with map-side partial agg (TPC-H Q1 shape).
@@ -1104,6 +1124,138 @@ object RelationalQueries {
               |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
               |         AS running_cents
               |FROM events""".stripMargin)
+    ),
+
+    // HASH-AGG SPILL (round-13, closing the r12 verdict's #1): the SECOND
+    // buffered-execution family after q_window_spill's WindowExec gate —
+    // and the one 100 TB aggregation jobs actually die on. Object-typed
+    // aggregation buffers (collect_list / collect_set / percentile — the
+    // shapes q_inverted_index and the sketch aggregators run) execute in
+    // ObjectHashAggregateExec; past
+    // `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` distinct
+    // keys the task dumps its map into an UnsafeKVExternalSorter and
+    // continues sort-based. Gate design is bytecode-verified against
+    // 4.1.2, because the obvious single-leg gate is IMPOSSIBLE there: the
+    // object map is a JVM object map (not a BytesToBytesMap), the dump
+    // lands in a FRESH sorter, and `UnsafeKVExternalSorter.insertKV` →
+    // `insertKVRecord` carries NO force-spill threshold check at all — the
+    // fallback path writes to disk only under real allocation pressure.
+    // Manufacturing that pressure deterministically on the 100+ GiB test
+    // JVM (a same-task refuse-to-spill MemoryConsumer draining the pool)
+    // was measured flaky across the UnifiedMemoryManager fairness dance —
+    // one run spilled 39 MB, one hard-OOM'd a page-less consumer, one
+    // livelocked — so the gate pins the two behaviors separately, each on
+    // its deterministic knob, both legs oracle-checked:
+    //   Leg "objecthash": the FALLBACK. Threshold scoped to the measured
+    //   distinct-key count ÷ 8 (floor 16); AQE off so the plain executed
+    //   plan exposes the partial-agg node; the operator's own
+    //   numTasksFallBacked SQLMetric must be > 0 — the map-dump-and-
+    //   continue path demonstrably ran, and its output still hash-matches.
+    //   Leg "sortagg": the DISK SPILL, on the same aggregation re-planned
+    //   sort-based (useObjectHashAggregateExec=false → Sort +
+    //   SortAggregate — exactly what ObjectHashAggregate degrades to, fed
+    //   by the same UnsafeExternalSorter machinery whose insertRecord DOES
+    //   check the documented force threshold,
+    //   `spark.shuffle.spill.numElementsForceSpillThreshold`, read from
+    //   SparkEnv.conf — a submit-time conf on a cluster; local-mode
+    //   SparkEnv.conf is this JVM's live conf, scoped + restored). Sized
+    //   to ~8 spills per task's record volume (the q_window_spill lesson:
+    //   spill-segment fan-in is a real resource). Task metrics must
+    //   report BOTH memoryBytesSpilled and diskBytesSpilled > 0.
+    // A spill/fallback that drops, duplicates, or mis-merges a buffered
+    // row changes some user's sorted list — both legs hash-match the same
+    // batch oracle.
+    QueryDef(
+      "q_agg_spill",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val stats = Tables.events(spark, dir)
+          .agg(countDistinct(col("user_id")).as("k"), count(lit(1)).as("n")).head
+        val (nKeys, nRows) = (stats.getLong(0), stats.getLong(1))
+        val fallbackAt = math.max(16L, nKeys / 8)
+        val forceSpillAt = math.max(256L, nRows / 32 / 8)
+        def agg(): DataFrame = Tables.events(spark, dir)
+          .select(col("user_id"), Money.cents(col("value")).as("cents"))
+          .groupBy(col("user_id"))
+          .agg(md5(concat_ws(",",
+                 sort_array(collect_list(col("cents"))).cast("array<string>")))
+                 .as("cents_digest"),
+               sum(col("cents")).cast(LongType).as("sum_cents"),
+               count(lit(1)).cast(LongType).as("n_events"))
+
+        val legA = GraftSession.withConfs(spark,
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> fallbackAt.toString,
+          "spark.sql.adaptive.enabled" -> "false") {
+          val out = agg()
+          val ck = out.localCheckpoint(eager = true)
+          val aggNodes = out.queryExecution.executedPlan.collect {
+            case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+          }
+          require(aggNodes.nonEmpty,
+            s"collect_list must execute as ObjectHashAggregate — the fallback " +
+            s"threshold grades nothing on another operator; plan:\n" +
+            out.queryExecution.executedPlan)
+          val fellBack = aggNodes
+            .flatMap(_.metrics.get("numTasksFallBacked")).map(_.value).sum
+          require(fellBack > 0L,
+            s"no task fell back to sort-based aggregation past the scoped " +
+            s"$fallbackAt-key threshold ($nKeys keys in the data) — " +
+            s"numTasksFallBacked=$fellBack")
+          ck
+        }
+
+        val legB = GraftSession.withConfs(spark,
+          "spark.sql.execution.useObjectHashAggregateExec" -> "false")(
+        RelationalQueries.withSparkEnvConfs(
+          "spark.shuffle.spill.numElementsForceSpillThreshold" -> forceSpillAt.toString) {
+          val out = agg()
+          val spilledDisk = new java.util.concurrent.atomic.AtomicLong(0L)
+          val spilledMem = new java.util.concurrent.atomic.AtomicLong(0L)
+          val listener = new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              val m = e.taskMetrics
+              if (m != null) {
+                spilledDisk.addAndGet(m.diskBytesSpilled)
+                spilledMem.addAndGet(m.memoryBytesSpilled): Unit
+              }
+            }
+          }
+          spark.sparkContext.addSparkListener(listener)
+          try {
+            val ck = out.localCheckpoint(eager = true)
+            require(out.queryExecution.executedPlan.toString.contains("SortAggregate"),
+              s"with ObjectHashAggregate disabled the agg must plan sort-based; " +
+              s"plan:\n${out.queryExecution.executedPlan}")
+            // the listener bus is async — wait (bounded) for the spill
+            // evidence from the just-finished job's task-end events
+            val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+            while ((spilledDisk.get() == 0L || spilledMem.get() == 0L) &&
+                   System.nanoTime() < deadline) Thread.sleep(50)
+            require(spilledMem.get() > 0L && spilledDisk.get() > 0L,
+              s"the sort-aggregate pipeline past the scoped $forceSpillAt-element " +
+              s"force threshold must spill — task metrics report " +
+              s"memoryBytesSpilled=${spilledMem.get()} " +
+              s"diskBytesSpilled=${spilledDisk.get()}")
+            ck
+          } finally spark.sparkContext.removeSparkListener(listener)
+        })
+
+        legA.select(lit("objecthash").as("leg"), col("*"))
+          .unionByName(legB.select(lit("sortagg").as("leg"), col("*")))
+      },
+      Some(s"""WITH r AS (
+              |  SELECT user_id,
+              |         md5(array_to_string(
+              |           list(${Money.centsSql("value")} ORDER BY ${Money.centsSql("value")}), ','))
+              |           AS cents_digest,
+              |         CAST(SUM(${Money.centsSql("value")}) AS BIGINT) AS sum_cents,
+              |         COUNT(*) AS n_events
+              |  FROM events
+              |  GROUP BY user_id
+              |)
+              |SELECT 'objecthash' AS leg, * FROM r
+              |UNION ALL
+              |SELECT 'sortagg' AS leg, * FROM r""".stripMargin)
     ),
 
     // O: pivot / conditional aggregation — events per day per type as columns.
