@@ -1759,6 +1759,44 @@ object StreamingQueries {
       Some(CdcOracleSql)
     ),
 
+    // ROCKSDB CHANGELOG CHECKPOINTING ACROSS A RESTART (round-13, closing
+    // the r12 verdict's #3): q_streaming_cdc_rocksdb proves the off-heap
+    // backend and the restart matrix proves full-snapshot recovery — this
+    // gate exercises the PRODUCTION checkpoint mode that makes 100 TB
+    // state restartable in seconds: with
+    // `rocksdb.changelogCheckpointing.enabled` the store uploads a
+    // per-version CHANGELOG delta instead of a full SST snapshot each
+    // commit, and recovery = load the last snapshot + REPLAY the
+    // changelogs above it. Exercised across a real lifecycle boundary:
+    // bands 0–1 arrive in run #1, the query stops, bands 2–3 arrive and
+    // run #2 resumes from the same checkpoint — so run #2's first commit
+    // must rebuild every key's LWW state through changelog replay, and a
+    // replay that loses or reorders a change surfaces as a wrong
+    // (last_ts, last_event_id, cents) somewhere in the snapshot. Pinned
+    // structurally (the checkpoint's state tree must actually hold
+    // `*.changelog` files — else the conf silently didn't engage and this
+    // gate would be re-proving plain snapshot recovery) and semantically
+    // (the two-lifecycle result must hash-match the SAME batch CDC oracle
+    // as the other three CDC legs). Confs scoped + restored.
+    QueryDef(
+      "q_streaming_restart_changelog",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true") {
+          cdcSnapshotRun(spark, dir, "cdc_changelog", restart = true,
+            inspectCkpt = { ckpt =>
+              val changelogs = stateFilesWithSuffix(ckpt, ".changelog")
+              require(changelogs.nonEmpty,
+                s"changelog checkpointing did not engage — no *.changelog file " +
+                s"under $ckpt/state; recovery would be re-proving snapshot mode")
+            })
+        }
+      },
+      Some(CdcOracleSql)
+    ),
+
     // the SINK-SIDE upsert: `foreachBatch` with batchId-keyed idempotent
     // writes — the canonical production pattern for landing a changelog in
     // a keyed table without a table format's MERGE INTO (and exactly how
@@ -1820,12 +1858,19 @@ object StreamingQueries {
     )
   )
 
-  /** Shared body of the two CDC snapshot queries (see their QueryDefs):
-    * events changelog → four hash-banded file micro-batches → per-key LWW
-    * `mapGroupsWithState` → latest update-mode emission per key.
+  /** Shared body of the CDC snapshot queries (see their QueryDefs): events
+    * changelog → four hash-banded file micro-batches → per-key LWW
+    * `mapGroupsWithState` → latest update-mode emission per key. The
+    * landing is shared by ALL CDC legs (one dir per input dir — the feed
+    * is identical, so per-tag copies were pure harness cost). With
+    * `restart = true` the four bands arrive across TWO query lifecycles
+    * (bands 0–1, stop, bands 2–3 resumed from the same checkpoint) — the
+    * state restore contract on whatever backend the caller scoped.
     */
   private def cdcSnapshotRun(spark: org.apache.spark.sql.SparkSession,
-                             dir: String, tag: String): DataFrame = withStreamParts(spark) {
+                             dir: String, tag: String,
+                             restart: Boolean = false,
+                             inspectCkpt: String => Unit = _ => ()): DataFrame = withStreamParts(spark) {
     import spark.implicits._
     graft.GraftSession.tune(spark)
     val changes = Tables.events(spark, dir)
@@ -1834,10 +1879,7 @@ object StreamingQueries {
               col("event_id"),
               when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
               expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
-    val land = landBands(withHashBand(changes, col("event_id"), 4), 4, s"stream_land_$tag", dir)
-    val src = spark.readStream.schema(changes.schema)
-      .option("maxFilesPerTrigger", "1").parquet(land)
-      .as[Streaming.CdcChange]
+    val land = landBands(withHashBand(changes, col("event_id"), 4), 4, "stream_land_cdc", dir)
     val id = runId.incrementAndGet()
     // update-mode emissions landed via foreachBatch into batchId-keyed
     // dirs (idempotent overwrite per batch — the q_streaming_foreach_upsert
@@ -1845,15 +1887,28 @@ object StreamingQueries {
     // monotone n_changes, exactly as the memory-sink readback did, but the
     // emissions live in files, never on the driver
     val emitDir = StorageQueries.target(s"stream_${tag}_emit_$id")
-    val q = Streaming.cdcState(src).toDF()
-      .writeStream
-      .option("checkpointLocation", StorageQueries.target(s"stream_${tag}_ckpt_$id"))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$emitDir/batch=$batchId")
-        ()
-      }
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+    val ckpt = StorageQueries.target(s"stream_${tag}_ckpt_$id")
+    def runOnce(srcDir: String): Unit = {
+      val src = spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .as[Streaming.CdcChange]
+      val q = Streaming.cdcState(src).toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$emitDir/batch=$batchId")
+          ()
+        }
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+    }
+    if (restart) {
+      val arrival = new java.io.File(StorageQueries.target(s"stream_${tag}_arrival_$id"))
+      require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
+      arriveBands(land, arrival, 0 to 1); runOnce(arrival.getAbsolutePath)
+      arriveBands(land, arrival, 2 to 3); runOnce(arrival.getAbsolutePath)
+    } else runOnce(land)
+    inspectCkpt(ckpt)
     val w = Window.partitionBy(col("user_id")).orderBy(col("n_changes").desc)
     spark.read.parquet(emitDir)
       .withColumn("rn", row_number().over(w))
@@ -1864,6 +1919,19 @@ object StreamingQueries {
               col("cents").cast(LongType).as("last_cents"),
               col("n_changes").cast(LongType).as("n_changes"))
       .localCheckpoint(eager = true)
+  }
+
+  /** Checkpoint-tree evidence for the changelog gate: the state dir's
+    * files ending in the given suffix (e.g. ".changelog" — the per-version
+    * delta RocksDB uploads instead of a full snapshot when changelog
+    * checkpointing is on; ".zip" — the full snapshots that dominate when
+    * it is off).
+    */
+  private def stateFilesWithSuffix(ckpt: String, suffix: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else if (f.getName.endsWith(suffix)) Seq(f) else Nil
+    walk(new java.io.File(ckpt, "state"))
   }
 
   /** The batch q_cdc_snapshot oracle, shared verbatim by both state-backend
