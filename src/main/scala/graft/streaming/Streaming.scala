@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the `events` stream: watermarked
   * tumbling-window aggregation and custom sessionization state.
@@ -209,6 +209,109 @@ object Streaming {
             Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
         } else Iterator.empty
       } else Iterator.empty
+  }
+
+  /** One attributed (purchase, click) pair emitted by
+    * [[AttributionProcessor]].
+    */
+  final case class AttributedClick(purchase_id: Long, click_id: Long, click_ts: Timestamp)
+
+  /** The attribution CLICK BUFFER re-implemented on state-v2 ListState —
+    * the second of the three `transformWithState` state column families
+    * (ValueState is gated by [[SessionProcessor]]): per user, the buffered
+    * clicks ARE a list, appended per click, scanned per purchase, pruned by
+    * the lookback horizon. Single stream, no join operator — the state
+    * machine computes the same (purchase, click) interval pairs as the
+    * symmetric-hash join, which is what lets the SAME batch interval-join
+    * oracle grade a third implementation. Requires in-order (time-banded)
+    * arrival: a purchase's matching clicks are all in the buffer (or
+    * earlier in the same sorted batch) when it is processed.
+    */
+  def attributionListState(events: Dataset[Event]): Dataset[AttributedClick] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The state machine behind [[attributionListState]]. */
+  final class AttributionProcessor extends StatefulProcessor[Long, Event, AttributedClick] {
+    @transient private var clicks: ListState[Event] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      clicks = getHandle.getListState[Event](
+        "clicks", Encoders.product[Event], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event], tv: TimerValues): Iterator[AttributedClick] = {
+      val lookbackMs = AttributionDays.toLong * 24 * 3600 * 1000
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var buf = if (clicks.exists()) clicks.get().toVector else Vector.empty
+      val out = Seq.newBuilder[AttributedClick]
+      sorted.foreach { e =>
+        e.event_type match {
+          case "click" => buf :+= e
+          case "purchase" =>
+            val t = e.ts.getTime
+            buf.foreach { c =>
+              if (c.ts.getTime < t && c.ts.getTime >= t - lookbackMs)
+                out += AttributedClick(e.event_id, c.event_id, c.ts)
+            }
+          case _ => ()
+        }
+      }
+      // bounded state: banded in-order arrival means every future event has
+      // ts >= this batch's max, so a click older than (maxSeen - lookback)
+      // can never match a future purchase — prune it from the list now
+      val horizon = sorted.lastOption.map(_.ts.getTime - lookbackMs)
+      val kept = horizon.fold(buf)(h => buf.filter(_.ts.getTime >= h))
+      if (kept.isEmpty) clicks.clear() else clicks.put(kept.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** CDC LWW snapshot maintenance re-implemented on state-v2 MapState —
+    * the third `transformWithState` state column family: keys are SHARDS
+    * (user_id mod `shards`) and each shard's state is a map user →
+    * materialized row. This is the production consolidation shape for
+    * billions of small keys (state-store key count = shards, not users;
+    * per-user rows are map entries in the same column family). The fold is
+    * the identical order-insensitive LWW as [[cdcState]], so the same
+    * batch oracle grades it.
+    */
+  def cdcMapState(changes: Dataset[CdcChange], shards: Int = 16): Dataset[CdcEmit] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(c => (c.user_id % shards).toInt)
+      .transformWithState(new CdcShardProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The state machine behind [[cdcMapState]]. */
+  final class CdcShardProcessor extends StatefulProcessor[Int, CdcChange, CdcEmit] {
+    @transient private var snap: MapState[Long, CdcState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      snap = getHandle.getMapState[Long, CdcState](
+        "snap", Encoders.scalaLong, Encoders.product[CdcState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        shard: Int, rows: Iterator[CdcChange], tv: TimerValues): Iterator[CdcEmit] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[Long, CdcState]
+      rows.foreach { c =>
+        val st = touched.getOrElse(c.user_id,
+          if (snap.containsKey(c.user_id)) snap.getValue(c.user_id)
+          else CdcState(Long.MinValue, Long.MinValue, "", 0L, 0L))
+        val newer = c.ts_micros > st.ts_micros ||
+          (c.ts_micros == st.ts_micros && c.event_id > st.event_id)
+        touched(c.user_id) =
+          if (newer) CdcState(c.ts_micros, c.event_id, c.op, c.cents, st.n_changes + 1)
+          else st.copy(n_changes = st.n_changes + 1)
+      }
+      touched.foreach { case (uid, st) => snap.updateValue(uid, st) }
+      touched.iterator.map { case (uid, st) =>
+        CdcEmit(uid, st.ts_micros, st.event_id, st.op, st.cents, st.n_changes)
+      }.toSeq.iterator
+    }
   }
 
   /** One `flatMapGroupsWithState` invocation of the session fold, shared
