@@ -49,11 +49,16 @@ object GraftSession {
     }
   }
 
-  /** Local session for tests and ad-hoc runs. */
+  /** Local session for tests and ad-hoc runs. `local[N,2]`: allow ONE task
+    * retry, the production scheduler contract (clusters run
+    * spark.task.maxFailures=4; bare `local[N]` pins it to 1, which is the
+    * unrealistic setting) — q_write_retry plants a first-attempt task
+    * failure and grades exactly-once output through the retry.
+    */
   def local(threads: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
-      .master(s"local[$threads]")
+      .master(s"local[$threads,2]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.ui.enabled", "false")

@@ -425,6 +425,103 @@ object StorageQueries {
              |FROM documents""".stripMargin)
     ),
 
+    // TASK-RETRY IDEMPOTENCE, EXERCISED NOT ARGUED (round-13, closing the
+    // r12 verdict's #5): q_tfrecord_shards CLAIMS retry-safety from its
+    // write-to-temp + atomic-rename protocol; this gate makes the
+    // scheduler actually retry a write task and grades the claim. One
+    // chosen shard's FIRST attempt fails mid-stream — after framing
+    // records into its temp file (`TaskContext.attemptNumber == 0`), so a
+    // half-written temp exists at failure time and must never become
+    // visible — and the retry (the sessions run `local[N,2]`: one retry,
+    // the production scheduler contract that bare local[N]'s
+    // maxFailures=1 turns off) re-reads the same deterministic shuffle
+    // partition and completes the rename. Pinned live: a SparkListener
+    // must count ≥ 1 non-success task (the plant visibly fired — a gate
+    // whose failure path never runs grades nothing), the failed attempt's
+    // temp is deleted on the error path, and the strict CRC-verified
+    // re-read of all shards must hash-match the per-doc oracle — a
+    // duplicated, lost, or half-visible record anywhere mismatches.
+    QueryDef(
+      "q_write_retry",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        val master = spark.sparkContext.master
+        require(!master.matches("""local\[[0-9*]+\]"""),
+          s"task-retry gate needs a master with task retries (local[N,2]); got $master")
+        val tgt = target("write_retry_shards")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
+        val nShards = 8
+        val failShard = 3
+        val failedTasks = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (e.reason != org.apache.spark.Success) { failedTasks.incrementAndGet(): Unit }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          val shardStats = docs.repartition(nShards, col("doc_id"))
+            .mapPartitions { it =>
+              val tc = org.apache.spark.TaskContext.get()
+              val pid = tc.partitionId()
+              val plant = tc.attemptNumber() == 0 && pid == failShard
+              val dst = java.nio.file.Paths.get(tgt, f"shard-$pid%05d.tfrecord")
+              val tmp = java.nio.file.Paths.get(tgt, f"_tmp-$pid%05d-${tc.taskAttemptId()}")
+              val out = new java.io.BufferedOutputStream(
+                java.nio.file.Files.newOutputStream(tmp))
+              var n = 0L
+              try {
+                it.foreach { row =>
+                  val payload = (row.getLong(0).toString + "\t" + row.getString(1))
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  graft.sources.TfRecord.writeRecord(out, payload)
+                  n += 1
+                  if (plant && n >= 3)
+                    throw new RuntimeException(
+                      s"planted first-attempt failure on shard $pid after $n records")
+                }
+              } catch { case e: Throwable =>
+                out.close(); java.nio.file.Files.deleteIfExists(tmp); throw e
+              }
+              out.close()
+              java.nio.file.Files.move(tmp, dst,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              Iterator.single((pid, n))
+            }
+          val layout = shardStats.toDF("shard", "n_records")
+            .agg(countDistinct(col("shard")).cast("long"),
+                 sum(col("n_records")).cast("long")).first()
+          require(layout.getLong(0) == nShards,
+            s"expected $nShards shard files, saw ${layout.getLong(0)} writer tasks")
+          require(failedTasks.get() >= 1L,
+            s"the planted first-attempt failure never fired (failed tasks = " +
+            s"${failedTasks.get()}) — nothing was retried, the gate grades nothing")
+          spark.read.format("binaryFile")
+            .option("pathGlobFilter", "shard-*.tfrecord").load(tgt)
+            .select(col("content")).as[Array[Byte]]
+            .flatMap { shard =>
+              graft.sources.TfRecord.readAll(shard).iterator.map { payload =>
+                val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+                (s.substring(0, s.indexOf('\t')).toLong, payload)
+              }
+            }
+            .toDF("doc_id", "payload")
+            .select(col("doc_id"),
+                    octet_length(col("payload")).cast("long").as("payload_bytes"),
+                    md5(col("payload")).as("payload_md5"))
+            .localCheckpoint(eager = true)
+        } finally spark.sparkContext.removeSparkListener(listener)
+      },
+      // q_tfrecord_shards' oracle verbatim: the retried write must land on
+      // the exact per-doc payload set
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(CAST(doc_id AS VARCHAR) || chr(9) || text)) AS BIGINT) AS payload_bytes,
+             |       md5(CAST(doc_id AS VARCHAR) || chr(9) || text) AS payload_md5
+             |FROM documents""".stripMargin)
+    ),
+
     // dbt's VIEW MATERIALIZATION — the remaining cell of the
     // materialization matrix (table = q_ctas_roundtrip, incremental =
     // q_incremental_model, snapshot = q_scd2/q_cdc, seed =
