@@ -49,8 +49,14 @@ object SimilarityQueries {
   // semantic-dedup blocking: each vector joins its SemProbe nearest IVF
   // cells; only pairs sharing at least one cell are cosine-verified. The
   // 0.4 threshold is the same literal `dedup_embedding_cosine` uses, so
-  // the recall grade compares like against like.
-  private val SemProbe = 2
+  // the recall grade compares like against like. Probe width is a
+  // MEASURED choice (round-13, in-gate recall/evaluated-pairs dial):
+  // probe 2 → recall 0.661 at 23.9% of pairs (sf0.01); probe 3 → 0.915
+  // at 48.3% (sf0.01) and 0.826 at 48.6% (sf0.1). A blocked dedup that
+  // misses a third of true near-dups fails at its one job, so the wider
+  // probe ships; the pair budget stays subquadratic and shrinks with
+  // cell count at scale.
+  private val SemProbe = 3
   private val SemDupCosine = 0.4
 
   /** Largest corpus the exact O(n²) pair scan will accept: ~5×10⁹ pair
