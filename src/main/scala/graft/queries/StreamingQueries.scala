@@ -345,9 +345,12 @@ object StreamingQueries {
       (spark, dir) => withStreamParts(spark) {
         graft.GraftSession.tune(spark)
         val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
-        val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_click_attr", dir)
+        val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_events_t4", dir)
         val src = spark.readStream.schema(eventsDf.schema)
-          .option("maxFilesPerTrigger", "1").parquet(land)
+        // 3 files/trigger (round-13, r12 verdict #6): inner-join matches
+        // emit eagerly whatever the batch boundaries — 1/trigger bought
+        // nothing but per-batch lifecycle cost
+          .option("maxFilesPerTrigger", "3").parquet(land)
         val id = runId.incrementAndGet()
         val sinkDir = StorageQueries.target(s"stream_click_attr_sink_$id")
         val q = Streaming.clickAttribution(src)
@@ -397,7 +400,7 @@ object StreamingQueries {
           import spark.implicits._
           graft.GraftSession.tune(spark)
           val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
-          val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_click_attr", dir)
+          val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_events_t4", dir)
           val id = runId.incrementAndGet()
           val arrival = new java.io.File(StorageQueries.target(s"stream_attr_liststate_arrival_$id"))
           require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
@@ -405,7 +408,10 @@ object StreamingQueries {
           val ckpt = StorageQueries.target(s"stream_attr_liststate_ckpt_$id")
           def runOnce(): Unit = {
             val src = spark.readStream.schema(eventsDf.schema)
-              .option("maxFilesPerTrigger", "1").parquet(arrival.getAbsolutePath)
+            // 3 files/trigger: the per-batch fold sorts by event time, so
+            // merging in-order bands preserves the buffer semantics; the
+            // restart split stays at lifecycle grain (bands 0-1 vs 2-3)
+              .option("maxFilesPerTrigger", "3").parquet(arrival.getAbsolutePath)
               .as[Streaming.Event]
             val q = Streaming.attributionListState(src).toDF()
               .writeStream.format("parquet")
@@ -556,7 +562,7 @@ object StreamingQueries {
       (spark, dir) => withStreamParts(spark) {
         graft.GraftSession.tune(spark)
         val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
-        val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_click_attr", dir)
+        val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_events_t4", dir)
         val id = runId.incrementAndGet()
         val arrival = new java.io.File(StorageQueries.target(s"stream_restart_join_arrival_$id"))
         require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
@@ -977,7 +983,9 @@ object StreamingQueries {
         val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
         val land = landBands(withHashBand(eventsDf, col("event_id"), 4), 4, "stream_land_enrich", dir)
         val src = spark.readStream.schema(eventsDf.schema)
-          .option("maxFilesPerTrigger", "1").parquet(land)
+          // 3 files/trigger: stateless broadcast join, batch count is
+          // pure lifecycle cost
+          .option("maxFilesPerTrigger", "3").parquet(land)
         val dim = graft.Tables.customer(spark, dir)
           .select(col("c_custkey"), col("c_mktsegment"))
         val id = runId.incrementAndGet()
@@ -1027,7 +1035,7 @@ object StreamingQueries {
         graft.GraftSession.tune(spark)
         val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
         val land = landBands(withTimeBand(eventsDf, "ts", 4), 4,
-                             "stream_land_enrich_refresh", dir)
+                             "stream_land_events_t4", dir)
         val id = runId.incrementAndGet()
         val arrival = new java.io.File(StorageQueries.target(s"stream_refresh_arrival_$id"))
         require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
@@ -1040,7 +1048,9 @@ object StreamingQueries {
                     concat(lit("seg"), pmod(col("c_custkey") + version, lit(5))).as("segment"))
             .write.mode("overwrite").parquet(dimDir)
           val src = spark.readStream.schema(eventsDf.schema)
-            .option("maxFilesPerTrigger", "1").parquet(arrival.getAbsolutePath)
+          // 3 files/trigger: the dim is constant within a lifecycle and
+          // the oracle keys on the lifecycle split, not the batch count
+            .option("maxFilesPerTrigger", "3").parquet(arrival.getAbsolutePath)
           val q = src.join(spark.read.parquet(dimDir), col("user_id") === col("user_key"))
             .select(col("event_id"), col("user_id"), col("segment"))
             .writeStream.format("parquet")
@@ -2000,7 +2010,10 @@ object StreamingQueries {
     val ckpt = StorageQueries.target(s"stream_${tag}_ckpt_$id")
     def runOnce(srcDir: String): Unit = {
       val src = spark.readStream.schema(changes.schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      // 3 files/trigger (round-13): the LWW fold is order- and
+      // batch-boundary-insensitive, so batch count is pure lifecycle
+      // cost; the restart legs still split at lifecycle grain
+        .option("maxFilesPerTrigger", "3").parquet(srcDir)
         .as[Streaming.CdcChange]
       val q = stateOp(src).toDF()
         .writeStream
