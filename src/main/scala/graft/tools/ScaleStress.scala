@@ -253,7 +253,25 @@ object ScaleStress {
     "q_cbo_join_reorder",
     // scan split: one landing + one split-scan rollup; thresholds derive
     // from the measured file bytes, so both plan legs hold at any factor
-    "q_scan_split")
+    "q_scan_split",
+    // round-13 additions. agg spill: both legs are one aggregation over
+    // events (object-hash + sort-based); the fallback and force-spill
+    // thresholds derive from measured key/row counts, so both gated
+    // behaviors re-fire — and stay bounded at ~8 spills/task — at any
+    // factor
+    "q_agg_spill",
+    // changelog restart: the CDC LWW per-lifecycle work is linear and the
+    // changelog replay on resume tracks LIVE KEYS (users), not raw volume
+    "q_streaming_restart_changelog",
+    // MapState CDC: shard-grain state keys with per-user map entries —
+    // per-entry cost is flat, entry count scales with live keys
+    "q_streaming_cdc_mapstate",
+    // ListState attribution: per-user click buffers are bounded by the
+    // lookback horizon under in-order arrival, never the corpus
+    "q_streaming_attribution_liststate",
+    // write retry: q_tfrecord_shards' linear export/read plus exactly one
+    // planted task retry (one re-run partition at any factor)
+    "q_write_retry")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
