@@ -460,6 +460,79 @@ object StreamingQueries {
               |GROUP BY p.event_id""".stripMargin)
     ),
 
+    // TWO STATEFUL OPERATORS IN ONE QUERY (round-13, beyond the verdict
+    // list): the interval join CHAINED into a watermarked tumbling-window
+    // aggregation ([[Streaming.attributionDailyRollup]]) — the
+    // multi-stateful-operator pipeline Spark 4 enables
+    // (`statefulOperator.allowMultiple`), and the composition every prior
+    // gate graded only in isolation. The hard semantics is WATERMARK
+    // PROPAGATION THROUGH STATE: the window operator may close a
+    // purchase-day only when the upstream join can prove no further pair
+    // with that day can emit (global watermark minus the join's 7-day
+    // lookback horizon), so the sentinels sit a full 10 DAYS past the
+    // corpus max — far enough that every real day-window's end clears the
+    // propagated watermark; a propagation defect (window closed early =
+    // lost pairs, never closed = missing windows) is a hash mismatch.
+    // Pinned structurally via the query's own progress metrics: EXACTLY
+    // two stateful operators must report (symmetric join + state-store
+    // aggregation). Oracle: the batch interval join rolled up per UTC day
+    // (epoch-aligned 1-day windows ≡ date_trunc) — two chained stateful
+    // operators must land on the one batch answer.
+    QueryDef(
+      "q_streaming_join_then_window",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val mm = eventsDf.agg(max(unix_millis(col("ts"))).as("t1"))
+        def sentinel(id: Long, kind: String) = mm.select(
+          lit(id).as("event_id"),
+          expr("timestamp_millis(t1 + 864000000)").as("ts"), // +10 days
+          lit(id).as("user_id"), lit(kind).as("event_type"), lit(0.0).as("value"))
+        val feed = eventsDf
+          .unionByName(sentinel(-1L, "click"))
+          .unionByName(sentinel(-2L, "purchase"))
+        val land = landBands(withTimeBand(feed, "ts", 4), 4, "stream_land_join_window", dir)
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_join_window_sink_$id")
+        val q = Streaming.attributionDailyRollup(src)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_join_window_ckpt_$id"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
+        val opNames = Option(q.lastProgress)
+          .map(_.stateOperators.map(_.operatorName).toSeq).getOrElse(Seq.empty)
+        unloadStateStores()
+        require(opNames.size == 2,
+          s"the pipeline must run exactly TWO stateful operators (join + windowed " +
+          s"agg); progress reports $opNames")
+        require(opNames.exists(_.toLowerCase.contains("join")) &&
+                opNames.exists(_.toLowerCase.contains("statestoresave")),
+          s"expected a symmetric join AND a stateful aggregation " +
+          s"(stateStoreSave); progress reports $opNames")
+        // sentinels are join-sterile by construction (unique users, and the
+        // sentinel purchase has no preceding click), so no filter is needed
+        spark.read.parquet(sinkDir)
+          .select(col("window_start"), col("n_pairs").cast(LongType).as("n_pairs"),
+                  col("min_purchase_id").cast(LongType).as("min_purchase_id"),
+                  col("max_purchase_id").cast(LongType).as("max_purchase_id"))
+          .localCheckpoint(eager = true)
+      },
+      Some(s"""SELECT date_trunc('day', p.ts) AS window_start,
+              |       COUNT(*) AS n_pairs,
+              |       CAST(MIN(p.event_id) AS BIGINT) AS min_purchase_id,
+              |       CAST(MAX(p.event_id) AS BIGINT) AS max_purchase_id
+              |FROM events p JOIN events c
+              |  ON c.user_id = p.user_id
+              | AND c.event_type = 'click'
+              | AND c.ts < p.ts
+              | AND c.ts >= p.ts - INTERVAL ${Streaming.AttributionDays} DAY
+              |WHERE p.event_type = 'purchase'
+              |GROUP BY 1""".stripMargin)
+    ),
+
     // the watermark's DROP path on the STREAM-STREAM JOIN (round-12) —
     // q_streaming_late_drop grades the drop on the aggregation family;
     // this grades it on the symmetric join's two input sides, the other
@@ -965,6 +1038,90 @@ object StreamingQueries {
       },
       Some(s"""SELECT DISTINCT ${graft.text.TextAnalysis.contentHashSql("text")} AS content_md5
               |FROM documents""".stripMargin)
+    ),
+
+    // THE WATERMARK-HORIZON BOUNDARY OF STREAMING DEDUP (round-13, beyond
+    // the verdict list): `dropDuplicatesWithinWatermark`'s defining
+    // semantic — the reason it can run on an unbounded stream at all — is
+    // that dedup state is EVICTED once the watermark passes a key's event
+    // time + delay, after which the SAME content legally emits again.
+    // q_streaming_dedup proves the dedup; nothing proved the boundary in
+    // either direction. Planted construction on a duplicate-free natural
+    // feed (one row per distinct content hash — natural duplicate chains
+    // would make eviction timing arrival-order-dependent):
+    //   NEAR pair: same content at t1+10min and t1+20min, both in batch 1
+    //   → state present at the second row → exactly ONE emission;
+    //   FAR pair: same content at t1+30min (batch 1) and t1+6h (batch 2),
+    //   with an ADVANCER row at t1+3h in batch 1 pushing the closing
+    //   watermark to t1+2h > (t1+30min)+1h — the far key's state is
+    //   provably evicted before batch 2 → exactly TWO emissions.
+    // A dedup that keeps state past the horizon (unbounded state — the
+    // 100 TB failure) emits the far pair once; one that evicts early
+    // emits the near pair twice. Both are hash mismatches against the
+    // rule-derived oracle, and the far count is also require'd in-gate.
+    QueryDef(
+      "q_streaming_dedup_horizon",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val base = Tables.documents(spark, dir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+                  expr("timestamp_millis(1704067200000 + doc_id * 1000)").as("ts"))
+        val wfirst = Window.partitionBy(TextAnalysis.contentHash(col("text")))
+          .orderBy(col("doc_id"))
+        val naturals = base.withColumn("rn", row_number().over(wfirst))
+          .where(col("rn") === 1).drop("rn")
+        val t1 = naturals.agg(max(unix_millis(col("ts")))).head.getLong(0)
+        def planted(id: Long, text: String, offsetMs: Long) =
+          spark.range(1).select(lit(id).as("doc_id"), lit(text).as("text"),
+            expr(s"timestamp_millis($t1 + $offsetMs)").as("ts"))
+        val feed = naturals
+          .unionByName(planted(-1L, "planted near duplicate one", 10L * 60 * 1000))
+          .unionByName(planted(-2L, "planted near duplicate one", 20L * 60 * 1000))
+          .unionByName(planted(-3L, "planted far duplicate two", 30L * 60 * 1000))
+          .unionByName(planted(-4L, "horizon advancer marker", 3L * 3600 * 1000))
+          .unionByName(planted(-5L, "planted far duplicate two", 6L * 3600 * 1000))
+        // band 1 is an EMPTY LATCH (the late-drop gates' device): state
+        // eviction lags the watermark by one batch — measured here too
+        // (without the latch, batch 2 still saw the far key in state and
+        // emitted the pair ONCE) — so the advancer's watermark needs one
+        // no-data batch to take effect before the far-second arrives
+        val banded = feed.withColumn("__band",
+          when(unix_millis(col("ts")) <= lit(t1 + 3L * 3600 * 1000), 0)
+            .otherwise(2).cast("int"))
+        val land = landBands(banded, 3, "stream_land_dedup_horizon", dir)
+        val src = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_dedup_horizon_sink_$id")
+        val q = Streaming.streamingDedup(src)
+          .writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_dedup_horizon_ckpt_$id"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+        val out = spark.read.parquet(sinkDir)
+          .groupBy(when(col("text") === "planted near duplicate one", "near")
+                     .when(col("text") === "planted far duplicate two", "far")
+                     .when(col("text") === "horizon advancer marker", "advancer")
+                     .otherwise("natural").as("bucket"))
+          .agg(count(lit(1)).cast(LongType).as("n_emitted"))
+          .localCheckpoint(eager = true)
+        val far = out.where(col("bucket") === "far").select(col("n_emitted"))
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head
+        require(far == 2L,
+          s"the far pair must emit TWICE (state evicted at the watermark " +
+          s"horizon between batches); emitted $far — " +
+          (if (far < 2) "dedup state outlived its horizon (unbounded state at 100 TB)"
+           else "the key emitted more than its two occurrences"))
+        out
+      },
+      Some(s"""SELECT 'natural' AS bucket,
+              |       CAST(COUNT(DISTINCT ${graft.text.TextAnalysis.contentHashSql("text")}) AS BIGINT)
+              |         AS n_emitted
+              |FROM documents
+              |UNION ALL SELECT 'near', 1
+              |UNION ALL SELECT 'far', 2
+              |UNION ALL SELECT 'advancer', 1""".stripMargin)
     ),
 
     // the REAL stream-static enrichment join ([[Streaming.enrich]]): the

@@ -440,6 +440,29 @@ object Streaming {
   def clickAttributionFullOuter(events: DataFrame): DataFrame =
     attributionJoin(events, "fullOuter")
 
+  /** TWO STATEFUL OPERATORS IN ONE QUERY — the stream-stream interval join
+    * CHAINED into a watermarked tumbling-window aggregation (daily
+    * attributed-pair rollup). This is the pipeline shape Spark 4's
+    * multi-stateful-operator support exists for
+    * (`spark.sql.streaming.statefulOperator.allowMultiple`): the join's
+    * output watermark must propagate into the window operator shifted by
+    * the join's state horizon, so windows close exactly when the engine
+    * can PROVE no further pair with that purchase-day can emit — one
+    * operator's eviction contract feeding the next's emission contract.
+    * The join's watermark column (`purchase_ts`) flows through AS the
+    * aggregation's event time — re-declaring it downstream is disallowed
+    * under allowMultiple (the engine owns the propagated value); append
+    * mode emits each closed day-window once.
+    */
+  def attributionDailyRollup(events: DataFrame): DataFrame =
+    attributionJoin(events, "inner")
+      .groupBy(window(col("purchase_ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_pairs"),
+           min(col("purchase_id")).as("min_purchase_id"),
+           max(col("purchase_id")).as("max_purchase_id"))
+      .select(col("w.start").as("window_start"),
+              col("n_pairs"), col("min_purchase_id"), col("max_purchase_id"))
+
   /** Stream–static dimension enrichment: the event stream broadcast-hash-
     * joined to a static dimension (the canonical "attach the customer
     * segment to every event" pipeline stage). Stateless — no watermark, no
