@@ -271,7 +271,14 @@ object ScaleStress {
     "q_streaming_attribution_liststate",
     // write retry: q_tfrecord_shards' linear export/read plus exactly one
     // planted task retry (one re-run partition at any factor)
-    "q_write_retry")
+    "q_write_retry",
+    // chained stateful operators: the interval join's state is bounded by
+    // the lookback window and the window agg's by OPEN day-windows — both
+    // horizons, never the corpus; per-batch work linear
+    "q_streaming_join_then_window",
+    // dedup horizon: one dedup pass whose state is bounded BY CONSTRUCTION
+    // at distinct-keys-within-horizon; the planted rows are constant
+    "q_streaming_dedup_horizon")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
