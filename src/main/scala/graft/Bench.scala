@@ -59,7 +59,12 @@ object Bench {
     // round-12 setup-dominated gates (state-store lifecycles, ANALYZE
     // sweeps, forced-spill landings) — same cap criterion as the rest
     "q_streaming_late_drop", "q_streaming_join_late_drop", "q_window_spill",
-    "q_cbo_broadcast", "q_cbo_join_reorder", "q_aqe_broadcast_convert")
+    "q_cbo_broadcast", "q_cbo_join_reorder", "q_aqe_broadcast_convert",
+    // round-13 setup-dominated gates: two-lifecycle restarts (changelog,
+    // liststate, mapstate) and the double-stateful pipeline
+    "q_streaming_restart_changelog", "q_streaming_cdc_mapstate",
+    "q_streaming_attribution_liststate", "q_streaming_join_then_window",
+    "q_streaming_dedup_horizon")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
