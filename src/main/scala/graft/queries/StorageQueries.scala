@@ -994,6 +994,68 @@ object StorageQueries {
               |GROUP BY 1""".stripMargin)
     ),
 
+    // RUNTIME BLOOM-FILTER JOIN PRUNING (round-13, beyond the verdict
+    // list) — the remaining runtime-filtering planner feature after DPP
+    // (partition grain) and AQE (plan shape): `InjectRuntimeFilter` plants
+    // a bloom filter built from the SELECTIVE side's join keys as a
+    // row-grain semi-join reduction on the big side's scan, so at 100 TB
+    // the fact scan discards non-joining rows before the shuffle instead
+    // of shipping them. Both directions pinned on the same shuffle join
+    // (broadcast disabled so the filter has a shuffle to save): with the
+    // feature ON and the application-side threshold scoped under the scan
+    // size, the executed plan must carry the `might_contain` probe; with
+    // it OFF, the same query must carry none — so the gate grades the
+    // injection, not an accident of the corpus. Both legs' rollups
+    // emitted tagged and oracle-checked: the bloom filter is a
+    // MAY-CONTAIN filter (false positives re-checked by the join, never
+    // false negatives), so it must not move a single row.
+    QueryDef(
+      "q_runtime_filter",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        def leg(enabled: Boolean): org.apache.spark.sql.DataFrame = GraftSession.withConfs(spark,
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> enabled.toString,
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "512MB",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+          val dim = Tables.orders(spark, dir)
+            .where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+            .select(col("o_orderkey"))
+          val out = Tables.lineitem(spark, dir)
+            .select(col("l_orderkey"), col("l_returnflag"),
+                    Money.cents(col("l_extendedprice")).as("price_cents"))
+            .join(dim, col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).cast(LongType).as("n_rows"),
+                 sum(col("price_cents")).cast(LongType).as("sum_price_cents"))
+          val ck = out.localCheckpoint(eager = true)
+          val plan = out.queryExecution.executedPlan.toString
+          if (enabled)
+            require(plan.contains("might_contain"),
+              s"runtime bloom filter did not inject — no might_contain probe in " +
+              s"the executed plan:\n$plan")
+          else
+            require(!plan.contains("might_contain"),
+              s"bloom probe present with the feature disabled — the OFF leg " +
+              s"isolates nothing:\n$plan")
+          ck
+        }
+        leg(enabled = true).select(lit("bloom").as("leg"), col("*"))
+          .unionByName(leg(enabled = false).select(lit("nobloom").as("leg"), col("*")))
+      },
+      Some(s"""WITH r AS (
+              |  SELECT l_returnflag, COUNT(*) AS n_rows,
+              |         CAST(SUM(${Money.centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_cents
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+              |  GROUP BY 1
+              |)
+              |SELECT 'bloom' AS leg, * FROM r
+              |UNION ALL
+              |SELECT 'nobloom' AS leg, * FROM r""".stripMargin)
+    ),
+
     // CBO JOIN REORDER (round-12) — the second statistics-driven planner
     // decision after q_cbo_broadcast's strategy choice: with rowCount +
     // column stats on all three tables, CostBasedJoinReorder must REWRITE

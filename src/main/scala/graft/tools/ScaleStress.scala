@@ -278,7 +278,11 @@ object ScaleStress {
     "q_streaming_join_then_window",
     // dedup horizon: one dedup pass whose state is bounded BY CONSTRUCTION
     // at distinct-keys-within-horizon; the planted rows are constant
-    "q_streaming_dedup_horizon")
+    "q_streaming_dedup_horizon",
+    // runtime bloom filter: the bloom build is one agg over the selective
+    // side, the probe a map-side filter on the fact scan — the mechanism
+    // under test IS what keeps the shuffle linear in SURVIVING rows
+    "q_runtime_filter")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
