@@ -2071,6 +2071,96 @@ object StreamingQueries {
       Some(CdcOracleSql)
     ),
 
+    // STATE BOOTSTRAP FROM BATCH (round-13, beyond the verdict list) —
+    // `transformWithState`'s INITIAL-STATE path, the migration every
+    // production stream is born through: history up to a cutover computed
+    // as a BATCH job, handed to the operator as seed state, the stream
+    // folding only post-cutover changes. Here the changelog's hash-band
+    // split provides the cutover (bands 0–1 = history, 2–3 = live): the
+    // batch bootstrap folds history with the SAME [[Streaming.lwwStep]]
+    // the stream continues with, and the result must equal the FULL
+    // batch snapshot restricted to users with ≥ 1 live change (silent
+    // users never re-emit in update mode — their rows would re-test the
+    // batch job against itself). Non-degeneracy require'd in-gate: some
+    // emitted user's winning event must lie in the HISTORY half — a
+    // (last_ts, last_event_id) only a correctly SEEDED state can produce,
+    // and every n_changes counts history + live, which only a seeded
+    // count gets right. RocksDB provider scoped (state-v2).
+    QueryDef(
+      "q_streaming_cdc_bootstrap",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          import spark.implicits._
+          graft.GraftSession.tune(spark)
+          val changes = Tables.events(spark, dir)
+            .select(col("user_id"),
+                    expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_micros"),
+                    col("event_id"),
+                    when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+                    expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+          val land = landBands(withHashBand(changes, col("event_id"), 4), 4,
+                               "stream_land_cdc", dir)
+          // batch bootstrap: the history half folded by the shared step
+          val initState = changes.where(pmod(col("event_id"), lit(4)) < 2)
+            .as[Streaming.CdcChange]
+            .groupByKey(_.user_id)
+            .mapGroups { (uid, it) => uid -> it.foldLeft(Streaming.CdcZero)(Streaming.lwwStep) }
+            .groupByKey(_._1).mapValues(_._2)
+          val id = runId.incrementAndGet()
+          val arrival = new java.io.File(StorageQueries.target(s"stream_cdc_bootstrap_arrival_$id"))
+          require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
+          arriveBands(land, arrival, 2 to 3) // live half ONLY
+          val src = spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "3").parquet(arrival.getAbsolutePath)
+            .as[Streaming.CdcChange]
+          val emitDir = StorageQueries.target(s"stream_cdc_bootstrap_emit_$id")
+          val q = Streaming.cdcBootstrap(src, initState).toDF()
+            .writeStream
+            .option("checkpointLocation", StorageQueries.target(s"stream_cdc_bootstrap_ckpt_$id"))
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              batch.write.mode("overwrite").parquet(s"$emitDir/batch=$batchId")
+              ()
+            }
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+          val w = Window.partitionBy(col("user_id")).orderBy(col("n_changes").desc)
+          val out = spark.read.parquet(emitDir)
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1 && col("op") === "U")
+            .select(col("user_id"),
+                    expr("timestamp_micros(ts_micros)").as("last_ts"),
+                    col("event_id").cast(LongType).as("last_event_id"),
+                    col("cents").cast(LongType).as("last_cents"),
+                    col("n_changes").cast(LongType).as("n_changes"))
+            .localCheckpoint(eager = true)
+          require(out.where(pmod(col("last_event_id"), lit(4)) < 2).count() > 0,
+            "bootstrap degenerate: no emitted user's winner lies in the history " +
+            "half — the seeded state was never load-bearing")
+          out
+        }
+      },
+      // the full batch CDC snapshot restricted to users with ≥1 live change
+      Some("""WITH ch AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM events
+             |),
+             |r AS (
+             |  SELECT user_id, ts, event_id, op, cents,
+             |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             |         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+             |  FROM ch
+             |),
+             |live_users AS (SELECT DISTINCT user_id FROM ch WHERE event_id % 4 >= 2)
+             |SELECT r.user_id, r.ts AS last_ts, CAST(r.event_id AS BIGINT) AS last_event_id,
+             |       r.cents AS last_cents, CAST(r.n_changes AS BIGINT) AS n_changes
+             |FROM r JOIN live_users ON r.user_id = live_users.user_id
+             |WHERE r.rn = 1 AND r.op = 'U'""".stripMargin)
+    ),
+
     // the SINK-SIDE upsert: `foreachBatch` with batchId-keyed idempotent
     // writes — the canonical production pattern for landing a changelog in
     // a keyed table without a table format's MERGE INTO (and exactly how

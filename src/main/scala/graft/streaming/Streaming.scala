@@ -299,13 +299,8 @@ object Streaming {
       val touched = scala.collection.mutable.LinkedHashMap.empty[Long, CdcState]
       rows.foreach { c =>
         val st = touched.getOrElse(c.user_id,
-          if (snap.containsKey(c.user_id)) snap.getValue(c.user_id)
-          else CdcState(Long.MinValue, Long.MinValue, "", 0L, 0L))
-        val newer = c.ts_micros > st.ts_micros ||
-          (c.ts_micros == st.ts_micros && c.event_id > st.event_id)
-        touched(c.user_id) =
-          if (newer) CdcState(c.ts_micros, c.event_id, c.op, c.cents, st.n_changes + 1)
-          else st.copy(n_changes = st.n_changes + 1)
+          if (snap.containsKey(c.user_id)) snap.getValue(c.user_id) else CdcZero)
+        touched(c.user_id) = lwwStep(st, c)
       }
       touched.foreach { case (uid, st) => snap.updateValue(uid, st) }
       touched.iterator.map { case (uid, st) =>
@@ -603,16 +598,64 @@ object Streaming {
       .groupByKey(_.user_id)
       .mapGroupsWithState[CdcState, CdcEmit](GroupStateTimeout.NoTimeout()) {
         case (uid, it, state) =>
-          var st = state.getOption.getOrElse(CdcState(Long.MinValue, Long.MinValue, "", 0L, 0L))
-          it.foreach { c =>
-            val newer = c.ts_micros > st.ts_micros ||
-              (c.ts_micros == st.ts_micros && c.event_id > st.event_id)
-            st =
-              if (newer) CdcState(c.ts_micros, c.event_id, c.op, c.cents, st.n_changes + 1)
-              else st.copy(n_changes = st.n_changes + 1)
-          }
+          val st = it.foldLeft(state.getOption.getOrElse(CdcZero))(lwwStep)
           state.update(st)
           CdcEmit(uid, st.ts_micros, st.event_id, st.op, st.cents, st.n_changes)
       }
+  }
+
+  /** The LWW fold's zero and step — ONE definition shared by every CDC
+    * implementation (GroupState, MapState shard, batch bootstrap,
+    * initial-state processor), so the total order (ts, event_id) and the
+    * n_changes accounting cannot drift between them.
+    */
+  val CdcZero: CdcState = CdcState(Long.MinValue, Long.MinValue, "", 0L, 0L)
+
+  def lwwStep(st: CdcState, c: CdcChange): CdcState = {
+    val newer = c.ts_micros > st.ts_micros ||
+      (c.ts_micros == st.ts_micros && c.event_id > st.event_id)
+    if (newer) CdcState(c.ts_micros, c.event_id, c.op, c.cents, st.n_changes + 1)
+    else st.copy(n_changes = st.n_changes + 1)
+  }
+
+  /** CDC LWW maintenance BOOTSTRAPPED FROM BATCH STATE — the migration
+    * path every production stream is born through: the snapshot up to a
+    * cutover is computed as a BATCH job (cheap, rescannable), handed to
+    * `transformWithState` as its initial state, and the stream folds only
+    * the changes after the cutover. `handleInitialState` seeds each key's
+    * ValueState before the first batch; the live fold then continues the
+    * SAME [[lwwStep]], so the final snapshot must be indistinguishable
+    * from having streamed all of history.
+    */
+  def cdcBootstrap(changes: Dataset[CdcChange],
+                   init: org.apache.spark.sql.KeyValueGroupedDataset[Long, CdcState]): Dataset[CdcEmit] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .transformWithState(new CdcInitProcessor, TimeMode.None(), OutputMode.Update(), init)
+  }
+
+  /** The state machine behind [[cdcBootstrap]]. */
+  final class CdcInitProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, CdcChange, CdcEmit, CdcState] {
+    @transient private var st: ValueState[CdcState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CdcState](
+        "snap", Encoders.product[CdcState], TTLConfig.NONE)
+
+    override def handleInitialState(
+        userId: Long, initialState: CdcState, tv: TimerValues): Unit =
+      st.update(initialState)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[CdcChange], tv: TimerValues): Iterator[CdcEmit] = {
+      val folded = rows.foldLeft(if (st.exists()) st.get() else CdcZero)(lwwStep)
+      st.update(folded)
+      Iterator.single(
+        CdcEmit(userId, folded.ts_micros, folded.event_id, folded.op, folded.cents,
+                folded.n_changes))
+    }
   }
 }

@@ -282,7 +282,11 @@ object ScaleStress {
     // runtime bloom filter: the bloom build is one agg over the selective
     // side, the probe a map-side filter on the fact scan — the mechanism
     // under test IS what keeps the shuffle linear in SURVIVING rows
-    "q_runtime_filter")
+    "q_runtime_filter",
+    // batch-seeded state: the bootstrap is one batch fold over history
+    // (linear) and the stream folds only the live half; seed size tracks
+    // live keys, exactly the state it replaces
+    "q_streaming_cdc_bootstrap")
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
