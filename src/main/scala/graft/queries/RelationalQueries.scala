@@ -73,19 +73,22 @@ object RelationalQueries {
     * `SparkEnv.get.conf` at sorter creation). On a cluster these are
     * spark-submit confs; in local mode `SparkEnv.get.conf` is this JVM's
     * live conf object, so a scoped mutation is exactly the same contract.
-    * Gates run serially (Verify/Bench/specs), so the JVM-wide scope cannot
-    * leak into a concurrently-timed query.
+    * Gates run serially (Verify/Bench/specs); the shared lock makes that
+    * assumption ENFORCED — two concurrent scoped mutations of the JVM-global
+    * conf would otherwise silently leak into each other's shuffles.
     */
-  private[graft] def withSparkEnvConfs[A](pairs: (String, String)*)(body: => A): A = {
-    val conf = org.apache.spark.SparkEnv.get.conf
-    val prev = pairs.map { case (k, _) => k -> conf.getOption(k) }
-    pairs.foreach { case (k, v) => conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None) => conf.remove(k): Unit
+  private val sparkEnvConfLock = new Object
+  private[graft] def withSparkEnvConfs[A](pairs: (String, String)*)(body: => A): A =
+    sparkEnvConfLock.synchronized {
+      val conf = org.apache.spark.SparkEnv.get.conf
+      val prev = pairs.map { case (k, _) => k -> conf.getOption(k) }
+      pairs.foreach { case (k, v) => conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.remove(k): Unit
+      }
     }
-  }
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -495,6 +495,11 @@ object StorageQueries {
                  sum(col("n_records")).cast("long")).first()
           require(layout.getLong(0) == nShards,
             s"expected $nShards shard files, saw ${layout.getLong(0)} writer tasks")
+          // the listener bus is async — wait (bounded) for the planted
+          // failure's task-end event to drain, as the spill gates do
+          val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+          while (failedTasks.get() == 0L && System.nanoTime() < deadline)
+            Thread.sleep(50)
           require(failedTasks.get() >= 1L,
             s"the planted first-attempt failure never fired (failed tasks = " +
             s"${failedTasks.get()}) — nothing was retried, the gate grades nothing")

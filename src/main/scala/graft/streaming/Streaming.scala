@@ -247,10 +247,11 @@ object Streaming {
       val lookbackMs = AttributionDays.toLong * 24 * 3600 * 1000
       val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var buf = if (clicks.exists()) clicks.get().toVector else Vector.empty
+      val fresh = Vector.newBuilder[Event]
       val out = Seq.newBuilder[AttributedClick]
       sorted.foreach { e =>
         e.event_type match {
-          case "click" => buf :+= e
+          case "click" => buf :+= e; fresh += e
           case "purchase" =>
             val t = e.ts.getTime
             buf.foreach { c =>
@@ -262,10 +263,15 @@ object Streaming {
       }
       // bounded state: banded in-order arrival means every future event has
       // ts >= this batch's max, so a click older than (maxSeen - lookback)
-      // can never match a future purchase — prune it from the list now
+      // can never match a future purchase — prune it from the list now.
+      // Append-dominant access: when the horizon removed nothing, only the
+      // NEW clicks touch state (appendValue); a full put() rewrite happens
+      // only on the batches where pruning actually dropped entries.
       val horizon = sorted.lastOption.map(_.ts.getTime - lookbackMs)
       val kept = horizon.fold(buf)(h => buf.filter(_.ts.getTime >= h))
-      if (kept.isEmpty) clicks.clear() else clicks.put(kept.toArray)
+      if (kept.isEmpty) clicks.clear()
+      else if (kept.length == buf.length) fresh.result().foreach(clicks.appendValue)
+      else clicks.put(kept.toArray)
       out.result().iterator
     }
   }

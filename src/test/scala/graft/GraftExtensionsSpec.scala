@@ -63,7 +63,7 @@ class GraftExtensionsSpec extends SparkTestBase {
     val interpreted = collectAll("NO_CODEGEN")
     assert(generated == interpreted)
     // and the values are real, not accidentally all-default
-    assert(generated.head.nonEmpty && generated != collectAll("CODEGEN_ONLY").map(_ => ""))
+    assert(generated.head.nonEmpty)
   }
 
   test("withExtensions builder path installs the functions") {
