@@ -2161,6 +2161,136 @@ object StreamingQueries {
              |WHERE r.rn = 1 AND r.op = 'U'""".stripMargin)
     ),
 
+    // STATE TTL, BOTH DIRECTIONS (round-14, the r13 verdict's #1): every
+    // other `transformWithState` gate passes TTLConfig.NONE — this one
+    // exercises the state-HYGIENE mechanism a production stream needs when
+    // no watermark bounds the key space (user ids / content hashes churn
+    // forever; TTL is what keeps RocksDB bounded — the arbitrary-state
+    // twin of the unbounded-state failure q_streaming_dedup_horizon pins
+    // for dedup). Both directions, the horizon gate's pattern:
+    //   RETENTION: key B refreshed in the next batch (within TTL) must
+    //   still see its state — the fold continues, n_changes reaches 2;
+    //   EXPIRY: both keys idle past the TTL (a real sleep spanning a real
+    //   restart) must come back EMPTY — the re-arrival starts a fresh
+    //   fold, n_changes resets to 1. Keeping state past its TTL or
+    //   dropping it early each flips an n_changes and hash-mismatches.
+    // TTL is processing-time BY DEFINITION, so the feed is fully planted —
+    // a natural key's n_changes would depend on wall-clock batch spacing
+    // and no deterministic oracle could grade it — and the gate does not
+    // TRUST the clock: the engine's own batch timestamps are read back
+    // from the checkpoint's offset log and the two timing preconditions
+    // (batch0→batch1 within TTL, batch1→batch2 past it) are require'd, so
+    // a stalled host aborts loudly as "inconclusive" instead of surfacing
+    // as a mysterious hash mismatch. THREE `Trigger.Once` lifecycles, one
+    // band each — under TimeMode.ProcessingTime the engine schedules
+    // wake-up batches indefinitely (TTL cleanup may fire later), so
+    // AvailableNow + processAllAvailable never quiesces (measured: 2300+
+    // empty batches — the sessionize flushOnTimeout pathology); Once runs
+    // exactly one data batch and stops. Every batch boundary is therefore
+    // also a restart: BOTH directions additionally prove TTL expiration
+    // stamps survive checkpointing.
+    QueryDef(
+      "q_streaming_cdc_ttl",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          import spark.implicits._
+          graft.GraftSession.tune(spark)
+          val ttlMs = 6000L
+          val feed = Seq(
+            // band 0: first change for both keys
+            (9001L, 1000000L, 11L, "U", 100L, 0),
+            (9002L, 1000000L, 12L, "U", 200L, 0),
+            // band 1 (same lifecycle, back-to-back => within TTL): B refresh
+            (9002L, 2000000L, 13L, "U", 300L, 1),
+            // band 2 (second lifecycle, after the sleep => past TTL): both
+            (9001L, 3000000L, 14L, "U", 400L, 2),
+            (9002L, 4000000L, 15L, "U", 500L, 2)
+          ).toDF("user_id", "ts_micros", "event_id", "op", "cents", "__band")
+          val land = landBands(feed, 3, "stream_land_cdc_ttl", dir)
+          val id = runId.incrementAndGet()
+          val arrival = new java.io.File(StorageQueries.target(s"stream_cdc_ttl_arrival_$id"))
+          require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
+          val emitDir = StorageQueries.target(s"stream_cdc_ttl_emit_$id")
+          val ckpt = StorageQueries.target(s"stream_cdc_ttl_ckpt_$id")
+          val srcSchema = feed.drop("__band").schema
+          def runOnce(): Unit = {
+            val src = spark.readStream.schema(srcSchema)
+              .parquet(arrival.getAbsolutePath)
+              .as[Streaming.CdcChange]
+            val q = Streaming.cdcValueTtl(src, ttlMs).toDF()
+              .writeStream
+              .option("checkpointLocation", ckpt)
+              .foreachBatch { (batch: DataFrame, batchId: Long) =>
+                batch.write.mode("overwrite").parquet(s"$emitDir/batch=$batchId")
+                ()
+              }
+              .outputMode("update").trigger(Trigger.Once()).start()
+            q.awaitTermination(); unloadStateStores()
+          }
+          arriveBands(land, arrival, 0 to 0); runOnce()
+          arriveBands(land, arrival, 1 to 1); runOnce() // back-to-back: within TTL
+          Thread.sleep(ttlMs + 1200)
+          arriveBands(land, arrival, 2 to 2); runOnce()
+          val emitted = spark.read.parquet(emitDir)
+            .select(col("user_id"), col("event_id"), col("n_changes"),
+                    col("batch").cast(LongType).as("batch"))
+          // data-batch sequence: rank the row-bearing batch ids, so an
+          // engine-inserted empty batch can never shift the expected rows
+          val seqs = emitted.select(col("batch")).distinct()
+            .withColumn("batch_seq",
+              (row_number().over(Window.orderBy(col("batch"))) - 1).cast(LongType))
+            .localCheckpoint(eager = true)
+          val ids = seqs.orderBy(col("batch")).select(col("batch")).as[Long].collect()
+          require(ids.length == 3,
+            s"expected 3 data batches, saw ${ids.length} — the banded replay drifted")
+          // the engine's OWN processing-time clock, from the offset log
+          def batchTs(batchId: Long): Long = {
+            val f = new java.io.File(new java.io.File(ckpt, "offsets"), batchId.toString)
+            val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            """"batchTimestampMs"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+              .map(_.group(1).toLong)
+              .getOrElse(sys.error(s"no batchTimestampMs in offset log $f"))
+          }
+          val (t0, t1, t2) = (batchTs(ids(0)), batchTs(ids(1)), batchTs(ids(2)))
+          require(t1 - t0 < ttlMs,
+            s"INCONCLUSIVE (harness timing, not a semantic failure): batches 0→1 " +
+            s"ran ${t1 - t0} ms apart, past the $ttlMs ms TTL — the retention " +
+            "leg cannot be graded on this run; the host stalled mid-lifecycle")
+          require(t2 - t1 > ttlMs,
+            s"INCONCLUSIVE (harness timing): batches 1→2 ran ${t2 - t1} ms apart, " +
+            s"within the $ttlMs ms TTL — the expiry leg never crossed the horizon")
+          val out = emitted.join(broadcast(seqs), "batch")
+            .select(when(col("user_id") === 9001L, "A").otherwise("B").as("user_tag"),
+                    col("batch_seq"),
+                    col("event_id").cast(LongType).as("last_event_id"),
+                    col("n_changes").cast(LongType).as("n_changes"))
+            .localCheckpoint(eager = true)
+          val got = out.collect() // ≤5 rows — the gate's own requires
+            .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+          require(got.get(("B", 1L)).contains((13L, 2L)),
+            s"RETENTION failed: B refreshed within TTL must continue its fold " +
+            s"(event 13, n_changes 2); got ${got.get(("B", 1L))} — state dropped early")
+          require(got.get(("A", 2L)).contains((14L, 1L)),
+            s"EXPIRY failed for A: state idle past TTL must expire and the fold " +
+            s"restart (event 14, n_changes 1); got ${got.get(("A", 2L))} — " +
+            "state outlived its TTL (unbounded state at 100 TB)")
+          require(got.get(("B", 2L)).contains((15L, 1L)),
+            s"EXPIRY failed for B: expected (event 15, n_changes 1); got " +
+            s"${got.get(("B", 2L))} — state outlived its TTL")
+          out
+        }
+      },
+      // rule-derived oracle: the planted schedule has exactly one answer
+      Some("""SELECT 'A' AS user_tag, CAST(0 AS BIGINT) AS batch_seq,
+             |       CAST(11 AS BIGINT) AS last_event_id, CAST(1 AS BIGINT) AS n_changes
+             |UNION ALL SELECT 'B', 0, 12, 1
+             |UNION ALL SELECT 'B', 1, 13, 2
+             |UNION ALL SELECT 'A', 2, 14, 1
+             |UNION ALL SELECT 'B', 2, 15, 1""".stripMargin)
+    ),
+
     // the SINK-SIDE upsert: `foreachBatch` with batchId-keyed idempotent
     // writes — the canonical production pattern for landing a changelog in
     // a keyed table without a table format's MERGE INTO (and exactly how
@@ -2207,6 +2337,93 @@ object StreamingQueries {
           }
           .trigger(Trigger.AvailableNow()).start()
         q.processAllAvailable(); q.awaitTermination()
+        spark.read.parquet(tableDir)
+          .groupBy(col("user_id"))
+          .agg(max(col("w")).as("w"), sum(col("n_changes")).as("n_changes"))
+          .where(col("w.op") === "U")
+          .select(col("user_id"),
+                  expr("timestamp_micros(w.ts_micros)").as("last_ts"),
+                  col("w.event_id").cast(LongType).as("last_event_id"),
+                  col("w.cents").cast(LongType).as("last_cents"),
+                  col("n_changes").cast(LongType).as("n_changes"))
+          .localCheckpoint(eager = true)
+      },
+      Some(CdcOracleSql)
+    ),
+
+    // foreachBatch REDELIVERY, INDUCED NOT SIMULATED (round-14, the r13
+    // verdict's #3 — the q_write_retry treatment applied to the streaming
+    // sink): q_streaming_foreach_upsert writes every batch twice to MODEL
+    // at-least-once delivery; here the ENGINE ITSELF redelivers. Batch 1's
+    // FIRST delivery fails AFTER its parquet write lands (the harshest
+    // window: sink data visible, offset not yet committed — a crash
+    // between sink write and commit, which is exactly the window the
+    // at-least-once contract exists for). The query dies with the planted
+    // exception; a restart against the same checkpoint makes the engine
+    // re-run batch 1 WITH THE SAME BATCH ID (it was never committed), and
+    // the batchId-keyed idempotent overwrite must absorb the duplicate.
+    // Pinned live: the first lifecycle must TERMINATE with the planted
+    // exception in its cause chain (a gate whose failure path never runs
+    // grades nothing), the first-delivery marker must exist, the restarted
+    // lifecycle must complete cleanly, and the final snapshot must
+    // hash-match the SAME batch CDC oracle as the stateful legs — a lost
+    // or double-counted batch-1 row anywhere mismatches (n_changes SUMS
+    // across batch dirs, so a leaked duplicate dir inflates it).
+    QueryDef(
+      "q_streaming_foreach_retry",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val changes = Tables.events(spark, dir)
+          .select(col("user_id"),
+                  expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_micros"),
+                  col("event_id"),
+                  when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+                  expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        // identical feed to the CDC legs — shares their landing via the cache
+        val land = landBands(withHashBand(changes, col("event_id"), 4), 4, "stream_land_cdc", dir)
+        val id = runId.incrementAndGet()
+        val tableDir = StorageQueries.target(s"stream_foreach_retry_$id")
+        val ckpt = StorageQueries.target(s"stream_foreach_retry_ckpt_$id")
+        val plantMsg = s"planted first-delivery failure on batch 1 (run $id)"
+        val marker = new java.io.File(StorageQueries.target(s"stream_foreach_retry_marker_$id"))
+        def runLifecycle(): Option[Throwable] = {
+          val src = spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "1").parquet(land)
+          val q = src.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              val reduced = batch
+                .groupBy(col("user_id"))
+                .agg(max(struct(col("ts_micros"), col("event_id"), col("op"), col("cents"))).as("w"),
+                     count(lit(1)).as("n_changes"))
+              // sink write FIRST, then the planted crash — the data is
+              // visible but the batch never commits
+              reduced.write.mode("overwrite").parquet(s"$tableDir/batch=$batchId")
+              if (batchId == 1L && !marker.exists()) {
+                require(marker.createNewFile(), s"cannot create $marker")
+                throw new RuntimeException(plantMsg)
+              }
+              ()
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          try { q.processAllAvailable(); q.awaitTermination(); None }
+          catch { case e: Throwable => Some(e) }
+        }
+        val first = runLifecycle()
+        def chain(t: Throwable): Seq[Throwable] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+        require(first.exists(e => chain(e).exists(c =>
+            Option(c.getMessage).exists(_.contains(plantMsg)))),
+          s"the planted first-delivery failure never terminated lifecycle #1 " +
+          s"(got ${first.map(_.toString).getOrElse("clean exit")}) — nothing " +
+          "was redelivered, the gate grades nothing")
+        require(marker.exists(),
+          "the failure fired but the first-delivery marker is missing — the " +
+          "plant predicate is broken")
+        val second = runLifecycle()
+        require(second.isEmpty,
+          s"the restarted lifecycle must absorb the redelivered batch and " +
+          s"complete cleanly; it failed with ${second.map(_.toString).getOrElse("?")}")
         spark.read.parquet(tableDir)
           .groupBy(col("user_id"))
           .agg(max(col("w")).as("w"), sum(col("n_changes")).as("n_changes"))

@@ -624,6 +624,50 @@ object Streaming {
     else st.copy(n_changes = st.n_changes + 1)
   }
 
+  /** The CDC LWW fold under STATE TTL — the state-hygiene mechanism a
+    * production stream relies on when NO WATERMARK bounds the key space
+    * (user ids, content hashes churning forever): every ValueState write
+    * stamps expiration = batch-processing-time + ttl, a read past that
+    * instant sees NO state, and the store's TTL index eventually reclaims
+    * the bytes — RocksDB stays bounded however long the stream runs. The
+    * fold itself is the shared [[lwwStep]], so the SAME batch oracle
+    * family grades it: a key refreshed within the TTL continues its fold
+    * (n_changes accumulates), a key idle past the TTL restarts from
+    * [[CdcZero]] (n_changes resets) — both directions observable in the
+    * update-mode emissions. TTL is processing-time by definition
+    * (`TimeMode.ProcessingTime`), so the gate that drives this pins batch
+    * timestamps from the checkpoint's offset log rather than assuming the
+    * host's clock behaved.
+    */
+  def cdcValueTtl(changes: Dataset[CdcChange], ttlMs: Long): Dataset[CdcEmit] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .transformWithState(new CdcTtlProcessor(ttlMs), TimeMode.ProcessingTime(),
+                          OutputMode.Update())
+  }
+
+  /** The state machine behind [[cdcValueTtl]] — [[CdcInitProcessor]]'s
+    * fold with a real TTL on the state handle instead of `TTLConfig.NONE`.
+    */
+  final class CdcTtlProcessor(ttlMs: Long) extends StatefulProcessor[Long, CdcChange, CdcEmit] {
+    @transient private var st: ValueState[CdcState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CdcState](
+        "snap", Encoders.product[CdcState],
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[CdcChange], tv: TimerValues): Iterator[CdcEmit] = {
+      val folded = rows.foldLeft(if (st.exists()) st.get() else CdcZero)(lwwStep)
+      st.update(folded)
+      Iterator.single(
+        CdcEmit(userId, folded.ts_micros, folded.event_id, folded.op, folded.cents,
+                folded.n_changes))
+    }
+  }
+
   /** CDC LWW maintenance BOOTSTRAPPED FROM BATCH STATE — the migration
     * path every production stream is born through: the snapshot up to a
     * cutover is computed as a BATCH job (cheap, rescannable), handed to
