@@ -111,7 +111,11 @@ object PipelineQueries {
         spark.catalog.clearCache()
         val passed = TextQueries.qualityFilter(spark, dir)
           .where(col("keep")).select(col("doc_id"))
-        val clusters = DedupQueries.clusterAssignments(spark, dir)
+        // the shared (doc_id, cluster_id) landing — computed once per
+        // process by whichever of dedup_clusters / this pipeline runs
+        // first (see DedupQueries.clusterLabels); the oracle still
+        // re-derives the clustering end-to-end independently
+        val clusters = DedupQueries.clusterLabels(spark, dir, reuseLanding = true)
           .select(col("doc_id"), col("cluster_id"))
         // representative per cluster among filter survivors only
         val reps = passed.join(clusters, "doc_id")
