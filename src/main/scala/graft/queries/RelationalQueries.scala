@@ -467,6 +467,59 @@ object RelationalQueries {
              |GROUP BY user_id""".stripMargin)
     ),
 
+    // DYNAMIC-GAP session windows (round-14, the one sessionization variant
+    // unexercised): `session_window` with the gap as an EXPRESSION — each
+    // event contributes [ts, ts + gap(event_type)) and overlapping windows
+    // merge, the semantics needed when different event classes time out
+    // differently (a purchase keeps a visit alive longer than a view).
+    // Here purchases carry a 60-minute gap, everything else 30 — so the
+    // answer provably differs from the static-gap q_session_window unless
+    // no session hinges on a purchase's extended tail. Boundary semantics
+    // are EXACT on both sides by construction: Spark merges iff the next
+    // event's start is STRICTLY inside the running window ([s, e) half-
+    // open), and the oracle's running-max-end formulation starts a new
+    // session iff ts >= prev_max_end — the same rule, so an event landing
+    // exactly on a window end agrees without needing a data guard. Scale:
+    // identical to q_session_window — one shuffle on user_id, windows
+    // merge inside the aggregation buffer; the dynamic gap is a map-side
+    // expression, no extra pass.
+    QueryDef(
+      "q_session_window_dynamic",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+                  col("event_type"))
+          .groupBy(col("user_id"),
+                   session_window(col("ts"),
+                     when(col("event_type") === "purchase", lit("60 minutes"))
+                       .otherwise(lit("30 minutes"))).as("w"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_sessions"),
+               sum(col("n")).cast(LongType).as("n_events"))
+      },
+      // independent algorithm: running max of (ts + gap) over preceding
+      // events; a session starts where ts clears every predecessor's end
+      Some("""SELECT user_id,
+             |       CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+             |       COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id,
+             |         CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+             |              THEN 1 ELSE 0 END AS is_start
+             |  FROM (
+             |    SELECT user_id, ts,
+             |           MAX(ts + CASE WHEN event_type = 'purchase'
+             |                          THEN INTERVAL '60 minutes'
+             |                          ELSE INTERVAL '30 minutes' END)
+             |             OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |             AS prev_max_end
+             |    FROM events))
+             |GROUP BY user_id""".stripMargin)
+    ),
+
     // O: as-of join — for each purchase, the most recent click at-or-before it.
     // Spark has no ASOF JOIN; the scalable formulation is union + one window
     // pass (single shuffle on user_id, no self-join, no BNLJ). The oracle uses
