@@ -329,9 +329,9 @@ object DedupQueries {
     * the landing is stale so its steady-state bench reps stay a pure
     * measurement of the CC sweep.
     */
-  private[queries] def clusterLabels(spark: org.apache.spark.sql.SparkSession,
-                                     dir: String,
-                                     reuseLanding: Boolean): org.apache.spark.sql.DataFrame = {
+  private[graft] def clusterLabels(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String,
+                                   reuseLanding: Boolean): org.apache.spark.sql.DataFrame = {
     val tgt = StorageQueries.target("dedup_clusters_land")
     val marker = new java.io.File(StorageQueries.target("dedup_clusters_land_MARKER"))
     val key = s"$dir|cc-v1" // bump the version with any minhash/banding change
