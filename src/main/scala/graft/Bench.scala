@@ -64,7 +64,11 @@ object Bench {
     // liststate, mapstate) and the double-stateful pipeline
     "q_streaming_restart_changelog", "q_streaming_cdc_mapstate",
     "q_streaming_attribution_liststate", "q_streaming_join_then_window",
-    "q_streaming_dedup_horizon")
+    "q_streaming_dedup_horizon",
+    // round-14 setup-dominated gates: the TTL gate is three Trigger.Once
+    // lifecycles around a mandatory 7.2 s TTL sleep; the redelivery gate
+    // is two lifecycles with a planted failure between them
+    "q_streaming_cdc_ttl", "q_streaming_foreach_retry")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

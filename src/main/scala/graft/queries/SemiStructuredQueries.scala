@@ -95,6 +95,78 @@ object SemiStructuredQueries {
              |GROUP BY 1, 2""".stripMargin)
     ),
 
+    // VARIANT STORAGE ROUND-TRIP (round-14): parse the JSON ONCE AT INGEST,
+    // store the binary variant in parquet, and run the extraction over the
+    // RE-READ column — the ingest-once/parse-never-again pattern that is
+    // the whole point of variant at rest (every downstream query over
+    // 100 TB of crawl metadata skips the text parse; shredding slots in at
+    // exactly this storage boundary). Pinned structurally: the re-read
+    // schema must still be VariantType (a silent fallback to string/binary
+    // would re-introduce the per-query parse and break extraction
+    // semantics); graded semantically against the SAME rollup computed by
+    // DuckDB from the ORIGINAL strings — a value lost or mangled anywhere
+    // in write→read→extract hash-mismatches.
+    QueryDef(
+      "q_variant_roundtrip",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val tgt = StorageQueries.target("variant_store")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"),
+                  parse_json(col("props")).as("v"))
+          .write.mode("overwrite").parquet(tgt)
+        val re = spark.read.parquet(tgt)
+        require(re.schema("v").dataType == org.apache.spark.sql.types.VariantType,
+          s"variant round-trip: the stored column must re-read as VariantType, " +
+          s"got ${re.schema("v").dataType} — storage silently degraded the type")
+        re.select(col("event_type"), col("value"),
+                  variant_get(col("v"), "$.k", "long").as("k"))
+          .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_bucket"))
+          .agg(count(lit(1)).as("n"),
+               Money.lsum(Money.cents(col("value"))).as("sum_value_cents"),
+               max(col("k")).as("max_k"))
+      },
+      Some(s"""SELECT event_type,
+             |       CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS k_bucket,
+             |       COUNT(*) AS n,
+             |       ${Money.lsumSql(Money.centsSql("value"))} AS sum_value_cents,
+             |       MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
+             |FROM events
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
+    // VARIANT CORRUPT-INPUT SEMANTICS (round-14, the q_jsonl_corrupt
+    // treatment applied to variant ingest): real crawl metadata contains
+    // malformed JSON, and the engine must expose BOTH contracts —
+    // `try_parse_json` maps corrupt rows to NULL (quarantine-and-continue,
+    // counted in the same pass as the rollup, never a separate scan) while
+    // strict `parse_json` RAISES on first corruption (the fail-fast
+    // contract, the variant twin of udf_parse_strict's PARSE_DATETIME
+    // error leg — require'd in-gate on the planted rows alone so the
+    // strict leg costs 7 rows, not a corpus scan).
+    QueryDef(
+      "q_variant_corrupt",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val corrupt = spark.range(7)
+          .select(concat(lit("{\"k\": broken"), col("id")).as("props"))
+        val strictFailed = scala.util.Try(
+          corrupt.select(parse_json(col("props")).as("s")).collect()).isFailure
+        require(strictFailed,
+          "strict parse_json must RAISE on malformed JSON (ANSI fail-fast " +
+          "contract); it returned rows instead")
+        val feed = Tables.events(spark, dir).select(col("props")).unionByName(corrupt)
+        feed.select(try_parse_json(col("props")).as("v"))
+          .agg(count(lit(1)).as("n_rows"),
+               sum(when(col("v").isNull, 1L).otherwise(0L)).cast(LongType).as("n_corrupt"),
+               max(variant_get(col("v"), "$.k", "long")).as("max_k"))
+      },
+      Some("""SELECT COUNT(*) + 7 AS n_rows,
+             |       CAST(7 AS BIGINT) AS n_corrupt,
+             |       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events""".stripMargin)
+    ),
+
     // CUBE grouping sets: all 4 combinations of (priority, status)
     QueryDef(
       "q_cube_orders",

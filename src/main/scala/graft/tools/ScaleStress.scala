@@ -297,7 +297,13 @@ object ScaleStress {
     // induced foreachBatch redelivery: the upsert leg's linear per-batch
     // argmax + keyed overwrite, plus exactly one planted batch failure and
     // one extra lifecycle at any factor
-    "q_streaming_foreach_retry")
+    "q_streaming_foreach_retry",
+    // variant storage round-trip: one parse-at-ingest write + one re-read
+    // with typed extraction + hash-agg — linear in events bytes both legs
+    "q_variant_roundtrip",
+    // variant corrupt-input: the strict leg is 7 planted rows; the lenient
+    // leg is one try_parse scan + the same hash-agg — linear
+    "q_variant_corrupt")
     // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
     // rows by construction (processing-time TTL admits no deterministic
     // natural feed), so its cost is scale-invariant lifecycle setup —
@@ -455,11 +461,15 @@ object ScaleStress {
     Tables.events(spark, baseDir)
       .select(col("event_id").cast("long").as("event_id"),
               col("user_id").cast("long").as("user_id"),
-              col("ts"), col("event_type"), col("value"))
+              col("ts"), col("event_type"), col("value"), col("props"))
       .select(col("*"), reps)
       .select((col("event_id") + col("rep") * idShift).as("event_id"),
               (col("user_id") + col("rep") * idShift).as("user_id"),
-              col("ts"), col("event_type"), col("value"))
+              col("ts"), col("event_type"), col("value"),
+              // props rides verbatim per replica: the JSON/VARIANT parse
+              // cost under test is per-row, so replica-identical payloads
+              // scale it exactly linearly
+              col("props"))
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
