@@ -314,6 +314,81 @@ object DedupQueries {
       .distinct()
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the second,
+    * independently-implemented CC algorithm beside [[propagateMinLabels]].
+    * Why both exist: min-label propagation converges in DIAMETER sweeps,
+    * which is fine for near-clique duplicate clusters but degenerates on
+    * long chains (containment chains, quote threads — D sweeps of the full
+    * edge list at 100 TB); star alternation contracts every component to a
+    * star rooted at its minimum id in O(log n) rounds REGARDLESS of
+    * diameter. Each round is two join+agg passes over the edge list
+    * (large-star re-points every strictly-larger neighbor of u at u's
+    * minimum neighbor; small-star re-points u and its smaller neighbors
+    * the same way), edges stay canonical child > parent, and the driver
+    * reads only a convergence checksum per round — never rows. Returns
+    * (doc_id, label) for every non-isolated node, label = component min.
+    */
+  private[graft] def propagateStarLabels(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // canonical directed edges child u -> parent v with u > v.
+    // Every round ends in an EAGER localCheckpoint: unlike persist, it
+    // truncates the logical plan, which otherwise compounds ~6× per round
+    // (nb union + two joins + two distincts referencing the previous
+    // round) — ten rounds of un-truncated lineage OOM'd the PLANNER, not
+    // the data. This is the iterate-on-a-DataFrame contract at scale:
+    // checkpoint the frontier each round, keep the driver O(1).
+    var edges = pairs.toDF("a", "b")
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // convergence checksum: order-insensitive xor-hash + count; the star
+    // fixed point is the ONLY edge set both phases leave unchanged
+    def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+                     coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(edges)
+    var converged = false
+    var iters = 0
+    while (!converged) {
+      iters += 1
+      require(iters <= 30,
+        "dedup_clusters_star: alternation exceeded 30 rounds — O(log n) bound violated")
+      // LARGE-STAR over the undirected view: m(u) = min(N(u) ∪ {u});
+      // every neighbor v > u re-points to m(u)
+      val nb = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nb.groupBy(col("u"))
+        .agg(least(min(col("v")), min(col("u"))).as("m"))
+      val large = nb.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // SMALL-STAR over the directed child->parent view: m(u) = min parent;
+      // u and every other parent re-point to m(u)
+      val pm = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(pm, "u")
+        .select(col("v").as("node"), col("m"))
+        .unionByName(large.join(pm, "u").select(col("u").as("node"), col("m")).distinct())
+        .where(col("node") =!= col("m"))
+        .select(col("node").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val cur = checksum(small)
+      edges = small
+      converged = cur == prev
+      prev = cur
+    }
+    // the final star IS the labeling: child -> component min (already
+    // checkpoint-materialized; the caller's joins read the blocks)
+    edges.select(col("u").as("doc_id"), col("v").as("label"))
+  }
+
   /** Land-once share of the (doc_id, cluster_id) assignment — the
     * `landBands` treatment applied to the most expensive REUSED
     * intermediate in the suite (round-14, the r13 verdict's #5): both
@@ -509,6 +584,35 @@ object DedupQueries {
         GraftSession.tune(spark)
         spark.catalog.clearCache()
         clusterAssignments(spark, dir)
+      },
+      Some(clusterAssignmentsSql)
+    ),
+
+    // the SECOND connected-components algorithm over the same pair graph
+    // (round-14): alternating large-star/small-star ([[propagateStarLabels]])
+    // vs dedup_clusters' min-label propagation — THREE independent CC
+    // algorithms (those two + the oracle's recursive transitive-closure
+    // CTE) must land on the identical cluster partition. The point at
+    // 100 TB: min-label needs DIAMETER sweeps (fine for near-clique dup
+    // groups, pathological on long containment/quote chains); star
+    // alternation contracts any component to its min-rooted star in
+    // O(log n) rounds regardless of diameter, which is why it is the
+    // published MapReduce-scale CC. Always computes fresh — no landing
+    // reuse; the gate IS the algorithm.
+    QueryDef(
+      "dedup_clusters_star",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        spark.catalog.clearCache()
+        val labels = propagateStarLabels(
+          minhashPairsSpark(spark, dir).select(col("doc_a"), col("doc_b")))
+        val assigned = Tables.documents(spark, dir).select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        assigned.join(sizes, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+                  (col("doc_id") === col("cluster_id")).as("is_canonical"))
       },
       Some(clusterAssignmentsSql)
     ),

@@ -2161,6 +2161,61 @@ object StreamingQueries {
              |WHERE r.rn = 1 AND r.op = 'U'""".stripMargin)
     ),
 
+    // IN-FLIGHT DATA-QUALITY METRICS ON A STREAM (round-14): `observe()` /
+    // Catalyst CollectMetrics on a STREAMING query — q_observed_metrics
+    // gates the batch surface; this is the streaming one, where the
+    // metrics arrive PER MICRO-BATCH in StreamingQueryProgress
+    // .observedMetrics, the in-flight audit a production pipeline alerts
+    // on without a second scan. Graded both ways: the per-batch observed
+    // metrics summed across batches must equal the AT-REST sink rollup
+    // (observe counted exactly the rows that landed — a drift means rows
+    // were audited but not committed or vice versa), and that rollup
+    // hash-matches the batch oracle. Metrics ride the existing pipeline's
+    // rows (one pass); the observation is row-count/sum only, the
+    // streaming-legal aggregate set.
+    QueryDef(
+      "q_streaming_observe",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        // shares the enrich gate's hash-banded landing via the cache
+        val land = landBands(withHashBand(eventsDf, col("event_id"), 4), 4,
+                             "stream_land_enrich", dir)
+        val id = runId.incrementAndGet()
+        val sinkDir = StorageQueries.target(s"stream_observe_sink_$id")
+        val src = spark.readStream.schema(eventsDf.schema)
+          .option("maxFilesPerTrigger", "3").parquet(land)
+          .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .observe("dq", count(lit(1)).as("n_obs"),
+                   sum(col("cents")).as("cents_obs"))
+        val q = src.writeStream.format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", StorageQueries.target(s"stream_observe_ckpt_$id"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+        val obs = q.recentProgress.toSeq
+          .flatMap(p => Option(p.observedMetrics.get("dq")))
+        require(obs.nonEmpty,
+          "no observed metrics in any micro-batch progress — CollectMetrics " +
+          "never reported on the stream")
+        val nObs = obs.map(_.getAs[Long]("n_obs")).sum
+        val centsObs = obs.map(_.getAs[Long]("cents_obs")).sum
+        val out = spark.read.parquet(sinkDir)
+          .agg(count(lit(1)).cast(LongType).as("n_events"),
+               sum(col("cents")).cast(LongType).as("total_cents"))
+          .localCheckpoint(eager = true)
+        val r = out.head()
+        require(r.getLong(0) == nObs && r.getLong(1) == centsObs,
+          s"in-flight audit drifted from at-rest truth: observed ($nObs rows, " +
+          s"$centsObs cents) vs sink (${r.getLong(0)} rows, ${r.getLong(1)} cents)")
+        out
+      },
+      Some("""SELECT COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             |         AS total_cents
+             |FROM events""".stripMargin)
+    ),
+
     // STATE TTL, BOTH DIRECTIONS (round-14, the r13 verdict's #1): every
     // other `transformWithState` gate passes TTLConfig.NONE — this one
     // exercises the state-HYGIENE mechanism a production stream needs when

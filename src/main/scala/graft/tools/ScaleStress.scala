@@ -303,7 +303,15 @@ object ScaleStress {
     "q_variant_roundtrip",
     // variant corrupt-input: the strict leg is 7 planted rows; the lenient
     // leg is one try_parse scan + the same hash-agg — linear
-    "q_variant_corrupt")
+    "q_variant_corrupt",
+    // alternating-star CC: each round is two join+agg passes over the edge
+    // list (linear in edges) and the round count is O(log n) REGARDLESS of
+    // component diameter — the property that makes it the scale path; on
+    // the stress corpus components replicate, so edges ×factor, rounds flat
+    "dedup_clusters_star",
+    // streaming observe: CollectMetrics rides the passthrough pipeline's
+    // own rows — the audit is free at any factor, the sink write linear
+    "q_streaming_observe")
     // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
     // rows by construction (processing-time TTL admits no deterministic
     // natural feed), so its cost is scale-invariant lifecycle setup —
