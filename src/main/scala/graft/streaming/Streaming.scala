@@ -624,22 +624,31 @@ object Streaming {
     else st.copy(n_changes = st.n_changes + 1)
   }
 
-  /** The CDC LWW fold under STATE TTL — the state-hygiene mechanism a
-    * production stream relies on when NO WATERMARK bounds the key space
-    * (user ids, content hashes churning forever): every ValueState write
-    * stamps expiration = batch-processing-time + ttl, a read past that
-    * instant sees NO state, and the store's TTL index eventually reclaims
-    * the bytes — RocksDB stays bounded however long the stream runs. The
-    * fold itself is the shared [[lwwStep]], so the SAME batch oracle
-    * family grades it: a key refreshed within the TTL continues its fold
-    * (n_changes accumulates), a key idle past the TTL restarts from
-    * [[CdcZero]] (n_changes resets) — both directions observable in the
-    * update-mode emissions. TTL is processing-time by definition
-    * (`TimeMode.ProcessingTime`), so the gate that drives this pins batch
-    * timestamps from the checkpoint's offset log rather than assuming the
-    * host's clock behaved.
+  /** One per-batch emission of [[CdcTtlProcessor]]: the LWW fold result
+    * plus the OBSERVED size of each TTL'd state family after this batch.
     */
-  def cdcValueTtl(changes: Dataset[CdcChange], ttlMs: Long): Dataset[CdcEmit] = {
+  final case class CdcTtlEmit(user_id: Long, ts_micros: Long, event_id: Long,
+                              op: String, cents: Long, n_changes: Long,
+                              list_len: Long, map_n: Long)
+
+  /** The CDC LWW fold under STATE TTL, across ALL THREE state column
+    * families — the state-hygiene mechanism a production stream relies on
+    * when NO WATERMARK bounds the key space (user ids, content hashes
+    * churning forever). Every state write stamps expiration =
+    * batch-processing-time + ttl; a read past that instant sees no value
+    * (ValueState), no element (ListState elements each carry the TTL of
+    * the batch that appended them), no entry (MapState entries expire per
+    * key); the store's TTL index eventually reclaims the bytes — RocksDB
+    * stays bounded however long the stream runs. The value fold is the
+    * shared [[lwwStep]] and the list/map sizes ride the same emission, so
+    * one rule-derived oracle grades all three families: refreshed within
+    * TTL ⇒ fold continues / list grows / map grows; idle past TTL ⇒ all
+    * three come back EMPTY and restart. TTL is processing-time by
+    * definition (`TimeMode.ProcessingTime`), so the gate that drives this
+    * pins batch timestamps from the checkpoint's offset log rather than
+    * assuming the host's clock behaved.
+    */
+  def cdcValueTtl(changes: Dataset[CdcChange], ttlMs: Long): Dataset[CdcTtlEmit] = {
     import changes.sparkSession.implicits._
     changes
       .groupByKey(_.user_id)
@@ -648,23 +657,36 @@ object Streaming {
   }
 
   /** The state machine behind [[cdcValueTtl]] — [[CdcInitProcessor]]'s
-    * fold with a real TTL on the state handle instead of `TTLConfig.NONE`.
+    * fold with a real TTL on all three state handles instead of
+    * `TTLConfig.NONE`.
     */
-  final class CdcTtlProcessor(ttlMs: Long) extends StatefulProcessor[Long, CdcChange, CdcEmit] {
+  final class CdcTtlProcessor(ttlMs: Long) extends StatefulProcessor[Long, CdcChange, CdcTtlEmit] {
     @transient private var st: ValueState[CdcState] = _
+    @transient private var seen: ListState[Long] = _
+    @transient private var centsByEvent: MapState[Long, Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[CdcState](
-        "snap", Encoders.product[CdcState],
-        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl = TTLConfig(java.time.Duration.ofMillis(ttlMs))
+      st = getHandle.getValueState[CdcState]("snap", Encoders.product[CdcState], ttl)
+      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, ttl)
+      centsByEvent = getHandle.getMapState[Long, Long](
+        "cents", Encoders.scalaLong, Encoders.scalaLong, ttl)
+    }
 
     override def handleInputRows(
-        userId: Long, rows: Iterator[CdcChange], tv: TimerValues): Iterator[CdcEmit] = {
-      val folded = rows.foldLeft(if (st.exists()) st.get() else CdcZero)(lwwStep)
+        userId: Long, rows: Iterator[CdcChange], tv: TimerValues): Iterator[CdcTtlEmit] = {
+      var folded = if (st.exists()) st.get() else CdcZero
+      rows.foreach { c =>
+        folded = lwwStep(folded, c)
+        seen.appendValue(c.event_id)
+        centsByEvent.updateValue(c.event_id, c.cents)
+      }
       st.update(folded)
+      val listLen = seen.get().length.toLong
+      val mapN = centsByEvent.keys().length.toLong
       Iterator.single(
-        CdcEmit(userId, folded.ts_micros, folded.event_id, folded.op, folded.cents,
-                folded.n_changes))
+        CdcTtlEmit(userId, folded.ts_micros, folded.event_id, folded.op, folded.cents,
+                   folded.n_changes, listLen, mapN))
     }
   }
 
