@@ -2358,6 +2358,78 @@ object StreamingQueries {
              |UNION ALL SELECT 'B', 2, 15, 1, 1, 1""".stripMargin)
     ),
 
+    // STATE PARTITION COUNT IS PINNED BY THE CHECKPOINT (round-14) — the
+    // operational contract every production restart relies on and the
+    // premise of this harness's own StreamShufflePartitions sizing note:
+    // a stateful operator's shuffle-partition count is written into the
+    // checkpoint at FIRST start, and every later lifecycle uses it no
+    // matter what the session conf says (state rows live in partition-
+    // keyed store instances; honoring a new conf would orphan state).
+    // Lifecycle 1 starts the CDC LWW fold at 8 partitions; lifecycle 2
+    // resumes under a session conf of 32 — the engine must still run the
+    // state operator at 8 (require'd from StateOperatorProgress
+    // .numShufflePartitions in BOTH lifecycles' progress) and the
+    // two-lifecycle snapshot must hash-match the shared batch CDC oracle
+    // (orphaned or re-hashed state would lose/duplicate keys).
+    QueryDef(
+      "q_streaming_partitions_pinned",
+      (spark, dir) => withStreamParts(spark) {
+        import spark.implicits._
+        graft.GraftSession.tune(spark)
+        val changes = Tables.events(spark, dir)
+          .select(col("user_id"),
+                  expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_micros"),
+                  col("event_id"),
+                  when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+                  expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        val land = landBands(withHashBand(changes, col("event_id"), 4), 4, "stream_land_cdc", dir)
+        val id = runId.incrementAndGet()
+        val arrival = new java.io.File(StorageQueries.target(s"stream_parts_pin_arrival_$id"))
+        require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
+        val emitDir = StorageQueries.target(s"stream_parts_pin_emit_$id")
+        val ckpt = StorageQueries.target(s"stream_parts_pin_ckpt_$id")
+        def runOnce(tag: String): Unit = {
+          val src = spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "3").parquet(arrival.getAbsolutePath)
+            .as[Streaming.CdcChange]
+          val q = Streaming.cdcState(src).toDF()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              batch.write.mode("overwrite").parquet(s"$emitDir/batch=$batchId")
+              ()
+            }
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          q.processAllAvailable(); q.awaitTermination()
+          val parts = q.recentProgress.toSeq
+            .flatMap(_.stateOperators.toSeq).map(_.numShufflePartitions).distinct
+          unloadStateStores()
+          require(parts == Seq(StreamShufflePartitions.toLong),
+            s"$tag: the state operator must run at the checkpoint-pinned " +
+            s"$StreamShufflePartitions partitions; progress reported $parts")
+        }
+        arriveBands(land, arrival, 0 to 1)
+        runOnce("lifecycle #1 (pins the count)")
+        arriveBands(land, arrival, 2 to 3)
+        // the restart happens under a DIFFERENT session conf — the
+        // checkpointed count must win over it
+        graft.GraftSession.withConfs(spark, "spark.sql.shuffle.partitions" -> "32") {
+          runOnce("lifecycle #2 (conf says 32)")
+        }
+        val w = Window.partitionBy(col("user_id")).orderBy(col("n_changes").desc)
+        spark.read.parquet(emitDir)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1 && col("op") === "U")
+          .select(col("user_id"),
+                  expr("timestamp_micros(ts_micros)").as("last_ts"),
+                  col("event_id").cast(LongType).as("last_event_id"),
+                  col("cents").cast(LongType).as("last_cents"),
+                  col("n_changes").cast(LongType).as("n_changes"))
+          .localCheckpoint(eager = true)
+      },
+      Some(CdcOracleSql)
+    ),
+
     // the SINK-SIDE upsert: `foreachBatch` with batchId-keyed idempotent
     // writes — the canonical production pattern for landing a changelog in
     // a keyed table without a table format's MERGE INTO (and exactly how

@@ -311,7 +311,11 @@ object ScaleStress {
     "dedup_clusters_star",
     // streaming observe: CollectMetrics rides the passthrough pipeline's
     // own rows — the audit is free at any factor, the sink write linear
-    "q_streaming_observe")
+    "q_streaming_observe",
+    // partition pinning: the CDC LWW restart shape (linear per lifecycle)
+    // plus two progress-metric requires — the pinned state partition
+    // count is a CONSTANT of the checkpoint at any corpus size
+    "q_streaming_partitions_pinned")
     // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
     // rows by construction (processing-time TTL admits no deterministic
     // natural feed), so its cost is scale-invariant lifecycle setup —
