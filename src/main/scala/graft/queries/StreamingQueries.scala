@@ -2358,6 +2358,67 @@ object StreamingQueries {
              |UNION ALL SELECT 'B', 2, 15, 1, 1, 1""".stripMargin)
     ),
 
+    // FILE-SOURCE CATCH-UP ORDERING (round-14): `latestFirst` — the ops
+    // knob for a stream restarting into a large backlog, where serving
+    // FRESH data first matters more than replay order (dashboards reflect
+    // now, the tail backfills). Pinned in both directions: with
+    // latestFirst=true and one file per trigger, the FIRST batch must be
+    // the NEWEST-mtime band — require'd by provenance (every batch-0
+    // emission's winning event_id lies in band 3, the hash-band arrival
+    // stamps make band index recoverable from event_id mod 4) — and the
+    // final snapshot must STILL hash-match the batch CDC oracle, which is
+    // exactly why the fold under this knob must be order-insensitive
+    // (LWW by total order): an order-sensitive operator under latestFirst
+    // is a correctness bug, and this gate is the template for checking
+    // one.
+    QueryDef(
+      "q_streaming_latest_first",
+      (spark, dir) => withStreamParts(spark) {
+        import spark.implicits._
+        graft.GraftSession.tune(spark)
+        val changes = Tables.events(spark, dir)
+          .select(col("user_id"),
+                  expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_micros"),
+                  col("event_id"),
+                  when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+                  expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        val land = landBands(withHashBand(changes, col("event_id"), 4), 4, "stream_land_cdc", dir)
+        val id = runId.incrementAndGet()
+        val emitDir = StorageQueries.target(s"stream_latest_first_emit_$id")
+        val src = spark.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("latestFirst", "true")
+          .parquet(land)
+          .as[Streaming.CdcChange]
+        val q = Streaming.cdcState(src).toDF()
+          .writeStream
+          .option("checkpointLocation", StorageQueries.target(s"stream_latest_first_ckpt_$id"))
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$emitDir/batch=$batchId")
+            ()
+          }
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+        val firstBatch = spark.read.parquet(s"$emitDir/batch=0")
+        val offBand = firstBatch.where(pmod(col("event_id"), lit(4)) =!= 3).count()
+        require(firstBatch.count() > 0 && offBand == 0,
+          s"latestFirst did not serve the newest band first: $offBand of batch-0's " +
+          "winners come from older bands — the catch-up knob silently replayed in " +
+          "mtime order")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("n_changes").desc)
+        spark.read.parquet(emitDir)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1 && col("op") === "U")
+          .select(col("user_id"),
+                  expr("timestamp_micros(ts_micros)").as("last_ts"),
+                  col("event_id").cast(LongType).as("last_event_id"),
+                  col("cents").cast(LongType).as("last_cents"),
+                  col("n_changes").cast(LongType).as("n_changes"))
+          .localCheckpoint(eager = true)
+      },
+      Some(CdcOracleSql)
+    ),
+
     // STATE PARTITION COUNT IS PINNED BY THE CHECKPOINT (round-14) — the
     // operational contract every production restart relies on and the
     // premise of this harness's own StreamShufflePartitions sizing note:

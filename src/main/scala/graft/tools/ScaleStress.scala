@@ -315,7 +315,10 @@ object ScaleStress {
     // partition pinning: the CDC LWW restart shape (linear per lifecycle)
     // plus two progress-metric requires — the pinned state partition
     // count is a CONSTANT of the checkpoint at any corpus size
-    "q_streaming_partitions_pinned")
+    "q_streaming_partitions_pinned",
+    // latestFirst catch-up ordering: the same linear CDC fold; the knob
+    // changes only the file SERVE order, which is metadata-grain
+    "q_streaming_latest_first")
     // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
     // rows by construction (processing-time TTL admits no deterministic
     // natural feed), so its cost is scale-invariant lifecycle setup —
