@@ -167,6 +167,36 @@ object SemiStructuredQueries {
              |FROM events""".stripMargin)
     ),
 
+    // VARIANT LATERAL EXPLODE (round-14): the schema-on-read expansion —
+    // `variant_explode` walks a parsed variant OBJECT into (pos, key,
+    // value) rows without the caller naming any field, the operator a
+    // crawl-metadata pipeline needs when the property set is open-ended
+    // (per-source custom props at 100 TB; the string-path equivalent is a
+    // per-key regex walk). The value comes back as VARIANT and is typed at
+    // the use site (variant_get '$' as long); grouped per discovered key
+    // and graded against DuckDB's independent json_keys + json_extract
+    // walk — a key lost, duplicated, or mistyped anywhere mismatches.
+    QueryDef(
+      "q_variant_explode",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        Tables.events(spark, dir).createOrReplaceTempView("variant_explode_src")
+        spark.sql(
+          """SELECT ve.key AS prop_key,
+            |       COUNT(*) AS n,
+            |       MIN(variant_get(ve.value, '$', 'long')) AS min_v,
+            |       MAX(variant_get(ve.value, '$', 'long')) AS max_v
+            |FROM variant_explode_src ev,
+            |LATERAL variant_explode(parse_json(ev.props)) ve
+            |GROUP BY 1""".stripMargin)
+      },
+      Some("""SELECT k AS prop_key, COUNT(*) AS n,
+             |       MIN(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS min_v,
+             |       MAX(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS max_v
+             |FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // CUBE grouping sets: all 4 combinations of (priority, status)
     QueryDef(
       "q_cube_orders",

@@ -318,7 +318,11 @@ object ScaleStress {
     "q_streaming_partitions_pinned",
     // latestFirst catch-up ordering: the same linear CDC fold; the knob
     // changes only the file SERVE order, which is metadata-grain
-    "q_streaming_latest_first")
+    "q_streaming_latest_first",
+    // variant lateral explode: Generate over the parsed variant is
+    // map-side row expansion (rows × keys-per-row) feeding one hash-agg
+    // at key grain — linear in exploded rows
+    "q_variant_explode")
     // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
     // rows by construction (processing-time TTL admits no deterministic
     // natural feed), so its cost is scale-invariant lifecycle setup —
