@@ -182,11 +182,27 @@ object Bench {
         else "\"noisy\":" + noisy.map("\"" + _ + "\"").mkString("[", ",", "]") + ","
       // failures keep their -1 marker per query but must not shrink the total
       val total = results.map(_._2).filter(_ >= 0).sum
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$repArrays$noisyList"sf":"$sfDir","partial":$partial,"elapsed_sec":${"%.1f".format(elapsed)},"budget_exhausted":$budgetExhausted}""")
-      if (!partial)
+      val detailLine =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$repArrays$noisyList"sf":"$sfDir","partial":$partial,"elapsed_sec":${"%.1f".format(elapsed)},"budget_exhausted":$budgetExhausted}"""
+      println(detailLine)
+      if (!partial) {
         // the driver-parseable artifact: keep this line SMALL (no per-query
         // map) so any tail capture contains it complete
         println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_noisy":${noisy.size},"sf":"$sfDir","partial":false,"elapsed_sec":${"%.1f".format(elapsed)},"budget_exhausted":$budgetExhausted}""")
+        // The round artifact (BENCH_r{N}.json) is captured from the stdout
+        // TAIL and has truncated the per-query map whenever the suite
+        // outgrew the capture window (r6, r7, r14). Land the COMPLETE
+        // detail line in a file too, so the per-query map is always
+        // available verbatim regardless of how stdout was captured.
+        try {
+          val p = java.nio.file.Paths.get("tools/bench_last.json")
+          if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p,
+            (detailLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] could not write tools/bench_last.json: ${e.getMessage}")
+        }
+      }
       System.out.flush()
     }
 

@@ -380,8 +380,18 @@ object DedupQueries {
         .distinct()
         .localCheckpoint(true)
       val cur = checksum(small)
+      // The checksum (count + order-insensitive xor-hash) says "converged";
+      // before trusting it, confirm with ONE exact set comparison. It runs
+      // once, at the fixed point, so the cost is a single anti-join pass —
+      // and it turns the astronomically-unlikely 64-bit collision from
+      // silent wrong labels into a loud abort. Counts are exact already
+      // (the checksum's first component), so one except direction suffices.
+      if (cur == prev) {
+        require(small.except(edges).head(1).isEmpty,
+          "dedup_clusters_star: convergence checksum collided — edge sets differ at equal checksums")
+        converged = true
+      }
       edges = small
-      converged = cur == prev
       prev = cur
     }
     // the final star IS the labeling: child -> component min (already
@@ -410,8 +420,18 @@ object DedupQueries {
     val tgt = StorageQueries.target("dedup_clusters_land")
     val marker = new java.io.File(StorageQueries.target("dedup_clusters_land_MARKER"))
     val key = s"$dir|cc-v1" // bump the version with any minhash/banding change
+    // A marker hit must also see the landed data itself (the landBands
+    // contract): the marker says a landing COMPLETED, not that nothing
+    // deleted the parquet since. A deleted/partial landing dir with an
+    // intact marker would otherwise turn every reuse into an
+    // AnalysisException instead of a recompute.
+    def landingIntact: Boolean = {
+      val files = Option(new java.io.File(tgt).listFiles()).getOrElse(Array.empty)
+      files.exists(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    }
     val fresh = marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == key
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == key &&
+      landingIntact
     if (reuseLanding && fresh) return spark.read.parquet(tgt)
     val labels = propagateMinLabels(
       minhashPairsSpark(spark, dir).select(col("doc_a"), col("doc_b")))

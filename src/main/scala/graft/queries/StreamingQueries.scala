@@ -2270,12 +2270,19 @@ object StreamingQueries {
             (9002L, 4000000L, 15L, "U", 500L, 2)
           ).toDF("user_id", "ts_micros", "event_id", "op", "cents", "__band")
           val land = landBands(feed, 3, "stream_land_cdc_ttl", dir)
+          val srcSchema = feed.drop("__band").schema
+          // The retention leg's precondition (two back-to-back Trigger.Once
+          // lifecycles completing within the TTL) is harness TIMING, not
+          // semantics: on a loaded host it can fail without any state-store
+          // defect. One full retry with fresh dirs turns a stall-window hit
+          // into a clean second observation instead of a failed suite row;
+          // a SECOND miss still aborts loudly as INCONCLUSIVE.
+          def attempt(): Either[String, DataFrame] = {
           val id = runId.incrementAndGet()
           val arrival = new java.io.File(StorageQueries.target(s"stream_cdc_ttl_arrival_$id"))
           require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
           val emitDir = StorageQueries.target(s"stream_cdc_ttl_emit_$id")
           val ckpt = StorageQueries.target(s"stream_cdc_ttl_ckpt_$id")
-          val srcSchema = feed.drop("__band").schema
           def runOnce(): Unit = {
             val src = spark.readStream.schema(srcSchema)
               .parquet(arrival.getAbsolutePath)
@@ -2316,10 +2323,10 @@ object StreamingQueries {
               .getOrElse(sys.error(s"no batchTimestampMs in offset log $f"))
           }
           val (t0, t1, t2) = (batchTs(ids(0)), batchTs(ids(1)), batchTs(ids(2)))
-          require(t1 - t0 < ttlMs,
-            s"INCONCLUSIVE (harness timing, not a semantic failure): batches 0→1 " +
-            s"ran ${t1 - t0} ms apart, past the $ttlMs ms TTL — the retention " +
-            "leg cannot be graded on this run; the host stalled mid-lifecycle")
+          if (t1 - t0 >= ttlMs)
+            return Left(s"batches 0→1 ran ${t1 - t0} ms apart, past the $ttlMs ms " +
+              "TTL — the retention leg cannot be graded on this run; the host " +
+              "stalled mid-lifecycle")
           require(t2 - t1 > ttlMs,
             s"INCONCLUSIVE (harness timing): batches 1→2 ran ${t2 - t1} ms apart, " +
             s"within the $ttlMs ms TTL — the expiry leg never crossed the horizon")
@@ -2345,7 +2352,20 @@ object StreamingQueries {
           require(got.get(("B", 2L)).contains((15L, 1L, 1L, 1L)),
             s"EXPIRY failed for B: expected (event 15, all counters 1); got " +
             s"${got.get(("B", 2L))} — state outlived its TTL")
-          out
+          Right(out)
+          }
+          attempt() match {
+            case Right(out) => out
+            case Left(first) =>
+              System.err.println(
+                s"[q_streaming_cdc_ttl] retention precondition missed ($first); retrying once with a fresh checkpoint")
+              attempt() match {
+                case Right(out) => out
+                case Left(second) => sys.error(
+                  "INCONCLUSIVE (harness timing, not a semantic failure) after one " +
+                  s"retry: first attempt: $first; retry: $second")
+              }
+          }
         }
       },
       // rule-derived oracle: the planted schedule has exactly one answer

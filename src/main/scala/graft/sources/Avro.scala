@@ -1,0 +1,359 @@
+package graft.sources
+
+/** Avro Object Container Files, from scratch — the highest-traffic
+  * interchange format sitting beside JSONL/CSV/ORC/TFRecord in real
+  * training-data estates. `spark-avro` is absent from this environment's
+  * jars, so the codec is hand-rolled from the PUBLIC Avro 1.x spec the
+  * same way [[TfRecord]] hand-rolls TFRecord framing:
+  *
+  *   header:  magic "Obj\x01"
+  *            file metadata map<string,bytes> (avro.schema JSON, avro.codec)
+  *            16-byte sync marker
+  *   blocks:  long record-count   (zigzag varint)
+  *            long byte-size      (zigzag varint, AFTER codec)
+  *            data (records back-to-back, deflate-compressed when
+  *                  codec=deflate — RFC1951 raw deflate, no zlib wrapper)
+  *            the SAME 16-byte sync marker
+  *
+  * Record fields are Avro binary encoding in schema order: long/int are
+  * zigzag varints, string/bytes are length-prefixed, double is the 8-byte
+  * IEEE bit pattern little-endian, boolean one byte, and a nullable field
+  * is the two-branch union ["null", T] (varint branch index then the
+  * value). Only the record-of-primitives subset is implemented — exactly
+  * the shape training shards carry; nested records/arrays/maps are out of
+  * scope and the schema validator rejects them loudly.
+  *
+  * The reader is strict the way the media codecs and [[TfRecord]] are:
+  * magic verified, the embedded schema JSON parsed (Jackson, already on
+  * Spark's classpath) and structurally compared to the expected schema,
+  * codec whitelisted, EVERY block's trailing sync marker compared to the
+  * header's, every varint/length bounds-checked before allocation, each
+  * block required to decode to exactly its declared record count with no
+  * bytes left over, and the file required to end exactly on a block
+  * boundary. Truncation, trailing garbage, corrupt counts, or a foreign
+  * block spliced in (wrong sync) all reject with IllegalArgumentException.
+  */
+object Avro {
+
+  sealed trait AvroType { def jsonName: String }
+  case object ALong extends AvroType { val jsonName = "long" }
+  case object AInt extends AvroType { val jsonName = "int" }
+  case object AString extends AvroType { val jsonName = "string" }
+  case object ADouble extends AvroType { val jsonName = "double" }
+  case object ABoolean extends AvroType { val jsonName = "boolean" }
+  case object ABytes extends AvroType { val jsonName = "bytes" }
+  /** The two-branch union ["null", inner]. */
+  final case class ANullable(inner: AvroType) extends AvroType {
+    def jsonName: String = s"""["null",${quote(inner.jsonName)}]"""
+    require(!inner.isInstanceOf[ANullable], "nested nullable unions are not Avro")
+  }
+
+  final case class Field(name: String, tpe: AvroType)
+
+  final case class RecordSchema(name: String, fields: IndexedSeq[Field]) {
+    /** Canonical-enough schema JSON (field order is significant in Avro). */
+    def toJson: String = {
+      val fs = fields.map { f =>
+        val t = f.tpe match {
+          case n: ANullable => n.jsonName
+          case t            => quote(t.jsonName)
+        }
+        s"""{"name":${quote(f.name)},"type":$t}"""
+      }.mkString(",")
+      s"""{"type":"record","name":${quote(name)},"fields":[$fs]}"""
+    }
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+
+  /** Parse a schema JSON (as embedded in a file's avro.schema metadata)
+    * back to the supported subset. Jackson is the JSON parser Spark itself
+    * ships; anything outside record-of-primitives rejects loudly.
+    */
+  def parseSchemaJson(json: String): RecordSchema = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    val root: JsonNode =
+      try new ObjectMapper().readTree(json)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"unparseable avro.schema JSON: ${e.getMessage}")
+      }
+    require(root != null && root.isObject, "avro.schema is not a JSON object")
+    require(root.path("type").asText("") == "record",
+      s"unsupported top-level avro type '${root.path("type").asText("")}' (record-of-primitives only)")
+    val name = root.path("name").asText("")
+    require(name.nonEmpty, "record schema missing name")
+    val fieldsNode = root.path("fields")
+    require(fieldsNode.isArray, "record schema missing fields array")
+    def prim(s: String): AvroType = s match {
+      case "long" => ALong; case "int" => AInt; case "string" => AString
+      case "double" => ADouble; case "boolean" => ABoolean; case "bytes" => ABytes
+      case other => throw new IllegalArgumentException(
+        s"unsupported avro primitive '$other' (record-of-primitives only)")
+    }
+    val fields = (0 until fieldsNode.size()).map { i =>
+      val f = fieldsNode.get(i)
+      val fname = f.path("name").asText("")
+      require(fname.nonEmpty, s"field $i missing name")
+      val t = f.path("type")
+      val tpe: AvroType =
+        if (t.isTextual) prim(t.asText())
+        else if (t.isArray && t.size() == 2 && t.get(0).isTextual &&
+                 t.get(0).asText() == "null" && t.get(1).isTextual)
+          ANullable(prim(t.get(1).asText()))
+        else throw new IllegalArgumentException(
+          s"unsupported avro field type for '$fname': only primitives and [\"null\", primitive] unions")
+      Field(fname, tpe)
+    }
+    RecordSchema(name, fields)
+  }
+
+  /** Bound on one block's decompressed payload (64 MiB) and record count:
+    * corrupt varints fail fast instead of allocating unbounded buffers.
+    */
+  val MaxBlockBytes: Int = 1 << 26
+  val MaxBlockRecords: Int = 1 << 22
+
+  val Magic: Array[Byte] = Array('O'.toByte, 'b'.toByte, 'j'.toByte, 1.toByte)
+
+  // ---- binary encoding ---------------------------------------------------
+
+  private final class ByteReader(val bytes: Array[Byte], var pos: Int, val end: Int) {
+    def remaining: Int = end - pos
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$msg at offset $pos")
+    def readByte(): Int = {
+      if (pos >= end) fail("truncated avro data")
+      val b = bytes(pos) & 0xff; pos += 1; b
+    }
+    /** Zigzag-varint long, bounds-checked (≤10 bytes). */
+    def readLong(): Long = {
+      var shift = 0; var acc = 0L; var b = 0
+      do {
+        if (shift > 63) fail("varint longer than 10 bytes")
+        b = readByte()
+        acc |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      (acc >>> 1) ^ -(acc & 1) // zigzag decode
+    }
+    def readSized(msg: String): Array[Byte] = {
+      val n = readLong()
+      if (n < 0 || n > remaining) fail(s"implausible $msg length $n (remaining $remaining)")
+      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt)
+      pos += n.toInt; out
+    }
+    def readFixed(n: Int, msg: String): Array[Byte] = {
+      if (remaining < n) fail(s"truncated $msg")
+      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+      pos += n; out
+    }
+  }
+
+  private def writeVarLong(out: java.io.ByteArrayOutputStream, value: Long): Unit = {
+    var v = (value << 1) ^ (value >> 63) // zigzag encode
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def writeSized(out: java.io.ByteArrayOutputStream, b: Array[Byte]): Unit = {
+    writeVarLong(out, b.length.toLong); out.write(b, 0, b.length)
+  }
+
+  private def encodeValue(out: java.io.ByteArrayOutputStream, tpe: AvroType, v: Any): Unit =
+    (tpe, v) match {
+      case (ANullable(_), null)  => writeVarLong(out, 0L) // branch 0 = null
+      case (ANullable(inner), x) => writeVarLong(out, 1L); encodeValue(out, inner, x)
+      case (ALong, x: Long)      => writeVarLong(out, x)
+      case (AInt, x: Int)        => writeVarLong(out, x.toLong)
+      case (AString, x: String)  => writeSized(out, x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case (ABytes, x: Array[Byte]) => writeSized(out, x)
+      case (ADouble, x: Double)  =>
+        val bits = java.lang.Double.doubleToLongBits(x)
+        var i = 0; while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+      case (ABoolean, x: Boolean) => out.write(if (x) 1 else 0)
+      case (t, x) => throw new IllegalArgumentException(
+        s"value ${if (x == null) "null" else x.getClass.getSimpleName} does not fit avro type $t")
+    }
+
+  private def decodeValue(in: ByteReader, tpe: AvroType): Any = tpe match {
+    case ANullable(inner) =>
+      in.readLong() match {
+        case 0 => null
+        case 1 => decodeValue(in, inner)
+        case b => in.fail(s"union branch $b out of range")
+      }
+    case ALong    => in.readLong()
+    case AInt     =>
+      val v = in.readLong()
+      if (v < Int.MinValue || v > Int.MaxValue) in.fail(s"int field out of range: $v")
+      v.toInt
+    case AString  => new String(in.readSized("string"), java.nio.charset.StandardCharsets.UTF_8)
+    case ABytes   => in.readSized("bytes")
+    case ADouble  =>
+      val b = in.readFixed(8, "double")
+      var bits = 0L; var i = 7
+      while (i >= 0) { bits = (bits << 8) | (b(i) & 0xffL); i -= 1 }
+      java.lang.Double.longBitsToDouble(bits)
+    case ABoolean => in.readByte() match {
+      case 0 => false; case 1 => true; case b => in.fail(s"boolean byte $b")
+    }
+  }
+
+  // ---- codecs --------------------------------------------------------------
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 3))
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  private def inflate(data: Array[Byte], boundHint: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.min(boundHint, math.max(64, data.length * 4)))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(s"corrupt deflate block: ${e.getMessage}")
+          }
+        if (n == 0 && inf.needsInput())
+          throw new IllegalArgumentException("truncated deflate block")
+        out.write(buf, 0, n)
+        if (out.size() > MaxBlockBytes)
+          throw new IllegalArgumentException(s"deflate block inflates past $MaxBlockBytes bytes")
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  // ---- file write ----------------------------------------------------------
+
+  /** Stream `records` (one Seq[Any] per record, values in schema field
+    * order) into one OCF. `codec` is "null" or "deflate". The sync marker
+    * is caller-supplied so shard writes stay deterministic (task retries
+    * re-produce identical bytes); it must be exactly 16 bytes.
+    */
+  def writeFile(out: java.io.OutputStream, schema: RecordSchema, codec: String,
+                sync: Array[Byte], records: Iterator[Seq[Any]],
+                blockRecords: Int = 4096): Unit = {
+    require(sync.length == 16, "sync marker must be 16 bytes")
+    require(codec == "null" || codec == "deflate", s"unsupported codec $codec")
+    require(blockRecords > 0 && blockRecords <= MaxBlockRecords, "bad blockRecords")
+    val header = new java.io.ByteArrayOutputStream()
+    header.write(Magic, 0, Magic.length)
+    // file metadata map: one block of 2 entries, then the 0 terminator
+    writeVarLong(header, 2L)
+    writeSized(header, "avro.schema".getBytes("UTF-8"))
+    writeSized(header, schema.toJson.getBytes("UTF-8"))
+    writeSized(header, "avro.codec".getBytes("UTF-8"))
+    writeSized(header, codec.getBytes("UTF-8"))
+    writeVarLong(header, 0L)
+    header.write(sync, 0, 16)
+    out.write(header.toByteArray)
+    val block = new java.io.ByteArrayOutputStream(1 << 16)
+    var inBlock = 0
+    def flushBlock(): Unit = if (inBlock > 0) {
+      val raw = block.toByteArray
+      require(raw.length <= MaxBlockBytes,
+        s"block grew past $MaxBlockBytes bytes — lower blockRecords")
+      val payload = if (codec == "deflate") deflate(raw) else raw
+      val frame = new java.io.ByteArrayOutputStream(payload.length + 24)
+      writeVarLong(frame, inBlock.toLong)
+      writeVarLong(frame, payload.length.toLong)
+      out.write(frame.toByteArray)
+      out.write(payload)
+      out.write(sync, 0, 16)
+      block.reset(); inBlock = 0
+    }
+    records.foreach { rec =>
+      require(rec.length == schema.fields.length,
+        s"record arity ${rec.length} != schema arity ${schema.fields.length}")
+      var i = 0
+      while (i < rec.length) { encodeValue(block, schema.fields(i).tpe, rec(i)); i += 1 }
+      inBlock += 1
+      if (inBlock >= blockRecords) flushBlock()
+    }
+    flushBlock()
+  }
+
+  // ---- file read -----------------------------------------------------------
+
+  /** Decode a whole OCF strictly against `expected`: magic, schema
+    * structural equality (parsed from the embedded JSON, not string
+    * compare — whitespace/attribute-order variants of the same schema
+    * are accepted), codec whitelist, per-block sync markers, exact
+    * per-block record counts, and end-of-file exactly on a block
+    * boundary. Any violation throws IllegalArgumentException.
+    */
+  def readFile(bytes: Array[Byte], expected: RecordSchema): IndexedSeq[Seq[Any]] = {
+    val in = new ByteReader(bytes, 0, bytes.length)
+    val magic = in.readFixed(4, "avro magic")
+    if (!java.util.Arrays.equals(magic, Magic))
+      in.fail("bad avro magic")
+    // metadata map (possibly multiple blocks, count<0 form carries a size)
+    var schemaJson: Option[String] = None
+    var codec = "null"
+    var n = in.readLong()
+    while (n != 0) {
+      val abs = math.abs(n)
+      if (abs > 1000) in.fail(s"implausible metadata entry count $abs")
+      if (n < 0) { in.readLong(); () } // block byte-size, unused
+      var i = 0L
+      while (i < abs) {
+        val k = new String(in.readSized("metadata key"), "UTF-8")
+        val v = in.readSized("metadata value")
+        if (k == "avro.schema") schemaJson = Some(new String(v, "UTF-8"))
+        if (k == "avro.codec") codec = new String(v, "UTF-8")
+        i += 1
+      }
+      n = in.readLong()
+    }
+    val embedded = parseSchemaJson(schemaJson.getOrElse(in.fail("file carries no avro.schema")))
+    require(embedded == expected,
+      s"schema mismatch: file carries ${embedded.toJson}, expected ${expected.toJson}")
+    if (codec != "null" && codec != "deflate")
+      in.fail(s"unsupported codec '$codec'")
+    val sync = in.readFixed(16, "header sync marker")
+    val out = IndexedSeq.newBuilder[Seq[Any]]
+    while (in.remaining > 0) {
+      val count = in.readLong()
+      if (count <= 0 || count > MaxBlockRecords) in.fail(s"implausible block record count $count")
+      val size = in.readLong()
+      if (size <= 0 || size > MaxBlockBytes || size > in.remaining)
+        in.fail(s"implausible block byte size $size (remaining ${in.remaining})")
+      val payload = in.readFixed(size.toInt, "block data")
+      val blockSync = in.readFixed(16, "block sync marker")
+      if (!java.util.Arrays.equals(blockSync, sync))
+        in.fail("block sync marker does not match header — foreign or torn block")
+      val raw = if (codec == "deflate") inflate(payload, MaxBlockBytes) else payload
+      val r = new ByteReader(raw, 0, raw.length)
+      var i = 0L
+      while (i < count) {
+        val rec = new Array[Any](expected.fields.length)
+        var f = 0
+        while (f < expected.fields.length) {
+          rec(f) = decodeValue(r, expected.fields(f).tpe); f += 1
+        }
+        out += scala.collection.immutable.ArraySeq.unsafeWrapArray(rec)
+        i += 1
+      }
+      if (r.remaining != 0)
+        r.fail(s"block decoded ${count} records with ${r.remaining} bytes left over")
+    }
+    out.result()
+  }
+}
