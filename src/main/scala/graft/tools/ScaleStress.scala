@@ -322,7 +322,26 @@ object ScaleStress {
     // variant lateral explode: Generate over the parsed variant is
     // map-side row expansion (rows × keys-per-row) feeding one hash-agg
     // at key grain — linear in exploded rows
-    "q_variant_explode")
+    "q_variant_explode",
+    // round-15 additions. Avro OCF round-trip: same two linear legs as
+    // q_tfrecord_shards — one explicit repartition + per-task shard
+    // streaming out, per-shard strict re-framing back (deflate work is
+    // per-byte), digest hash-agg at doc grain
+    "q_avro_roundtrip",
+    // parquet bloom skip: two landings (linear in events bytes); the
+    // bloom probes are metadata-grain (row groups × a CONSTANT 80 keys,
+    // driver-side), and the graded read is a 16-key point lookup whose
+    // row-group pruning is the mechanism under test
+    "q_parquet_bloom_skip",
+    // variant shredding: q_variant_roundtrip's two linear legs with the
+    // shredded writer (per-row shred work is per-field, flat) plus one
+    // footer inspection per part file — metadata-grain
+    "q_variant_shredded",
+    // bounded-memory RocksDB CDC: the same linear LWW fold as the
+    // rocksdb leg; the shared block-cache ceiling is a CONSTANT — the
+    // grade exists to catch pressure-induced slowdowns or wrong answers
+    // as state outgrows the cache
+    "q_streaming_cdc_membound")
     // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
     // rows by construction (processing-time TTL admits no deterministic
     // natural feed), so its cost is scale-invariant lifecycle setup —
