@@ -31,7 +31,7 @@ object StorageQueries {
     p
   }
 
-  private[queries] def target(name: String): String =
+  private[graft] def target(name: String): String =
     sinkRoot.resolve(name).toAbsolutePath.toString
 
   /** q_compaction_bins: modeled file-inventory width and the compaction
