@@ -616,6 +616,97 @@ object StorageQueries {
              |FROM documents""".stripMargin)
     ),
 
+    // AVRO READER-SCHEMA RESOLUTION (round-15, beyond the verdict list —
+    // the schema-EVOLUTION story that makes Avro the interchange format:
+    // readers and writers evolve independently, resolved by the spec's
+    // by-name rules, the Avro twin of q_schema_evolution's parquet
+    // mergeSchema leg). Shards are written with an OLD writer schema
+    // (doc_id, source, text, debug_attempt); the read leg resolves them
+    // against a NEW reader schema exercising every resolution rule this
+    // codec supports in one pass: exact match (doc_id, source), a writer
+    // field the reader dropped (debug_attempt — decoded and discarded),
+    // type promotion (text: string → ["null","string"]), and two reader
+    // fields absent from the writer filled from declared defaults (lang
+    // "und", quality -1). A reader field with no default is require'd to
+    // REJECT — silent nulls for a missing required field are how schema
+    // drift corrupts a 100 TB estate. The resolved rows' digest must
+    // hash-match the oracle on the original parquet with the defaults
+    // inlined.
+    QueryDef(
+      "q_avro_evolution",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        import graft.sources.Avro
+        val tgt = target("avro_evolution_shards")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
+        val nShards = 4
+        val writerSchema = Avro.RecordSchema("doc", Vector(
+          Avro.Field("doc_id", Avro.ALong),
+          Avro.Field("source", Avro.AString),
+          Avro.Field("text", Avro.AString),
+          Avro.Field("debug_attempt", Avro.AString)))
+        val readerSchema = Avro.RecordSchema("doc", Vector(
+          Avro.Field("doc_id", Avro.ALong),
+          Avro.Field("source", Avro.AString),
+          Avro.Field("text", Avro.ANullable(Avro.AString)),
+          Avro.Field("lang", Avro.AString),
+          Avro.Field("quality", Avro.ALong)))
+        val readerDefaults = Map[String, Any]("lang" -> "und", "quality" -> -1L)
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+        docs.repartition(nShards, col("doc_id"))
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+            val dst = java.nio.file.Paths.get(tgt, f"shard-$pid%05d.avro")
+            val tmp = java.nio.file.Paths.get(tgt, f"_tmp-evo-$pid%05d-$attempt")
+            val sync = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"graft-avro-evo-$pid".getBytes("UTF-8"))
+            val out = new java.io.BufferedOutputStream(
+              java.nio.file.Files.newOutputStream(tmp))
+            try {
+              Avro.writeFile(out, writerSchema, "deflate", sync,
+                it.map(row => Seq[Any](row.getLong(0), row.getString(1),
+                                       row.getString(2), "attempt-0")))
+            } finally out.close()
+            java.nio.file.Files.move(tmp, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            Iterator.single(pid)
+          }.collect(): Unit
+        // metadata-grain probe: one shard, a reader field with NO default
+        // must reject loudly — never silently null-fill
+        val probeShard = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(tgt, "shard-00000.avro"))
+        val noDefault = Avro.RecordSchema("doc", Vector(
+          Avro.Field("doc_id", Avro.ALong),
+          Avro.Field("missing_required", Avro.AString)))
+        val rejected = scala.util.Try(
+          Avro.readResolved(probeShard, noDefault, Map.empty)).isFailure
+        require(rejected,
+          "a reader field with no default resolved silently — schema drift " +
+          "must be a loud error, not a null-fill")
+        spark.read.format("binaryFile")
+          .option("pathGlobFilter", "shard-*.avro").load(tgt)
+          .select(col("content")).as[Array[Byte]]
+          .flatMap { shard =>
+            Avro.readResolved(shard, readerSchema, readerDefaults).iterator.map { rec =>
+              (rec(0).asInstanceOf[Long],
+               rec(1).asInstanceOf[String] + "\t" + rec(2).asInstanceOf[String],
+               rec(3).asInstanceOf[String],
+               rec(4).asInstanceOf[Long])
+            }
+          }
+          .toDF("doc_id", "src_text", "lang", "quality")
+          .select(col("doc_id"), md5(col("src_text")).as("src_text_md5"),
+                  col("lang"), col("quality"))
+      },
+      Some("""SELECT doc_id, md5(source || chr(9) || text) AS src_text_md5,
+             |       'und' AS lang, CAST(-1 AS BIGINT) AS quality
+             |FROM documents""".stripMargin)
+    ),
+
     // dbt's VIEW MATERIALIZATION — the remaining cell of the
     // materialization matrix (table = q_ctas_roundtrip, incremental =
     // q_incremental_model, snapshot = q_scd2/q_cdc, seed =
@@ -1908,6 +1999,123 @@ object StorageQueries {
       },
       Some("""WITH probes AS (
              |  SELECT event_id FROM events WHERE event_id % 97 = 0
+             |  ORDER BY event_id LIMIT 16
+             |)
+             |SELECT e.event_id, e.user_id, e.event_type
+             |FROM events e JOIN probes USING (event_id)""".stripMargin)
+    ),
+
+    // PARQUET PAGE-LEVEL COLUMN-INDEX SKIP (round-15, beyond the verdict
+    // list — the sibling grain to q_parquet_bloom_skip): once stats or
+    // blooms admit a row group, the COLUMN INDEX (per-page min/max in the
+    // footer, the page-skip machinery parquet writes by default) decides
+    // which PAGES inside it are decoded — the grain that makes a point
+    // lookup cheap within a multi-MB row group at 100 TB. The mechanism
+    // only bites when pages have tight disjoint ranges, i.e. when the
+    // layout is SORTED on the key — so the gate lands the fact twice
+    // (sorted-within-partitions vs unsorted) with small pages, reads both
+    // column indexes through parquet-mr, and requires: the index exists
+    // with ≥ 4 pages per chunk; on the SORTED landing ≥ 90% of
+    // (present key, page) ranges exclude the key (a lookup decodes ~1
+    // page per chunk); and the sorted skip fraction strictly beats the
+    // unsorted one — pinning that the LAYOUT, not luck, bought the skip.
+    // The graded read is the point lookup through the sorted landing with
+    // its In predicate require'd at the scan. Rollup oracle-checked.
+    QueryDef(
+      "q_parquet_page_skip",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import scala.jdk.CollectionConverters._
+        val tgtS = target("parquet_pageidx_sorted")
+        val tgtU = target("parquet_pageidx_unsorted")
+        val fact = Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        def land(tgt: String, sorted: Boolean): Unit = {
+          val base = fact.repartition(2, pmod(col("event_id"), lit(2)))
+          // the unsorted twin must be GENUINELY scrambled: the source
+          // parquet arrives ascending and a hash repartition preserves
+          // per-partition arrival order, so without an explicit scramble
+          // both landings would have tight page ranges and the
+          // sorted-beats-unsorted require would be comparing sorted to
+          // sorted
+          (if (sorted) base.sortWithinPartitions(col("event_id"))
+           else base.sortWithinPartitions(xxhash64(col("event_id"))))
+            .write.mode("overwrite")
+            .option("parquet.page.size", (4 * 1024).toString)
+            .option("parquet.page.row.count.limit", "512")
+            .parquet(tgt)
+        }
+        land(tgtS, sorted = true)
+        land(tgtU, sorted = false)
+        val present = Tables.events(spark, dir)
+          .where(col("event_id") % 89 === 0)
+          .orderBy(col("event_id")).select(col("event_id"))
+          .limit(16).collect().map(_.getLong(0)).toSeq
+        require(present.nonEmpty, "no probe keys — events table empty?")
+        val conf = spark.sparkContext.hadoopConfiguration
+        def parts(tgt: String): Seq[java.io.File] =
+          Option(new java.io.File(tgt).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .sortBy(_.getName).toSeq
+        def le64(b: java.nio.ByteBuffer): Long =
+          b.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0)
+        // (pages, probes, pages-excluding-probe) over every chunk's index
+        def skipStats(tgt: String): (Int, Long, Long) = {
+          var pages = 0; var probes = 0L; var excl = 0L
+          parts(tgt).foreach { f =>
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              conf, new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+            try reader.getRowGroups.asScala.foreach { block =>
+              val chunk = block.getColumns.asScala
+                .find(_.getPath.toDotString == "event_id").get
+              val ci = reader.readColumnIndex(chunk)
+              val oi = reader.readOffsetIndex(chunk)
+              require(ci != null && oi != null,
+                s"column/offset index missing for event_id in ${f.getName} — " +
+                "page skipping has no metadata to work with")
+              val nulls = ci.getNullPages.asScala
+              val mins = ci.getMinValues.asScala
+              val maxs = ci.getMaxValues.asScala
+              require(oi.getPageCount >= 4,
+                s"only ${oi.getPageCount} pages per chunk — the page grain " +
+                "was never exercised; shrink parquet.page.row.count.limit")
+              pages += oi.getPageCount
+              (0 until oi.getPageCount).foreach { p =>
+                if (!nulls(p)) {
+                  val (lo, hi) = (le64(mins(p)), le64(maxs(p)))
+                  present.foreach { k =>
+                    probes += 1
+                    if (k < lo || k > hi) excl += 1
+                  }
+                }
+              }
+            } finally reader.close()
+          }
+          (pages, probes, excl)
+        }
+        val (pS, prS, exS) = skipStats(tgtS)
+        val (_, prU, exU) = skipStats(tgtU)
+        val fracS = exS.toDouble / prS
+        val fracU = exU.toDouble / prU
+        require(pS >= 8, s"sorted landing produced only $pS pages total")
+        require(fracS >= 0.9,
+          f"sorted layout skips only $fracS%.2f of (key, page) probes " +
+          "(need >= 0.90) — point lookups decode most pages anyway")
+        require(fracS > fracU,
+          f"sorted skip $fracS%.2f does not beat unsorted $fracU%.2f — " +
+          "the layout bought nothing; the index require is vacuous")
+        val q = spark.read.parquet(tgtS)
+          .where(col("event_id").isin(present: _*))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        val scanLine = q.queryExecution.executedPlan.toString
+          .linesIterator.find(_.contains("PushedFilters"))
+          .getOrElse(sys.error("no FileScan with PushedFilters in the plan"))
+        require(scanLine.contains("In(event_id"),
+          s"point-lookup In predicate did not push to the parquet scan:\n$scanLine")
+        q
+      },
+      Some("""WITH probes AS (
+             |  SELECT event_id FROM events WHERE event_id % 89 = 0
              |  ORDER BY event_id LIMIT 16
              |)
              |SELECT e.event_id, e.user_id, e.event_type

@@ -292,6 +292,71 @@ object Avro {
 
   // ---- file read -----------------------------------------------------------
 
+  /** Decode a whole OCF with READER-SCHEMA RESOLUTION per the public Avro
+    * spec's schema-resolution rules (the subset matching this codec):
+    * records are decoded with the file's embedded WRITER schema (so the
+    * wire layout is always the writer's), then projected to the reader's
+    * fields BY NAME — a writer field absent from the reader is decoded
+    * and discarded, a reader field absent from the writer takes its
+    * declared default, and a reader field whose type is the ["null", T]
+    * union of the writer's T is promoted (the compatible-widening this
+    * subset supports). A reader field missing from the writer WITHOUT a
+    * default is a resolution error. Framing strictness is identical to
+    * [[readFile]].
+    */
+  def readResolved(bytes: Array[Byte], reader: RecordSchema,
+                   defaults: Map[String, Any] = Map.empty): IndexedSeq[Seq[Any]] = {
+    val writer = embeddedSchema(bytes)
+    val plan: IndexedSeq[Either[Any, Int]] = reader.fields.map { rf =>
+      writer.fields.indexWhere(_.name == rf.name) match {
+        case -1 =>
+          if (!defaults.contains(rf.name))
+            throw new IllegalArgumentException(
+              s"reader field '${rf.name}' absent from writer schema and has no default")
+          Left(defaults(rf.name))
+        case i =>
+          (rf.tpe, writer.fields(i).tpe) match {
+            case (a, b) if a == b                    => () // exact
+            case (ANullable(inner), w) if inner == w => () // T → ["null",T]
+            case (r, w) => throw new IllegalArgumentException(
+              s"field '${rf.name}': writer type $w does not resolve to reader type $r")
+          }
+          Right(i)
+      }
+    }
+    readFile(bytes, writer).map { rec =>
+      plan.map {
+        case Left(default) => default
+        case Right(i)      => rec(i)
+      }
+    }
+  }
+
+  /** Parse just the header far enough to return the embedded writer
+    * schema (same strictness as [[readFile]]'s header path).
+    */
+  def embeddedSchema(bytes: Array[Byte]): RecordSchema = {
+    val in = new ByteReader(bytes, 0, bytes.length)
+    val magic = in.readFixed(4, "avro magic")
+    if (!java.util.Arrays.equals(magic, Magic)) in.fail("bad avro magic")
+    var schemaJson: Option[String] = None
+    var n = in.readLong()
+    while (n != 0) {
+      val abs = math.abs(n)
+      if (abs > 1000) in.fail(s"implausible metadata entry count $abs")
+      if (n < 0) { in.readLong(); () }
+      var i = 0L
+      while (i < abs) {
+        val k = new String(in.readSized("metadata key"), "UTF-8")
+        val v = in.readSized("metadata value")
+        if (k == "avro.schema") schemaJson = Some(new String(v, "UTF-8"))
+        i += 1
+      }
+      n = in.readLong()
+    }
+    parseSchemaJson(schemaJson.getOrElse(in.fail("file carries no avro.schema")))
+  }
+
   /** Decode a whole OCF strictly against `expected`: magic, schema
     * structural equality (parsed from the embedded JSON, not string
     * compare — whitespace/attribute-order variants of the same schema

@@ -341,7 +341,24 @@ object ScaleStress {
     // rocksdb leg; the shared block-cache ceiling is a CONSTANT — the
     // grade exists to catch pressure-induced slowdowns or wrong answers
     // as state outgrows the cache
-    "q_streaming_cdc_membound")
+    "q_streaming_cdc_membound",
+    // BPE artifact round-trip: the same vocabulary-grain merge rounds as
+    // text_bpe_encode plus a constant-sized artifact land/reload and one
+    // chained vocab map — the corpus-scaling terms are the word count agg
+    // and the encode join, both linear
+    "text_bpe_artifact",
+    // incremental restatement: two day-partitioned rollup writes (history
+    // once, lookback+delta once) + one partitioned re-read — all linear in
+    // events; the partition count is the CONSTANT 30-day calendar
+    "q_incremental_restatement",
+    // Avro reader-schema resolution: the same two linear shard legs as
+    // q_avro_roundtrip; resolution planning is schema-grain (constant)
+    "q_avro_evolution",
+    // page-level column-index skip: two landings (the sorted one pays a
+    // per-task n log n sort — the layout cost the gate is ABOUT), probes
+    // are metadata-grain (pages × a constant 16 keys, driver-side), and
+    // the graded read is the same constant point lookup
+    "q_parquet_page_skip")
     // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
     // rows by construction (processing-time TTL admits no deterministic
     // natural feed), so its cost is scale-invariant lifecycle setup —
