@@ -1302,6 +1302,152 @@ object StreamingQueries {
              |ORDER BY window_start, event_type""".stripMargin)
     ),
 
+    // STATE STORE AS A BATCH DATA SOURCE (round-15, beyond the verdict
+    // list — the OPS/DEBUGGING surface for 100 TB state): when a
+    // production stream misbehaves, the first question is "what is IN the
+    // state store?", and Spark 4's `statestore` batch source answers it
+    // without touching the running query — the checkpoint is readable
+    // data, not a black box. The gate runs a keyed running aggregate in
+    // update mode (so the final state IS the per-key rollup), stops the
+    // query, then: (1) reads `state-metadata` and requires exactly one
+    // stateful operator, the aggregation's stateStoreSave; (2) reads the
+    // LAST batch's state through `statestore` and requires one state row
+    // per key; (3) the decoded state rows themselves — key struct +
+    // aggregation buffer flattened positionally — must hash-match the
+    // batch oracle over the whole feed. A state row lost, duplicated, or
+    // holding a stale buffer anywhere mismatches. The sink deliberately
+    // discards its output: the CHECKPOINT is the product under test.
+    QueryDef(
+      "q_state_reader",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_events_t4", dir)
+        val src = spark.readStream.schema(eventsDf.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+        val id = runId.incrementAndGet()
+        val ckpt = StorageQueries.target(s"stream_state_reader_ckpt_$id")
+        val agg = src
+          .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+               sum(col("cents")).as("total_cents"),
+               max(col("event_id")).as("max_event_id"))
+        val q = agg.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+        val ops = spark.read.format("state-metadata").load(ckpt)
+          .select(col("operatorName")).collect().map(_.getString(0)).toSeq
+        require(ops == Seq("stateStoreSave"),
+          s"state-metadata must list exactly the aggregation's stateStoreSave; got $ops")
+        val state = spark.read.format("statestore").load(ckpt)
+        val flat = state.select(col("key.*"), col("value.*"))
+        require(flat.columns.length == 4,
+          s"unexpected state row shape: ${flat.columns.mkString(", ")} — " +
+          "the aggregation buffer no longer flattens to (key, count, sum, max)")
+        val out = flat.toDF("event_type", "n_events", "total_cents", "max_event_id")
+          .select(col("event_type"),
+                  col("n_events").cast(LongType).as("n_events"),
+                  col("total_cents").cast(LongType).as("total_cents"),
+                  col("max_event_id").cast(LongType).as("max_event_id"))
+          .localCheckpoint(eager = true)
+        // one state row per key, metadata-grain
+        val (rows, keys) = {
+          val r = out.agg(count(lit(1)), countDistinct(col("event_type"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        require(rows == keys && rows > 0,
+          s"state holds $rows rows over $keys keys — duplicate or missing state rows")
+        out
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+             |       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+             |FROM events
+             |GROUP BY 1""".stripMargin)
+    ),
+
+    // STATE CHANGE FEED (round-15, beyond the verdict list — the
+    // q_state_reader sibling on the CHANGELOG axis): with RocksDB
+    // changelog checkpointing, every batch's state mutations are durable
+    // deltas, and the `statestore` source's readChangeFeed mode exposes
+    // them as (batch_id, change_type, key, value) rows — the surface for
+    // auditing HOW state evolved (which batch last touched a key, what a
+    // rolled-back batch would restate), not just what it ends as. The
+    // same update-mode keyed aggregate as q_state_reader, one band per
+    // micro-batch; then the change feed from batch 0 is require'd to span
+    // ≥ 2 data batches (the per-batch delta grain actually exercised,
+    // not one bulk snapshot), every final change per key must be an
+    // update (nothing evicts — no watermark), and the LWW fold of the
+    // feed (each key's value at its max batch_id) must hash-match the
+    // batch oracle — a lost, reordered, or phantom delta anywhere
+    // mismatches.
+    QueryDef(
+      "q_state_change_feed",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true") {
+          graft.GraftSession.tune(spark)
+          val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+          val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_events_t4", dir)
+          val src = spark.readStream.schema(eventsDf.schema)
+            .option("maxFilesPerTrigger", "1").parquet(land)
+          val id = runId.incrementAndGet()
+          val ckpt = StorageQueries.target(s"stream_change_feed_ckpt_$id")
+          val agg = src
+            .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+                 sum(col("cents")).as("total_cents"),
+                 max(col("event_id")).as("max_event_id"))
+          val q = agg.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+          val feed = spark.read.format("statestore")
+            .option("readChangeFeed", "true")
+            .option("changeStartBatchId", "0")
+            .load(ckpt)
+          val flat = feed.select(col("batch_id"), col("change_type"),
+                                 col("key.*"), col("value.*"))
+          require(flat.columns.length == 6,
+            s"unexpected change-feed shape: ${flat.columns.mkString(", ")}")
+          val named = flat.toDF("batch_id", "change_type", "event_type",
+                                "n_events", "total_cents", "max_event_id")
+            .localCheckpoint(eager = true)
+          val batches = named.select(col("batch_id")).distinct().count()
+          require(batches >= 2,
+            s"change feed spans only $batches batch(es) — the per-batch delta " +
+            "grain was never exercised; the banded replay drifted")
+          val w = Window.partitionBy(col("event_type"))
+            .orderBy(col("batch_id").desc)
+          val last = named
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1)
+            .localCheckpoint(eager = true)
+          require(last.where(col("change_type") =!= "update").isEmpty,
+            "a key's FINAL change is not an update — something evicted state " +
+            "in a query with no watermark")
+          last.select(col("event_type"),
+                      col("n_events").cast(LongType).as("n_events"),
+                      col("total_cents").cast(LongType).as("total_cents"),
+                      col("max_event_id").cast(LongType).as("max_event_id"))
+        }
+      },
+      // the q_state_reader oracle verbatim: folding the deltas must land
+      // on the same rollup as reading the final state
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+             |       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+             |FROM events
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // the watermark's DROP path (round-12, closing the r11 verdict's #2):
     // every other order-sensitive gate feeds global time bands precisely
     // so the watermark NEVER drops a row (the E16i note) — correct for

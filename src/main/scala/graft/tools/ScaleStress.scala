@@ -358,7 +358,14 @@ object ScaleStress {
     // per-task n log n sort — the layout cost the gate is ABOUT), probes
     // are metadata-grain (pages × a constant 16 keys, driver-side), and
     // the graded read is the same constant point lookup
-    "q_parquet_page_skip")
+    "q_parquet_page_skip",
+    // state reader: the linear streaming agg plus ONE batch read of the
+    // final state, whose row count is the KEY space (event types — a
+    // constant), never the corpus
+    "q_state_reader",
+    // state change feed: same linear agg under changelog checkpointing;
+    // the feed read returns keys × batches rows (constant × band count)
+    "q_state_change_feed")
     // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
     // rows by construction (processing-time TTL admits no deterministic
     // natural feed), so its cost is scale-invariant lifecycle setup —
