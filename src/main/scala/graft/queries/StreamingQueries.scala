@@ -1448,6 +1448,178 @@ object StreamingQueries {
              |GROUP BY 1""".stripMargin)
     ),
 
+    // STATE TIME TRAVEL (round-15, completing the state-observability
+    // trio with E33/E34): the `statestore` source's batchId option reads
+    // state AS OF an earlier committed batch — the incident-response
+    // primitive ("what did the store hold before batch N corrupted it?")
+    // and the basis for state-level rollback audits. Two explicit
+    // lifecycles over the arrival dir (bands 0–1 then 2–3, one data
+    // batch each — the cdc restart shape), so batch 0's state is exactly
+    // the first-half rollup. The graded output is the TIME-TRAVELED read
+    // (batchId = 0), oracle-checked against the band ≤ 1 half of the
+    // feed using the band rule replicated digit-for-digit; the FINAL
+    // state must simultaneously equal the full-feed batch rollup
+    // (require'd in-gate, both except directions) — so the gate pins that
+    // time travel returns the PAST state, not a re-read of the present.
+    QueryDef(
+      "q_state_time_travel",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_events_t4", dir)
+        val id = runId.incrementAndGet()
+        val arrival = new java.io.File(StorageQueries.target(s"stream_tt_arrival_$id"))
+        require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
+        val ckpt = StorageQueries.target(s"stream_tt_ckpt_$id")
+        def runOnce(): Unit = {
+          val src = spark.readStream.schema(eventsDf.schema)
+            .parquet(arrival.getAbsolutePath)
+          val agg = src
+            .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+                 sum(col("cents")).as("total_cents"),
+                 max(col("event_id")).as("max_event_id"))
+          val q = agg.writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+        }
+        arriveBands(land, arrival, 0 to 1); runOnce() // batch 0: first half
+        arriveBands(land, arrival, 2 to 3); runOnce() // batch 1: second half
+        def decode(df: DataFrame): DataFrame = {
+          val flat = df.select(col("key.*"), col("value.*"))
+          require(flat.columns.length == 4,
+            s"unexpected state row shape: ${flat.columns.mkString(", ")}")
+          flat.toDF("event_type", "n_events", "total_cents", "max_event_id")
+            .select(col("event_type"),
+                    col("n_events").cast(LongType).as("n_events"),
+                    col("total_cents").cast(LongType).as("total_cents"),
+                    col("max_event_id").cast(LongType).as("max_event_id"))
+        }
+        // the PRESENT: final state ≡ full-feed batch rollup, or the
+        // time-traveled read below could pass by accident
+        val finalState = decode(spark.read.format("statestore").load(ckpt))
+          .localCheckpoint(eager = true)
+        val full = eventsDf
+          .withColumn("cents", expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast(LongType).as("n_events"),
+               sum(col("cents")).cast(LongType).as("total_cents"),
+               max(col("event_id")).cast(LongType).as("max_event_id"))
+        require(finalState.except(full).head(1).isEmpty &&
+                full.except(finalState).head(1).isEmpty,
+          "final state does not equal the full-feed rollup — the second " +
+          "lifecycle lost or double-counted a band")
+        // the PAST: state as of batch 0
+        decode(spark.read.format("statestore")
+            .option("batchId", "0").load(ckpt))
+          .localCheckpoint(eager = true)
+      },
+      // the first-half rollup, band rule replicated digit-for-digit from
+      // withTimeBand (see q_streaming_late_drop's oracle)
+      Some("""WITH mm AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
+             |b AS (
+             |  SELECT event_id, event_type, value,
+             |         LEAST(3, CAST(FLOOR(((epoch_ms(ts) - t0) * 4.0) / (t1 - t0 + 1)) AS INT)) AS band
+             |  FROM events CROSS JOIN mm
+             |)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+             |       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+             |FROM b WHERE band <= 1
+             |GROUP BY 1""".stripMargin)
+    ),
+
+    // STATE SCHEMA EVOLUTION ACROSS A DEPLOY (round-15, beyond the
+    // verdict list): production streaming jobs get UPGRADED — the state
+    // case class grows a field — and the checkpoint must survive the
+    // deploy, because rebuilding 100 TB of state from history is the
+    // outage everyone fears. Spark 4's Avro state encoding
+    // (`spark.sql.streaming.stateStore.encodingFormat=avro`) supports
+    // exactly the Avro reader-schema rules the storage codec pins in
+    // q_avro_evolution: lifecycle #1 runs the V1 processor (state =
+    // count + sum) over the first half of the banded feed; lifecycle #2
+    // resumes the SAME checkpoint with the V2 processor, whose state adds
+    // a NULLABLE max_event_id — old rows resolve with None, the new field
+    // starts counting at the cutover while count/sum must carry the FULL
+    // history forward. The final emission's signature is therefore
+    // provable only by a correctly EVOLVED restore: (count over ALL
+    // bands, sum over ALL bands, max over bands 2–3 only) — a fresh state
+    // flips count/sum to half, a re-derived max flips the third column —
+    // and the oracle derives that exact signature from the band rule.
+    QueryDef(
+      "q_streaming_state_evolution",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+          "spark.sql.streaming.stateStore.encodingFormat" -> "avro") {
+          import spark.implicits._
+          graft.GraftSession.tune(spark)
+          val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+          val banded = withTimeBand(eventsDf, "ts", 4)
+            .select(col("event_type"), col("event_id"),
+                    expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+                    col("__band"))
+          val land = landBands(banded, 4, "stream_land_evo", dir)
+          val srcSchema = banded.drop("__band").schema
+          val id = runId.incrementAndGet()
+          val arrival = new java.io.File(StorageQueries.target(s"stream_evo_arrival_$id"))
+          require(arrival.mkdirs() || arrival.isDirectory, s"cannot create $arrival")
+          val emitDir = StorageQueries.target(s"stream_evo_emit_$id")
+          val ckpt = StorageQueries.target(s"stream_evo_ckpt_$id")
+          def runOnce(v2: Boolean): Unit = {
+            val src = spark.readStream.schema(srcSchema)
+              .parquet(arrival.getAbsolutePath).as[Streaming.EvoIn]
+            val out = if (v2) Streaming.evoV2(src).toDF() else Streaming.evoV1(src).toDF()
+            val q = out.writeStream
+              .option("checkpointLocation", ckpt)
+              .foreachBatch { (b: DataFrame, batchId: Long) =>
+                b.write.mode("overwrite").parquet(s"$emitDir/batch=$batchId")
+                ()
+              }
+              .outputMode("update").trigger(Trigger.AvailableNow()).start()
+            q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+          }
+          arriveBands(land, arrival, 0 to 1); runOnce(v2 = false) // the V1 deploy
+          arriveBands(land, arrival, 2 to 3); runOnce(v2 = true)  // the upgraded deploy
+          val batchDirs = Option(new java.io.File(emitDir).listFiles())
+            .getOrElse(Array.empty).filter(_.getName.startsWith("batch=")).map(_.getName)
+          require(batchDirs.length == 2,
+            s"expected 2 data batches (one per deploy), saw ${batchDirs.toSeq.sorted}")
+          val last = batchDirs.map(_.stripPrefix("batch=").toLong).max
+          val out = spark.read.parquet(s"$emitDir/batch=$last")
+            .select(col("event_type"),
+                    col("n_events").cast(LongType).as("n_events"),
+                    col("total_cents").cast(LongType).as("total_cents"),
+                    col("max_event_id").cast(LongType).as("max_event_id"))
+            .localCheckpoint(eager = true)
+          // every key must have been touched by the upgraded deploy, or a
+          // type silent in the second half would be missing vs the oracle
+          val nKeys = eventsDf.select(col("event_type")).distinct().count()
+          require(out.count() == nKeys,
+            s"upgraded deploy emitted ${out.count()} of $nKeys keys — a type " +
+            "was silent in the second half; the band split drifted")
+          out
+        }
+      },
+      // the evolved-restore signature: count/sum over ALL bands, the new
+      // field only since the cutover (bands 2-3); band rule verbatim
+      Some("""WITH mm AS (SELECT MIN(epoch_ms(ts)) AS t0, MAX(epoch_ms(ts)) AS t1 FROM events),
+             |b AS (
+             |  SELECT event_id, event_type, value,
+             |         LEAST(3, CAST(FLOOR(((epoch_ms(ts) - t0) * 4.0) / (t1 - t0 + 1)) AS INT)) AS band
+             |  FROM events CROSS JOIN mm
+             |)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents,
+             |       CAST(MAX(CASE WHEN band >= 2 THEN event_id END) AS BIGINT) AS max_event_id
+             |FROM b
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // the watermark's DROP path (round-12, closing the r11 verdict's #2):
     // every other order-sensitive gate feeds global time bands precisely
     // so the watermark NEVER drops a row (the E16i note) — correct for

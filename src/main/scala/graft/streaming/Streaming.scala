@@ -690,6 +690,74 @@ object Streaming {
     }
   }
 
+  // ---- state schema evolution (round-15) ---------------------------------
+
+  /** Input row for the schema-evolution gate: cents pre-computed with the
+    * suite's exact-decimal rule so the state machine is integer-only.
+    */
+  final case class EvoIn(event_type: String, event_id: Long, cents: Long)
+  /** VERSION 1 of the evolving state: count + sum only. */
+  final case class EvoStateV1(count: Long, sum_cents: Long)
+  final case class EvoEmitV1(event_type: String, n_events: Long, total_cents: Long)
+  /** VERSION 2 adds a field. It MUST be nullable (Option) — under the Avro
+    * state encoding a new field needs a default (null) for old rows to
+    * resolve, exactly the Avro reader-schema rule the storage codec gates
+    * pin in `q_avro_evolution`.
+    */
+  final case class EvoStateV2(count: Long, sum_cents: Long, max_event_id: Option[Long])
+  final case class EvoEmitV2(event_type: String, n_events: Long, total_cents: Long,
+                             max_event_id: Long)
+
+  def evoV1(in: Dataset[EvoIn]): Dataset[EvoEmitV1] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.event_type)
+      .transformWithState(new EvoProcessorV1, TimeMode.None(), OutputMode.Update())
+  }
+
+  def evoV2(in: Dataset[EvoIn]): Dataset[EvoEmitV2] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.event_type)
+      .transformWithState(new EvoProcessorV2, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The deploy running BEFORE the schema change: per-key count + sum. */
+  final class EvoProcessorV1 extends StatefulProcessor[String, EvoIn, EvoEmitV1] {
+    @transient private var st: ValueState[EvoStateV1] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EvoStateV1](
+        "agg", Encoders.product[EvoStateV1], TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[EvoIn], tv: TimerValues): Iterator[EvoEmitV1] = {
+      var s = if (st.exists()) st.get() else EvoStateV1(0L, 0L)
+      rows.foreach(r => s = EvoStateV1(s.count + 1, s.sum_cents + r.cents))
+      st.update(s)
+      Iterator.single(EvoEmitV1(key, s.count, s.sum_cents))
+    }
+  }
+
+  /** The deploy running AFTER the schema change: the SAME state name with
+    * the V2 type. On the first batch after the upgrade, old state rows
+    * resolve with max_event_id = None — the new field starts counting at
+    * the cutover while count/sum carry the full history forward.
+    */
+  final class EvoProcessorV2 extends StatefulProcessor[String, EvoIn, EvoEmitV2] {
+    @transient private var st: ValueState[EvoStateV2] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EvoStateV2](
+        "agg", Encoders.product[EvoStateV2], TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[EvoIn], tv: TimerValues): Iterator[EvoEmitV2] = {
+      var s = if (st.exists()) st.get() else EvoStateV2(0L, 0L, None)
+      rows.foreach { r =>
+        s = EvoStateV2(s.count + 1, s.sum_cents + r.cents,
+                       Some(math.max(s.max_event_id.getOrElse(Long.MinValue), r.event_id)))
+      }
+      st.update(s)
+      Iterator.single(EvoEmitV2(key, s.count, s.sum_cents,
+                                s.max_event_id.getOrElse(-1L)))
+    }
+  }
+
   /** CDC LWW maintenance BOOTSTRAPPED FROM BATCH STATE — the migration
     * path every production stream is born through: the snapshot up to a
     * cutover is computed as a BATCH job (cheap, rescannable), handed to

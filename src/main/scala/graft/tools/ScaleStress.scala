@@ -365,7 +365,15 @@ object ScaleStress {
     "q_state_reader",
     // state change feed: same linear agg under changelog checkpointing;
     // the feed read returns keys × batches rows (constant × band count)
-    "q_state_change_feed")
+    "q_state_change_feed",
+    // state time travel: two linear lifecycles + two key-space-sized
+    // state reads (constant rows) and one batch rollup for the final
+    // consistency require
+    "q_state_time_travel",
+    // state schema evolution: two linear lifecycles (V1 then V2 deploy)
+    // against one checkpoint; the evolution itself is a per-state-row
+    // Avro resolution — flat per key, key space constant
+    "q_streaming_state_evolution")
     // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
     // rows by construction (processing-time TTL admits no deterministic
     // natural feed), so its cost is scale-invariant lifecycle setup —
