@@ -68,7 +68,10 @@ object Bench {
     // round-14 setup-dominated gates: the TTL gate is three Trigger.Once
     // lifecycles around a mandatory 7.2 s TTL sleep; the redelivery gate
     // is two lifecycles with a planted failure between them
-    "q_streaming_cdc_ttl", "q_streaming_foreach_retry")
+    "q_streaming_cdc_ttl", "q_streaming_foreach_retry",
+    // round-15 two-lifecycle gates (explicit deploy/restart boundaries) —
+    // same fixed-setup-dominated criterion
+    "q_state_time_travel", "q_streaming_state_evolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
