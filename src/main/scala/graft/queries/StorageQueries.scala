@@ -665,8 +665,11 @@ object StorageQueries {
               .digest(s"graft-avro-evo-$pid".getBytes("UTF-8"))
             val out = new java.io.BufferedOutputStream(
               java.nio.file.Files.newOutputStream(tmp))
+            // snappy here (deflate on q_avro_roundtrip): both real codecs
+            // run in-gate, and snappy's per-block CRC re-verifies every
+            // uncompressed byte on the read leg
             try {
-              Avro.writeFile(out, writerSchema, "deflate", sync,
+              Avro.writeFile(out, writerSchema, "snappy", sync,
                 it.map(row => Seq[Any](row.getLong(0), row.getString(1),
                                        row.getString(2), "attempt-0")))
             } finally out.close()

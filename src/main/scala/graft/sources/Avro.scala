@@ -11,8 +11,10 @@ package graft.sources
   *            16-byte sync marker
   *   blocks:  long record-count   (zigzag varint)
   *            long byte-size      (zigzag varint, AFTER codec)
-  *            data (records back-to-back, deflate-compressed when
-  *                  codec=deflate — RFC1951 raw deflate, no zlib wrapper)
+  *            data (records back-to-back; codec=deflate is RFC1951 raw
+  *                  deflate, no zlib wrapper; codec=snappy appends a
+  *                  4-byte big-endian CRC32 of the uncompressed data —
+  *                  so snappy blocks DETECT payload corruption)
   *            the SAME 16-byte sync marker
   *
   * Record fields are Avro binary encoding in schema order: long/int are
@@ -218,6 +220,46 @@ object Avro {
     } finally d.end()
   }
 
+  /** Avro's snappy codec frames each block as snappy(data) + 4-byte
+    * BIG-ENDIAN CRC32 of the UNCOMPRESSED data — unlike deflate, the
+    * format itself detects payload corruption, which the fuzz spec
+    * exercises. snappy-java ships on Spark's classpath.
+    */
+  private def snappyCompress(data: Array[Byte]): Array[Byte] = {
+    val comp = org.xerial.snappy.Snappy.compress(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(data, 0, data.length)
+    val c = crc.getValue
+    comp ++ Array[Byte](((c >>> 24) & 0xff).toByte, ((c >>> 16) & 0xff).toByte,
+                        ((c >>> 8) & 0xff).toByte, (c & 0xff).toByte)
+  }
+
+  private def snappyUncompress(data: Array[Byte]): Array[Byte] = {
+    if (data.length < 4)
+      throw new IllegalArgumentException("snappy block shorter than its CRC suffix")
+    val body = java.util.Arrays.copyOfRange(data, 0, data.length - 4)
+    val raw =
+      try {
+        if (org.xerial.snappy.Snappy.uncompressedLength(body) > MaxBlockBytes)
+          throw new IllegalArgumentException(
+            s"snappy block inflates past $MaxBlockBytes bytes")
+        org.xerial.snappy.Snappy.uncompress(body)
+      } catch {
+        case e: IllegalArgumentException => throw e
+        case e: Exception =>
+          throw new IllegalArgumentException(s"corrupt snappy block: ${e.getMessage}")
+      }
+    val crc = new java.util.zip.CRC32
+    crc.update(raw, 0, raw.length)
+    val stored =
+      ((data(data.length - 4) & 0xffL) << 24) | ((data(data.length - 3) & 0xffL) << 16) |
+      ((data(data.length - 2) & 0xffL) << 8) | (data(data.length - 1) & 0xffL)
+    if (crc.getValue != stored)
+      throw new IllegalArgumentException(
+        f"snappy block CRC mismatch: stored 0x$stored%08x, computed 0x${crc.getValue}%08x")
+    raw
+  }
+
   private def inflate(data: Array[Byte], boundHint: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater(true)
     try {
@@ -251,7 +293,8 @@ object Avro {
                 sync: Array[Byte], records: Iterator[Seq[Any]],
                 blockRecords: Int = 4096): Unit = {
     require(sync.length == 16, "sync marker must be 16 bytes")
-    require(codec == "null" || codec == "deflate", s"unsupported codec $codec")
+    require(codec == "null" || codec == "deflate" || codec == "snappy",
+      s"unsupported codec $codec")
     require(blockRecords > 0 && blockRecords <= MaxBlockRecords, "bad blockRecords")
     val header = new java.io.ByteArrayOutputStream()
     header.write(Magic, 0, Magic.length)
@@ -270,7 +313,11 @@ object Avro {
       val raw = block.toByteArray
       require(raw.length <= MaxBlockBytes,
         s"block grew past $MaxBlockBytes bytes — lower blockRecords")
-      val payload = if (codec == "deflate") deflate(raw) else raw
+      val payload = codec match {
+        case "deflate" => deflate(raw)
+        case "snappy"  => snappyCompress(raw)
+        case _         => raw
+      }
       val frame = new java.io.ByteArrayOutputStream(payload.length + 24)
       writeVarLong(frame, inBlock.toLong)
       writeVarLong(frame, payload.length.toLong)
@@ -390,7 +437,7 @@ object Avro {
     val embedded = parseSchemaJson(schemaJson.getOrElse(in.fail("file carries no avro.schema")))
     require(embedded == expected,
       s"schema mismatch: file carries ${embedded.toJson}, expected ${expected.toJson}")
-    if (codec != "null" && codec != "deflate")
+    if (codec != "null" && codec != "deflate" && codec != "snappy")
       in.fail(s"unsupported codec '$codec'")
     val sync = in.readFixed(16, "header sync marker")
     val out = IndexedSeq.newBuilder[Seq[Any]]
@@ -404,7 +451,11 @@ object Avro {
       val blockSync = in.readFixed(16, "block sync marker")
       if (!java.util.Arrays.equals(blockSync, sync))
         in.fail("block sync marker does not match header — foreign or torn block")
-      val raw = if (codec == "deflate") inflate(payload, MaxBlockBytes) else payload
+      val raw = codec match {
+        case "deflate" => inflate(payload, MaxBlockBytes)
+        case "snappy"  => snappyUncompress(payload)
+        case _         => payload
+      }
       val r = new ByteReader(raw, 0, raw.length)
       var i = 0L
       while (i < count) {
