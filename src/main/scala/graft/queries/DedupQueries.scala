@@ -96,13 +96,22 @@ object DedupQueries {
     val tgt = StorageQueries.target("dedup_signatures_land")
     val marker = new java.io.File(StorageQueries.target("dedup_signatures_land_MARKER"))
     val key = s"$dir|k=$ShingleK|perms=$MinhashPerms|sig-v1"
-    def landingIntact: Boolean = {
+    // The marker records key AND the landed row count: a partially deleted
+    // landing (some part files gone, one left) must recompute, not be
+    // served as the full table. The count check is footer-metadata-only.
+    def markerLines: Option[(String, Long)] =
+      if (!marker.isFile) None
+      else new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        .split("\n", 2) match {
+          case Array(k, n) => scala.util.Try((k, n.trim.toLong)).toOption
+          case _           => None
+        }
+    def landingIntact(expectedRows: Long): Boolean = {
       val files = Option(new java.io.File(tgt).listFiles()).getOrElse(Array.empty)
-      files.exists(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      files.exists(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) &&
+        scala.util.Try(spark.read.parquet(tgt).count()).toOption.contains(expectedRows)
     }
-    val fresh = marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == key &&
-      landingIntact
+    val fresh = markerLines.exists { case (k, n) => k == key && landingIntact(n) }
     if (!recompute && fresh) return spark.read.parquet(tgt)
     val sigs = Dedup.shingleHashSets(
         Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism),
@@ -111,7 +120,8 @@ object DedupQueries {
     if (!fresh) {
       marker.delete(): Unit
       sigs.write.mode("overwrite").parquet(tgt)
-      java.nio.file.Files.write(marker.toPath, key.getBytes("UTF-8")): Unit
+      val landedRows = spark.read.parquet(tgt).count()
+      java.nio.file.Files.write(marker.toPath, s"$key\n$landedRows".getBytes("UTF-8")): Unit
       spark.read.parquet(tgt)
     } else sigs
   }

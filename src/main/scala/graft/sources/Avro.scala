@@ -14,16 +14,20 @@ package graft.sources
   *            data (records back-to-back; codec=deflate is RFC1951 raw
   *                  deflate, no zlib wrapper; codec=snappy appends a
   *                  4-byte big-endian CRC32 of the uncompressed data —
-  *                  so snappy blocks DETECT payload corruption)
+  *                  so snappy blocks DETECT payload corruption;
+  *                  codec=zstandard is the raw zstd frame via zstd-jni)
   *            the SAME 16-byte sync marker
   *
   * Record fields are Avro binary encoding in schema order: long/int are
   * zigzag varints, string/bytes are length-prefixed, double is the 8-byte
   * IEEE bit pattern little-endian, boolean one byte, and a nullable field
   * is the two-branch union ["null", T] (varint branch index then the
-  * value). Only the record-of-primitives subset is implemented — exactly
-  * the shape training shards carry; nested records/arrays/maps are out of
-  * scope and the schema validator rejects them loudly.
+  * value). The supported subset is a record of primitives, the
+  * `timestamp-micros` and bytes-`decimal` logical types, and
+  * block-encoded arrays of those — the columns real training estates
+  * ship (token arrays, event timestamps, money). Nested records/maps/
+  * multi-branch unions are out of scope and the schema validator rejects
+  * them loudly.
   *
   * The reader is strict the way the media codecs and [[TfRecord]] are:
   * magic verified, the embedded schema JSON parsed (Jackson, already on
@@ -37,16 +41,47 @@ package graft.sources
   */
 object Avro {
 
-  sealed trait AvroType { def jsonName: String }
-  case object ALong extends AvroType { val jsonName = "long" }
-  case object AInt extends AvroType { val jsonName = "int" }
-  case object AString extends AvroType { val jsonName = "string" }
-  case object ADouble extends AvroType { val jsonName = "double" }
-  case object ABoolean extends AvroType { val jsonName = "boolean" }
-  case object ABytes extends AvroType { val jsonName = "bytes" }
+  sealed trait AvroType {
+    /** The full JSON fragment this type renders as inside a field's
+      * "type" attribute (quoted name for primitives, an object for
+      * logical types and arrays, an array for the nullable union).
+      */
+    def typeJson: String
+  }
+  case object ALong extends AvroType { val typeJson = "\"long\"" }
+  case object AInt extends AvroType { val typeJson = "\"int\"" }
+  case object AString extends AvroType { val typeJson = "\"string\"" }
+  case object ADouble extends AvroType { val typeJson = "\"double\"" }
+  case object ABoolean extends AvroType { val typeJson = "\"boolean\"" }
+  case object ABytes extends AvroType { val typeJson = "\"bytes\"" }
+  /** The `timestamp-micros` logical type: a long of microseconds since
+    * the epoch (the spec's annotated-long form — wire layout identical
+    * to ALong, the annotation travels in the schema JSON).
+    */
+  case object ATimestampMicros extends AvroType {
+    val typeJson = """{"type":"long","logicalType":"timestamp-micros"}"""
+  }
+  /** The `decimal` logical type over bytes: the two's-complement
+    * big-endian unscaled value, scale/precision declared in the schema.
+    */
+  final case class ADecimal(precision: Int, scale: Int) extends AvroType {
+    require(precision > 0 && scale >= 0 && scale <= precision,
+      s"bad decimal($precision,$scale)")
+    def typeJson: String =
+      s"""{"type":"bytes","logicalType":"decimal","precision":$precision,"scale":$scale}"""
+  }
+  /** Avro arrays, block-encoded on the wire (count, items, …, 0
+    * terminator; a negative count carries a byte size — readers accept
+    * both forms, this writer emits the positive form).
+    */
+  final case class AArray(elem: AvroType) extends AvroType {
+    require(!elem.isInstanceOf[AArray] && !elem.isInstanceOf[ANullable],
+      "array elements must be non-nullable primitives or logical types in this subset")
+    def typeJson: String = s"""{"type":"array","items":${elem.typeJson}}"""
+  }
   /** The two-branch union ["null", inner]. */
   final case class ANullable(inner: AvroType) extends AvroType {
-    def jsonName: String = s"""["null",${quote(inner.jsonName)}]"""
+    def typeJson: String = s"""["null",${inner.typeJson}]"""
     require(!inner.isInstanceOf[ANullable], "nested nullable unions are not Avro")
   }
 
@@ -56,11 +91,7 @@ object Avro {
     /** Canonical-enough schema JSON (field order is significant in Avro). */
     def toJson: String = {
       val fs = fields.map { f =>
-        val t = f.tpe match {
-          case n: ANullable => n.jsonName
-          case t            => quote(t.jsonName)
-        }
-        s"""{"name":${quote(f.name)},"type":$t}"""
+        s"""{"name":${quote(f.name)},"type":${f.tpe.typeJson}}"""
       }.mkString(",")
       s"""{"type":"record","name":${quote(name)},"fields":[$fs]}"""
     }
@@ -96,20 +127,54 @@ object Avro {
       case "long" => ALong; case "int" => AInt; case "string" => AString
       case "double" => ADouble; case "boolean" => ABoolean; case "bytes" => ABytes
       case other => throw new IllegalArgumentException(
-        s"unsupported avro primitive '$other' (record-of-primitives only)")
+        s"unsupported avro primitive '$other'")
     }
+    // a non-union type node: a primitive name, a logical-type object
+    // ({"type":"long","logicalType":"timestamp-micros"} / decimal-over-
+    // bytes), or an array object ({"type":"array","items": inner})
+    def simple(t: JsonNode, fname: String): AvroType =
+      if (t.isTextual) prim(t.asText())
+      else if (t.isObject) {
+        val base = t.path("type").asText("")
+        val logical = t.path("logicalType").asText("")
+        (base, logical) match {
+          case ("long", "timestamp-micros") => ATimestampMicros
+          case ("bytes", "decimal") =>
+            val p = t.path("precision").asInt(-1)
+            val s = t.path("scale").asInt(0)
+            require(p > 0, s"field '$fname': decimal missing/invalid precision")
+            ADecimal(p, s)
+          case ("array", "") =>
+            val items = t.path("items")
+            require(!items.isMissingNode,
+              s"field '$fname': array type missing items")
+            AArray(simple(items, fname) match {
+              case _: AArray => throw new IllegalArgumentException(
+                s"field '$fname': nested arrays are outside this subset")
+              case e => e
+            })
+          case (b, l) => throw new IllegalArgumentException(
+            s"field '$fname': unsupported type object (type=$b logicalType=$l)")
+        }
+      }
+      else throw new IllegalArgumentException(
+        s"unsupported avro field type for '$fname'")
     val fields = (0 until fieldsNode.size()).map { i =>
       val f = fieldsNode.get(i)
       val fname = f.path("name").asText("")
       require(fname.nonEmpty, s"field $i missing name")
       val t = f.path("type")
       val tpe: AvroType =
-        if (t.isTextual) prim(t.asText())
-        else if (t.isArray && t.size() == 2 && t.get(0).isTextual &&
-                 t.get(0).asText() == "null" && t.get(1).isTextual)
-          ANullable(prim(t.get(1).asText()))
-        else throw new IllegalArgumentException(
-          s"unsupported avro field type for '$fname': only primitives and [\"null\", primitive] unions")
+        if (t.isArray && t.size() == 2 && t.get(0).isTextual &&
+            t.get(0).asText() == "null")
+          ANullable(simple(t.get(1), fname) match {
+            case n: ANullable => throw new IllegalArgumentException(
+              s"field '$fname': nested nullable unions are not Avro")
+            case inner => inner
+          })
+        else if (t.isArray) throw new IllegalArgumentException(
+          s"unsupported avro union for '$fname': only [\"null\", T] is in this subset")
+        else simple(t, fname)
       Field(fname, tpe)
     }
     RecordSchema(name, fields)
@@ -133,12 +198,19 @@ object Avro {
       if (pos >= end) fail("truncated avro data")
       val b = bytes(pos) & 0xff; pos += 1; b
     }
-    /** Zigzag-varint long, bounds-checked (≤10 bytes). */
+    /** Zigzag-varint long, bounds-checked (≤10 bytes). The 10th byte can
+      * only carry ONE significant bit (bit 63); its other payload bits
+      * would be silently dropped by the shift, so a canonical-strict
+      * reader rejects them — otherwise a corrupted 10th byte decodes to
+      * the same value and corruption passes undetected.
+      */
     def readLong(): Long = {
       var shift = 0; var acc = 0L; var b = 0
       do {
         if (shift > 63) fail("varint longer than 10 bytes")
         b = readByte()
+        if (shift == 63 && (b & 0x7e) != 0)
+          fail("non-canonical varint: 10th byte carries dropped bits")
         acc |= (b & 0x7fL) << shift
         shift += 7
       } while ((b & 0x80) != 0)
@@ -172,6 +244,7 @@ object Avro {
       case (ANullable(_), null)  => writeVarLong(out, 0L) // branch 0 = null
       case (ANullable(inner), x) => writeVarLong(out, 1L); encodeValue(out, inner, x)
       case (ALong, x: Long)      => writeVarLong(out, x)
+      case (ATimestampMicros, x: Long) => writeVarLong(out, x)
       case (AInt, x: Int)        => writeVarLong(out, x.toLong)
       case (AString, x: String)  => writeSized(out, x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case (ABytes, x: Array[Byte]) => writeSized(out, x)
@@ -179,6 +252,27 @@ object Avro {
         val bits = java.lang.Double.doubleToLongBits(x)
         var i = 0; while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
       case (ABoolean, x: Boolean) => out.write(if (x) 1 else 0)
+      case (d @ ADecimal(p, s), x: java.math.BigDecimal) =>
+        // the spec's bytes-decimal: two's-complement big-endian unscaled
+        // value at EXACTLY the declared scale — a value at another scale
+        // is a caller bug, rejected rather than silently rescaled/rounded
+        val scaled =
+          try x.setScale(s)
+          catch { case _: ArithmeticException => throw new IllegalArgumentException(
+            s"decimal value $x does not fit scale $s exactly") }
+        val unscaled = scaled.unscaledValue()
+        if (unscaled.abs.toString.length > p)
+          throw new IllegalArgumentException(
+            s"decimal value $x exceeds precision $p")
+        writeSized(out, unscaled.toByteArray)
+      case (AArray(elem), xs: Seq[_]) =>
+        // one positive-count block then the 0 terminator (readers must
+        // also accept the negative-count-with-size form; see decode)
+        if (xs.nonEmpty) {
+          writeVarLong(out, xs.length.toLong)
+          xs.foreach(encodeValue(out, elem, _))
+        }
+        writeVarLong(out, 0L)
       case (t, x) => throw new IllegalArgumentException(
         s"value ${if (x == null) "null" else x.getClass.getSimpleName} does not fit avro type $t")
     }
@@ -191,6 +285,7 @@ object Avro {
         case b => in.fail(s"union branch $b out of range")
       }
     case ALong    => in.readLong()
+    case ATimestampMicros => in.readLong()
     case AInt     =>
       val v = in.readLong()
       if (v < Int.MinValue || v > Int.MaxValue) in.fail(s"int field out of range: $v")
@@ -205,6 +300,28 @@ object Avro {
     case ABoolean => in.readByte() match {
       case 0 => false; case 1 => true; case b => in.fail(s"boolean byte $b")
     }
+    case ADecimal(p, s) =>
+      val b = in.readSized("decimal")
+      if (b.isEmpty) in.fail("zero-length decimal bytes")
+      val unscaled = new java.math.BigInteger(b)
+      if (unscaled.abs.toString.length > p)
+        in.fail(s"decimal unscaled value exceeds precision $p")
+      new java.math.BigDecimal(unscaled, s)
+    case AArray(elem) =>
+      // block form: count, items, …, 0 terminator; count<0 means
+      // |count| items preceded by a byte-size long (skippable form)
+      val out = IndexedSeq.newBuilder[Any]
+      var total = 0L
+      var n = in.readLong()
+      while (n != 0) {
+        if (n < 0) { in.readLong(); n = -n } // byte size, unused
+        if (n <= 0 || n > MaxBlockRecords || { total += n; total } > MaxBlockRecords)
+          in.fail(s"implausible array block count $n")
+        var i = 0L
+        while (i < n) { out += decodeValue(in, elem); i += 1 }
+        n = in.readLong()
+      }
+      out.result()
   }
 
   // ---- codecs --------------------------------------------------------------
@@ -260,6 +377,42 @@ object Avro {
     raw
   }
 
+  /** Avro's `zstandard` codec is the raw zstd frame, no extra checksum
+    * (zstd frames carry their own magic + optional content checksum).
+    * zstd-jni ships on Spark's classpath.
+    */
+  private def zstdCompress(data: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(data)
+
+  private def zstdUncompress(data: Array[Byte]): Array[Byte] = {
+    // strict-validator additions on top of zstd's own checks: the frame
+    // magic, and the Frame_Header_Descriptor's Unused_bit (bit 4) — the
+    // spec tells DECODERS to ignore it, so a flipped Unused_bit would
+    // otherwise be accepted silently; this writer never sets it
+    if (data.length < 5)
+      throw new IllegalArgumentException("zstd block shorter than a frame header")
+    val magicOk = (data(0) & 0xff) == 0x28 && (data(1) & 0xff) == 0xb5 &&
+      (data(2) & 0xff) == 0x2f && (data(3) & 0xff) == 0xfd
+    if (!magicOk)
+      throw new IllegalArgumentException("bad zstd frame magic")
+    if ((data(4) & 0x10) != 0)
+      throw new IllegalArgumentException(
+        "zstd frame-header Unused_bit set — not produced by this writer")
+    val size =
+      try com.github.luben.zstd.Zstd.getFrameContentSize(data)
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(s"corrupt zstd frame header: ${e.getMessage}")
+      }
+    if (size < 0 || size > MaxBlockBytes)
+      throw new IllegalArgumentException(
+        s"zstd frame declares implausible content size $size")
+    try com.github.luben.zstd.Zstd.decompress(data, size.toInt)
+    catch {
+      case e: Exception =>
+        throw new IllegalArgumentException(s"corrupt zstd block: ${e.getMessage}")
+    }
+  }
+
   private def inflate(data: Array[Byte], boundHint: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater(true)
     try {
@@ -293,8 +446,8 @@ object Avro {
                 sync: Array[Byte], records: Iterator[Seq[Any]],
                 blockRecords: Int = 4096): Unit = {
     require(sync.length == 16, "sync marker must be 16 bytes")
-    require(codec == "null" || codec == "deflate" || codec == "snappy",
-      s"unsupported codec $codec")
+    require(codec == "null" || codec == "deflate" || codec == "snappy" ||
+      codec == "zstandard", s"unsupported codec $codec")
     require(blockRecords > 0 && blockRecords <= MaxBlockRecords, "bad blockRecords")
     val header = new java.io.ByteArrayOutputStream()
     header.write(Magic, 0, Magic.length)
@@ -316,6 +469,7 @@ object Avro {
       val payload = codec match {
         case "deflate" => deflate(raw)
         case "snappy"  => snappyCompress(raw)
+        case "zstandard" => zstdCompress(raw)
         case _         => raw
       }
       val frame = new java.io.ByteArrayOutputStream(payload.length + 24)
@@ -360,7 +514,12 @@ object Avro {
           if (!defaults.contains(rf.name))
             throw new IllegalArgumentException(
               s"reader field '${rf.name}' absent from writer schema and has no default")
-          Left(defaults(rf.name))
+          val d = defaults(rf.name)
+          if (!defaultFits(rf.tpe, d))
+            throw new IllegalArgumentException(
+              s"default for reader field '${rf.name}' (${if (d == null) "null" else d.getClass.getSimpleName}) " +
+              s"does not fit its declared type ${rf.tpe}")
+          Left(d)
         case i =>
           (rf.tpe, writer.fields(i).tpe) match {
             case (a, b) if a == b                    => () // exact
@@ -377,6 +536,25 @@ object Avro {
         case Right(i)      => rec(i)
       }
     }
+  }
+
+  /** Does a caller-supplied default value's runtime class fit an Avro
+    * type? Checked when the resolution PLAN is built, so a mistyped
+    * default rejects at the cause rather than at a downstream cast.
+    */
+  private def defaultFits(tpe: AvroType, v: Any): Boolean = (tpe, v) match {
+    case (ANullable(_), null)  => true
+    case (ANullable(inner), x) => defaultFits(inner, x)
+    case (ALong, _: java.lang.Long)       => true
+    case (ATimestampMicros, _: java.lang.Long) => true
+    case (AInt, _: java.lang.Integer)     => true
+    case (AString, _: String)             => true
+    case (ADouble, _: java.lang.Double)   => true
+    case (ABoolean, _: java.lang.Boolean) => true
+    case (ABytes, _: Array[Byte])         => true
+    case (ADecimal(_, _), _: java.math.BigDecimal) => true
+    case (AArray(elem), xs: Seq[_])       => xs.forall(defaultFits(elem, _))
+    case _                                => false
   }
 
   /** Parse just the header far enough to return the embedded writer
@@ -437,7 +615,8 @@ object Avro {
     val embedded = parseSchemaJson(schemaJson.getOrElse(in.fail("file carries no avro.schema")))
     require(embedded == expected,
       s"schema mismatch: file carries ${embedded.toJson}, expected ${expected.toJson}")
-    if (codec != "null" && codec != "deflate" && codec != "snappy")
+    if (codec != "null" && codec != "deflate" && codec != "snappy" &&
+        codec != "zstandard")
       in.fail(s"unsupported codec '$codec'")
     val sync = in.readFixed(16, "header sync marker")
     val out = IndexedSeq.newBuilder[Seq[Any]]
@@ -454,6 +633,7 @@ object Avro {
       val raw = codec match {
         case "deflate" => inflate(payload, MaxBlockBytes)
         case "snappy"  => snappyUncompress(payload)
+        case "zstandard" => zstdUncompress(payload)
         case _         => payload
       }
       val r = new ByteReader(raw, 0, raw.length)
