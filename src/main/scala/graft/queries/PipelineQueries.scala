@@ -387,6 +387,252 @@ object PipelineQueries {
               |GROUP BY 1, 2""".stripMargin)
     ),
 
+    // THE FULL EXPORT PIPELINE AS ONE ORACLE-CHECKED QUERY (round-16, the
+    // r15 verdict's #8): corpus in, training shards out — quality filter
+    // → one representative per near-dup cluster among the survivors →
+    // BPE tokenizer trained on the raw corpus, LANDED as its (rank, pair)
+    // artifact and RELOADED through the production tokenizer-load path →
+    // per-source token-budget packing by BPE counts (the q_pack_sequences
+    // two-level prefix sum, applied to the curated set) → tf.Example
+    // protobuf records inside CRC-framed TFRecord shards. Every stage is
+    // the already-green building block (TextQueries.qualityFilter,
+    // DedupQueries.clusterLabels, the text_bpe_artifact train/land/reload
+    // loop, PackBudget packing, graft.sources.{TfExample, TfRecord}) —
+    // this gate proves they COMPOSE without driver-side glue beyond the
+    // trainer's inherent merge-list grain. The graded output is the
+    // decoded shards themselves: every record's CRCs re-verified, every
+    // Example structurally decoded, and (doc_id, source, chunk, n_tokens,
+    // text_md5) hash-checked against a DuckDB oracle that independently
+    // re-derives the ENTIRE pipeline — filter rules, recursive-CTE
+    // clustering, a from-scratch BPE retrain, and the serial-window
+    // packing. A wrong survivor set, a drifted tokenizer, a mis-assigned
+    // chunk, or a mangled shard byte anywhere mismatches. Scale shape:
+    // filter map-only; clustering the iterated frontier; tokenizer work
+    // vocabulary-grain with a constant-size artifact; packing two
+    // bounded windows + a broadcast; the export one explicit repartition
+    // then streamed per-task shards.
+    QueryDef(
+      "q_export_pipeline",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        spark.catalog.clearCache()
+        // stage 1: quality survivors
+        val passed = TextQueries.qualityFilter(spark, dir)
+          .where(col("keep")).select(col("doc_id"))
+        // stage 2: min-doc_id representative per near-dup cluster among
+        // survivors (the q_curation_pipeline composition)
+        val clusters = DedupQueries.clusterLabels(spark, dir, reuseLanding = true)
+          .select(col("doc_id"), col("cluster_id"))
+        val reps = passed.join(clusters, "doc_id")
+          .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        // stage 3: BPE tokenizer — train on the RAW corpus vocabulary
+        // (tokenizers are trained once on raw data, then applied to every
+        // curated batch), land the merge-list artifact, reload it, and
+        // rebuild word→symbol-count through the load path
+        val v0 = Tables.documents(spark, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+          .select(col("word"), col("wn"),
+                  concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+          .persist()
+        v0.count()
+        var v = v0
+        val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (_ <- 1 to TextQueries.BpeEncMerges) {
+          val mp = v
+            .select(col("wn"), split(trim(col("s")), " ").as("sy"))
+            .where(expr("size(sy) >= 2"))
+            .select(col("wn"), explode(expr(
+              "transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+              .as("pair"))
+            .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+            .orderBy(col("n").desc, col("pair").asc).limit(1)
+            .select(col("pair")).as[String](org.apache.spark.sql.Encoders.STRING)
+            .head()
+          merges += mp
+          v = v.select(col("word"), col("wn"),
+                       expr(s"replace(s, concat(' ', '$mp', ' '), " +
+                            s"concat(' ', replace('$mp', ' ', ''), ' '))").as("s"))
+        }
+        val artifactDir = StorageQueries.target("export_bpe_artifact")
+        merges.toSeq.zipWithIndex.map { case (p, r) => (r.toLong, p) }
+          .toDF("rank", "pair")
+          .coalesce(1).write.mode("overwrite").parquet(artifactDir)
+        val loaded = spark.read.parquet(artifactDir).orderBy(col("rank"))
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        require(loaded.map(_._1).toSeq == (0L until TextQueries.BpeEncMerges.toLong),
+          s"tokenizer artifact lost/reordered ranks: ${loaded.map(_._1).mkString(",")}")
+        val sExpr = loaded.map(_._2).foldLeft("s") { (acc, mp) =>
+          s"replace($acc, concat(' ', '$mp', ' '), concat(' ', replace('$mp', ' ', ''), ' '))"
+        }
+        val wlen = v0.select(col("word"),
+                             expr(s"size(split(trim($sExpr), ' '))").cast("long").as("n_sym"))
+        // per-doc BPE token counts over the curated set
+        val kept = Tables.documents(spark, dir).join(reps, "doc_id")
+          .select(col("doc_id"), col("source"), col("text"))
+          .persist()
+        val nKept = kept.count()
+        val nTotal = Tables.documents(spark, dir).count()
+        require(nKept > 0 && nKept < nTotal,
+          s"curation kept $nKept of $nTotal docs — the filter+dedup stages did nothing")
+        val toks = kept
+          .select(col("doc_id"), col("source"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .join(broadcast(wlen), Seq("word"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("n_sym")).cast("long").as("n_tokens"))
+        // stage 4: per-source packing by running BPE totals (two-level
+        // prefix sum — see q_pack_sequences for why not one serial window)
+        val B = 4096
+        val toksB = toks.withColumn("bucket", expr(s"doc_id div $B")).persist()
+        toksB.count()
+        val wIn = Window.partitionBy(col("source"), col("bucket")).orderBy(col("doc_id"))
+        val intra = toksB.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+        val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = toksB.groupBy(col("source"), col("bucket"))
+          .agg(sum(col("n_tokens")).as("btot"))
+          .select(col("source"), col("bucket"),
+                  coalesce(sum(col("btot")).over(wOff), lit(0L)).as("off"))
+        val packed = intra.join(broadcast(offsets), Seq("source", "bucket"))
+          .withColumn("cum", col("cum_in") + col("off"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+                  expr(s"(cum - n_tokens) div $PackBudget").as("chunk"))
+        // stage 5: tf.Example / TFRecord shard export + strict re-read
+        import graft.sources.{TfExample, TfRecord}
+        import TfExample.{BytesList, Int64List}
+        val tgt = StorageQueries.target("export_shards")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
+        val nShards = 8
+        val rows = packed.join(kept.select(col("doc_id"), col("text")), "doc_id")
+          .select(col("doc_id"), col("source"), col("chunk"), col("n_tokens"), col("text"))
+        val shardStats = rows.repartition(nShards, col("doc_id"))
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+            val dst = java.nio.file.Paths.get(tgt, f"shard-$pid%05d.tfrecord")
+            val tmp = java.nio.file.Paths.get(tgt, f"_tmp-exp-$pid%05d-$attempt")
+            val out = new java.io.BufferedOutputStream(
+              java.nio.file.Files.newOutputStream(tmp))
+            var n = 0L
+            try {
+              it.foreach { row =>
+                val payload = TfExample.encode(Seq(
+                  "doc_id"   -> Int64List(Vector(row.getLong(0))),
+                  "source"   -> BytesList(Vector(
+                    row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))),
+                  "chunk"    -> Int64List(Vector(row.getLong(2))),
+                  "n_tokens" -> Int64List(Vector(row.getLong(3))),
+                  "text"     -> BytesList(Vector(
+                    row.getString(4).getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+                TfRecord.writeRecord(out, payload)
+                n += 1
+              }
+            } finally out.close()
+            java.nio.file.Files.move(tmp, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            Iterator.single((pid, n))
+          }
+        val layout = shardStats.toDF("shard", "n_records")
+          .agg(countDistinct(col("shard")).cast("long"),
+               sum(col("n_records")).cast("long")).first()
+        require(layout.getLong(0) == nShards,
+          s"expected $nShards export shards, saw ${layout.getLong(0)} writer tasks")
+        require(layout.getLong(1) == nKept,
+          s"shards carry ${layout.getLong(1)} examples for $nKept curated docs")
+        val decoded = spark.read.format("binaryFile")
+          .option("pathGlobFilter", "shard-*.tfrecord").load(tgt)
+          .select(col("content")).as[Array[Byte]]
+          .flatMap { shard =>
+            TfRecord.readAll(shard).iterator.map { payload =>
+              val byName = TfExample.decode(payload).toMap
+              def i64(k: String) = byName(k) match {
+                case Int64List(vs) if vs.length == 1 => vs(0)
+                case other => throw new IllegalArgumentException(s"feature $k: $other")
+              }
+              def bs(k: String) = byName(k) match {
+                case BytesList(vs) if vs.length == 1 => vs(0)
+                case other => throw new IllegalArgumentException(s"feature $k: $other")
+              }
+              (i64("doc_id"),
+               new String(bs("source"), java.nio.charset.StandardCharsets.UTF_8),
+               i64("chunk"), i64("n_tokens"), bs("text"))
+            }
+          }
+          .toDF("doc_id", "source", "chunk", "n_tokens", "text_bytes")
+          .select(col("doc_id"), col("source"), col("chunk"), col("n_tokens"),
+                  md5(col("text_bytes")).as("text_md5"))
+          .localCheckpoint(eager = true)
+        // the packing stage really split the curated set into chunks
+        require(decoded.agg(max(col("chunk"))).head().getLong(0) >= 1L,
+          "no source packed past one chunk — PackBudget never bound")
+        decoded
+      },
+      Some {
+        val rounds = (1 to TextQueries.BpeEncMerges).map { i =>
+          s"""p$i AS (
+             |  SELECT pair, SUM(wn) AS n FROM (
+             |    SELECT wn, unnest(list_transform(generate_series(1, len(sy) - 1),
+             |                                     j -> sy[j] || ' ' || sy[j + 1])) AS pair
+             |    FROM (SELECT wn, string_split(trim(s), ' ') AS sy FROM v${i - 1})
+             |    WHERE len(sy) >= 2)
+             |  GROUP BY pair
+             |),
+             |t$i AS (SELECT pair AS mp FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
+             |v$i AS (
+             |  SELECT word, wn,
+             |         replace(s, ' ' || mp || ' ', ' ' || replace(mp, ' ', '') || ' ') AS s
+             |  FROM v${i - 1} CROSS JOIN t$i
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH qf AS (
+           |${TextQueries.qualityFilterSql}
+           |),
+           |cl AS (
+           |${DedupQueries.clusterAssignmentsSql}
+           |),
+           |reps AS (
+           |  SELECT MIN(cl.doc_id) AS doc_id
+           |  FROM qf JOIN cl ON cl.doc_id = qf.doc_id
+           |  WHERE qf.keep
+           |  GROUP BY cl.cluster_id
+           |),
+           |v0 AS (
+           |  SELECT word, COUNT(*) AS wn,
+           |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+           |  FROM (SELECT unnest(${TextAnalysis.tokensSql("text")}) AS word FROM documents)
+           |  GROUP BY word
+           |),
+           |$rounds,
+           |wlen AS (
+           |  SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+           |  FROM v${TextQueries.BpeEncMerges}
+           |),
+           |dw AS (
+           |  SELECT d.doc_id, d.source, unnest(${TextAnalysis.tokensSql("d.text")}) AS word
+           |  FROM documents d JOIN reps USING (doc_id)
+           |),
+           |toks AS (
+           |  SELECT doc_id, source, CAST(SUM(n_sym) AS BIGINT) AS n_tokens
+           |  FROM dw JOIN wlen USING (word)
+           |  GROUP BY 1, 2
+           |),
+           |packed AS (
+           |  SELECT doc_id, source, n_tokens,
+           |         CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS chunk
+           |  FROM (
+           |    SELECT doc_id, source, n_tokens,
+           |           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+           |    FROM toks
+           |  )
+           |)
+           |SELECT p.doc_id, p.source, p.chunk, p.n_tokens, md5(d.text) AS text_md5
+           |FROM packed p JOIN documents d USING (doc_id)""".stripMargin
+      }
+    ),
+
     // alpha-smoothed language mixing (α = 0.5, the mT5/XLM-R recipe):
     // per-language sample quotas ∝ √(corpus share), so low-resource
     // languages are up-weighted relative to their raw frequency. All
