@@ -465,18 +465,23 @@ object DedupQueries {
     val tgt = StorageQueries.target("dedup_clusters_land")
     val marker = new java.io.File(StorageQueries.target("dedup_clusters_land_MARKER"))
     val key = s"$dir|cc-v1" // bump the version with any minhash/banding change
-    // A marker hit must also see the landed data itself (the landBands
-    // contract): the marker says a landing COMPLETED, not that nothing
-    // deleted the parquet since. A deleted/partial landing dir with an
-    // intact marker would otherwise turn every reuse into an
-    // AnalysisException instead of a recompute.
-    def landingIntact: Boolean = {
+    // A marker hit must also see the landed data itself, COMPLETE: the
+    // marker records key AND row count (same contract as
+    // [[landedSignatures]]), so a partially deleted landing recomputes
+    // instead of being served as the full table. Count is footer-only.
+    def markerLines: Option[(String, Long)] =
+      if (!marker.isFile) None
+      else new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        .split("\n", 2) match {
+          case Array(k, n) => scala.util.Try((k, n.trim.toLong)).toOption
+          case _           => None
+        }
+    def landingIntact(expectedRows: Long): Boolean = {
       val files = Option(new java.io.File(tgt).listFiles()).getOrElse(Array.empty)
-      files.exists(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      files.exists(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) &&
+        scala.util.Try(spark.read.parquet(tgt).count()).toOption.contains(expectedRows)
     }
-    val fresh = marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == key &&
-      landingIntact
+    val fresh = markerLines.exists { case (k, n) => k == key && landingIntact(n) }
     if (reuseLanding && fresh) return spark.read.parquet(tgt)
     val labels = propagateMinLabels(
       minhashPairsSpark(spark, dir, reuseSigLanding = true)
@@ -487,7 +492,8 @@ object DedupQueries {
     if (!fresh) {
       marker.delete(): Unit
       assigned.write.mode("overwrite").parquet(tgt)
-      java.nio.file.Files.write(marker.toPath, key.getBytes("UTF-8")): Unit
+      val landedRows = spark.read.parquet(tgt).count()
+      java.nio.file.Files.write(marker.toPath, s"$key\n$landedRows".getBytes("UTF-8")): Unit
       spark.read.parquet(tgt)
     } else assigned
   }
