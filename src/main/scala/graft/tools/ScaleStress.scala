@@ -373,7 +373,28 @@ object ScaleStress {
     // state schema evolution: two linear lifecycles (V1 then V2 deploy)
     // against one checkpoint; the evolution itself is a per-state-row
     // Avro resolution — flat per key, key space constant
-    "q_streaming_state_evolution")
+    "q_streaming_state_evolution",
+    // round-16 additions. tf.Example shards: the q_tfrecord_shards legs
+    // with per-record protobuf encode/decode — per-byte work, linear
+    "q_tfexample_shards",
+    // Avro logical types: the same two linear shard legs; the token
+    // split is per-doc map work, the zstd codec per-byte, resolution
+    // and artifact schema-grain
+    "q_avro_logical",
+    // join-state reader: one linear join lifecycle; the buffers are
+    // DELIBERATELY unbounded here (huge watermark, so they are
+    // oracle-expressible) — the two joinSide reads scale with corpus
+    // rows, linearly, and the per-side rollup is one hash-agg
+    "q_state_join_reader",
+    // tws-variable reader: linear lifecycle + a key-space-sized state
+    // read (event types — constant)
+    "q_state_tws_reader",
+    // the end-to-end export composite: filter map-only, clustering the
+    // iterated frontier (recomputed every rep under the rig's dir
+    // alternation — conservative), BPE rounds vocabulary-grain (the
+    // token shuffle permutes words, never invents them), packing two
+    // bounded windows, the shard legs linear in corpus bytes
+    "q_export_pipeline")
     // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
     // rows by construction (processing-time TTL admits no deterministic
     // natural feed), so its cost is scale-invariant lifecycle setup —
