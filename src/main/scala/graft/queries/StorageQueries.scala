@@ -537,6 +537,100 @@ object StorageQueries {
              |FROM documents""".stripMargin)
     ),
 
+    // EMBEDDING VECTORS AS tf.Example SHARDS (round-16, the similarity
+    // family's interchange leg): a training pipeline ships embeddings the
+    // same way it ships text — FloatList features in TFRecord shards —
+    // and a vector that loses one element or one BIT of precision
+    // corrupts retrieval silently. Every vector rides as one packed
+    // FloatList (the full dim count — the multi-element float path at
+    // realistic width, not two probe values); the read leg re-verifies
+    // both CRCs, structurally decodes, and grades each vector at three
+    // grains: dimension count, and a POSITION-WEIGHTED fixed-point
+    // checksum computed with the suite's Money-precedent decimal cast on
+    // BOTH engines (Σ (pos+1)·fx(v[pos]) over int64 — exact, order-
+    // sensitive, so a swapped/dropped/bit-flipped element mismatches).
+    // Scale: identical streamed-shard shape to the other export gates;
+    // the checksum is one posexplode + hash-agg, linear in vector bytes.
+    QueryDef(
+      "q_tfexample_embeddings",
+      (spark, dir) => {
+        GraftSession.tune(spark)
+        import spark.implicits._
+        import graft.sources.{TfExample, TfRecord}
+        import TfExample.{FloatList, Int64List}
+        val tgt = target("tfexample_emb_shards")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
+        val nShards = 8
+        val vecs = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
+        val shardStats = vecs.repartition(nShards, col("vec_id"))
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+            val dst = java.nio.file.Paths.get(tgt, f"shard-$pid%05d.tfrecord")
+            val tmp = java.nio.file.Paths.get(tgt, f"_tmp-emb-$pid%05d-$attempt")
+            val out = new java.io.BufferedOutputStream(
+              java.nio.file.Files.newOutputStream(tmp))
+            var n = 0L
+            try {
+              it.foreach { row =>
+                val payload = TfExample.encode(Seq(
+                  "vec_id" -> Int64List(Vector(row.getLong(0))),
+                  "label"  -> Int64List(Vector(row.getLong(1))),
+                  "vec"    -> FloatList(row.getSeq[Float](2).toVector)))
+                TfRecord.writeRecord(out, payload)
+                n += 1
+              }
+            } finally out.close()
+            java.nio.file.Files.move(tmp, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            Iterator.single((pid, n))
+          }
+        val layout = shardStats.toDF("shard", "n_records")
+          .agg(countDistinct(col("shard")).cast("long"),
+               sum(col("n_records")).cast("long")).first()
+        require(layout.getLong(0) == nShards,
+          s"expected $nShards embedding shards, saw ${layout.getLong(0)} writer tasks")
+        require(layout.getLong(1) > 0, "no vectors exported")
+        spark.read.format("binaryFile")
+          .option("pathGlobFilter", "shard-*.tfrecord").load(tgt)
+          .select(col("content")).as[Array[Byte]]
+          .flatMap { shard =>
+            TfRecord.readAll(shard).iterator.map { payload =>
+              val byName = TfExample.decode(payload).toMap
+              def i64(k: String) = byName(k) match {
+                case Int64List(vs) if vs.length == 1 => vs(0)
+                case other => throw new IllegalArgumentException(s"feature $k: $other")
+              }
+              val vec = byName("vec") match {
+                case FloatList(vs) => vs
+                case other => throw new IllegalArgumentException(s"feature vec: $other")
+              }
+              (i64("vec_id"), i64("label"), vec.toArray)
+            }
+          }
+          .toDF("vec_id", "label", "vec")
+          .select(col("vec_id"), col("label"),
+                  posexplode(col("vec")).as(Seq("pos", "val")))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(count(lit(1)).cast("long").as("n_dims"),
+               sum(expr("(pos + 1) * CAST(CAST(val AS DECIMAL(18,6)) * 1000000 AS BIGINT)"))
+                 .cast("long").as("vec_fx"))
+      },
+      // the inner CAST TO DOUBLE is load-bearing: DuckDB's direct
+      // float→decimal cast goes through the float's SHORTEST decimal
+      // representation (7 sig digits), while Spark rounds the exact
+      // binary value — measured diverging on -0.1447705xx; both engines
+      // agree on the double→decimal path (the Money precedent)
+      Some("""SELECT vec_id, CAST(label AS BIGINT) AS label,
+             |       CAST(len(embedding) AS BIGINT) AS n_dims,
+             |       CAST(list_sum(list_transform(embedding,
+             |            (x, i) -> i * CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)))
+             |            AS BIGINT) AS vec_fx
+             |FROM embeddings""".stripMargin)
+    ),
+
     // TASK-RETRY IDEMPOTENCE, EXERCISED NOT ARGUED (round-13, closing the
     // r12 verdict's #5): q_tfrecord_shards CLAIMS retry-safety from its
     // write-to-temp + atomic-rename protocol; this gate makes the

@@ -394,7 +394,11 @@ object ScaleStress {
     // alternation — conservative), BPE rounds vocabulary-grain (the
     // token shuffle permutes words, never invents them), packing two
     // bounded windows, the shard legs linear in corpus bytes
-    "q_export_pipeline")
+    "q_export_pipeline",
+    // embedding shards: the same streamed-shard legs over the rotated
+    // embeddings replicas; the checksum is one posexplode + hash-agg,
+    // linear in vector elements
+    "q_tfexample_embeddings")
     // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
     // rows by construction (processing-time TTL admits no deterministic
     // natural feed), so its cost is scale-invariant lifecycle setup —
