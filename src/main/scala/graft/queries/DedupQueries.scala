@@ -93,12 +93,29 @@ object DedupQueries {
   private[graft] def landedSignatures(spark: org.apache.spark.sql.SparkSession,
                                       dir: String,
                                       recompute: Boolean): org.apache.spark.sql.DataFrame = {
-    val tgt = StorageQueries.target("dedup_signatures_land")
-    val marker = new java.io.File(StorageQueries.target("dedup_signatures_land_MARKER"))
-    val key = s"$dir|k=$ShingleK|perms=$MinhashPerms|sig-v1"
-    // The marker records key AND the landed row count: a partially deleted
-    // landing (some part files gone, one left) must recompute, not be
-    // served as the full table. The count check is footer-metadata-only.
+    landedOrCompute(spark, "dedup_signatures_land",
+      s"$dir|k=$ShingleK|perms=$MinhashPerms|sig-v1", forceRecompute = recompute) {
+      Dedup.shingleHashSets(
+          Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism),
+          ShingleK)
+        .select(col("doc_id"), Dedup.minhashSignature(col("hs"), MinhashPerms).as("sig"))
+    }
+  }
+
+  /** The land-once protocol shared by [[landedSignatures]] and
+    * [[clusterLabels]]: the marker (at `<name>_MARKER`) records the cache
+    * key AND the landed row count, so a stale key, a deleted landing, or
+    * a PARTIALLY deleted landing (some part files gone, one left) all
+    * recompute instead of serving a wrong table — the count check is
+    * parquet-footer-only. `forceRecompute = true` callers always compute
+    * fresh (their gate IS the computation) but still re-land when the
+    * landing is stale, so reuse callers stay warm.
+    */
+  private def landedOrCompute(spark: org.apache.spark.sql.SparkSession,
+                              name: String, key: String, forceRecompute: Boolean)
+                             (compute: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tgt = StorageQueries.target(name)
+    val marker = new java.io.File(StorageQueries.target(name + "_MARKER"))
     def markerLines: Option[(String, Long)] =
       if (!marker.isFile) None
       else new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
@@ -112,18 +129,15 @@ object DedupQueries {
         scala.util.Try(spark.read.parquet(tgt).count()).toOption.contains(expectedRows)
     }
     val fresh = markerLines.exists { case (k, n) => k == key && landingIntact(n) }
-    if (!recompute && fresh) return spark.read.parquet(tgt)
-    val sigs = Dedup.shingleHashSets(
-        Tables.documents(spark, dir).repartition(spark.sparkContext.defaultParallelism),
-        ShingleK)
-      .select(col("doc_id"), Dedup.minhashSignature(col("hs"), MinhashPerms).as("sig"))
+    if (!forceRecompute && fresh) return spark.read.parquet(tgt)
+    val df = compute
     if (!fresh) {
       marker.delete(): Unit
-      sigs.write.mode("overwrite").parquet(tgt)
+      df.write.mode("overwrite").parquet(tgt)
       val landedRows = spark.read.parquet(tgt).count()
       java.nio.file.Files.write(marker.toPath, s"$key\n$landedRows".getBytes("UTF-8")): Unit
       spark.read.parquet(tgt)
-    } else sigs
+    } else df
   }
 
   /** (signatures, candidate pairs) behind `dedup_minhash_lsh` (shared by
@@ -462,40 +476,16 @@ object DedupQueries {
   private[graft] def clusterLabels(spark: org.apache.spark.sql.SparkSession,
                                    dir: String,
                                    reuseLanding: Boolean): org.apache.spark.sql.DataFrame = {
-    val tgt = StorageQueries.target("dedup_clusters_land")
-    val marker = new java.io.File(StorageQueries.target("dedup_clusters_land_MARKER"))
-    val key = s"$dir|cc-v1" // bump the version with any minhash/banding change
-    // A marker hit must also see the landed data itself, COMPLETE: the
-    // marker records key AND row count (same contract as
-    // [[landedSignatures]]), so a partially deleted landing recomputes
-    // instead of being served as the full table. Count is footer-only.
-    def markerLines: Option[(String, Long)] =
-      if (!marker.isFile) None
-      else new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-        .split("\n", 2) match {
-          case Array(k, n) => scala.util.Try((k, n.trim.toLong)).toOption
-          case _           => None
-        }
-    def landingIntact(expectedRows: Long): Boolean = {
-      val files = Option(new java.io.File(tgt).listFiles()).getOrElse(Array.empty)
-      files.exists(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) &&
-        scala.util.Try(spark.read.parquet(tgt).count()).toOption.contains(expectedRows)
+    // key version: bump with any minhash/banding change
+    landedOrCompute(spark, "dedup_clusters_land", s"$dir|cc-v1",
+      forceRecompute = !reuseLanding) {
+      val labels = propagateMinLabels(
+        minhashPairsSpark(spark, dir, reuseSigLanding = true)
+          .select(col("doc_a"), col("doc_b")))
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
     }
-    val fresh = markerLines.exists { case (k, n) => k == key && landingIntact(n) }
-    if (reuseLanding && fresh) return spark.read.parquet(tgt)
-    val labels = propagateMinLabels(
-      minhashPairsSpark(spark, dir, reuseSigLanding = true)
-        .select(col("doc_a"), col("doc_b")))
-    val assigned = Tables.documents(spark, dir).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-    if (!fresh) {
-      marker.delete(): Unit
-      assigned.write.mode("overwrite").parquet(tgt)
-      val landedRows = spark.read.parquet(tgt).count()
-      java.nio.file.Files.write(marker.toPath, s"$key\n$landedRows".getBytes("UTF-8")): Unit
-      spark.read.parquet(tgt)
-    } else assigned
   }
 
   private[queries] def clusterAssignments(spark: org.apache.spark.sql.SparkSession,

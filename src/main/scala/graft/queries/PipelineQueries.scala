@@ -88,6 +88,41 @@ object PipelineQueries {
   /** q_shard_balance: output shard count for the serpentine LPT layout. */
   val NShards = 16
 
+  /** The curation front half shared by `q_curation_pipeline` and
+    * `q_export_pipeline`: quality survivors, then the min-doc_id
+    * representative per near-dup cluster AMONG the survivors. Returns
+    * (reps(doc_id), clusters(doc_id, cluster_id)) — clusters exposed so
+    * callers can reuse the landing for metadata counts.
+    */
+  private def curationReps(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val passed = TextQueries.qualityFilter(spark, dir)
+      .where(col("keep")).select(col("doc_id"))
+    val clusters = DedupQueries.clusterLabels(spark, dir, reuseLanding = true)
+      .select(col("doc_id"), col("cluster_id"))
+    val reps = passed.join(clusters, "doc_id")
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    (reps, clusters)
+  }
+
+  /** The DuckDB twin of [[curationReps]] as a nestable CTE chain
+    * (`qf`, `cl`, `reps`) — ONE definition for both oracles.
+    */
+  private val curationRepsCtes: String =
+    s"""qf AS (
+       |${TextQueries.qualityFilterSql}
+       |),
+       |cl AS (
+       |${DedupQueries.clusterAssignmentsSql}
+       |),
+       |reps AS (
+       |  SELECT MIN(cl.doc_id) AS doc_id
+       |  FROM qf JOIN cl ON cl.doc_id = qf.doc_id
+       |  WHERE qf.keep
+       |  GROUP BY cl.cluster_id
+       |)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // end-to-end corpus curation: the composition a training-data build
@@ -109,18 +144,12 @@ object PipelineQueries {
       (spark, dir) => {
         GraftSession.tune(spark)
         spark.catalog.clearCache()
-        val passed = TextQueries.qualityFilter(spark, dir)
-          .where(col("keep")).select(col("doc_id"))
-        // the shared (doc_id, cluster_id) landing — computed once per
-        // process by whichever of dedup_clusters / this pipeline runs
-        // first (see DedupQueries.clusterLabels); the oracle still
-        // re-derives the clustering end-to-end independently
-        val clusters = DedupQueries.clusterLabels(spark, dir, reuseLanding = true)
-          .select(col("doc_id"), col("cluster_id"))
-        // representative per cluster among filter survivors only
-        val reps = passed.join(clusters, "doc_id")
-          .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
+        // quality filter then representative-per-cluster among survivors;
+        // the cluster landing is computed once per process by whichever
+        // of dedup_clusters / this pipeline runs first (see
+        // DedupQueries.clusterLabels); the oracle still re-derives the
+        // clustering end-to-end independently
+        val (reps, _) = curationReps(spark, dir)
         val kept = Tables.documents(spark, dir)
           .select(col("doc_id"), col("source"),
                   TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
@@ -137,18 +166,7 @@ object PipelineQueries {
                     col("n_docs_total").cast("double")).as("keep_frac"))
       },
       Some {
-        s"""WITH qf AS (
-           |${TextQueries.qualityFilterSql}
-           |),
-           |cl AS (
-           |${DedupQueries.clusterAssignmentsSql}
-           |),
-           |reps AS (
-           |  SELECT MIN(cl.doc_id) AS doc_id
-           |  FROM qf JOIN cl ON cl.doc_id = qf.doc_id
-           |  WHERE qf.keep
-           |  GROUP BY cl.cluster_id
-           |),
+        s"""WITH $curationRepsCtes,
            |kept AS (
            |  SELECT d.doc_id, d.source, CAST(${TextAnalysis.wsTokenCountSql("d.text")} AS BIGINT) AS n_tokens
            |  FROM documents d JOIN reps USING (doc_id)
@@ -417,64 +435,35 @@ object PipelineQueries {
         GraftSession.tune(spark)
         import spark.implicits._
         spark.catalog.clearCache()
-        // stage 1: quality survivors
-        val passed = TextQueries.qualityFilter(spark, dir)
-          .where(col("keep")).select(col("doc_id"))
-        // stage 2: min-doc_id representative per near-dup cluster among
-        // survivors (the q_curation_pipeline composition)
-        val clusters = DedupQueries.clusterLabels(spark, dir, reuseLanding = true)
-          .select(col("doc_id"), col("cluster_id"))
-        val reps = passed.join(clusters, "doc_id")
-          .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
+        // stages 1+2: quality survivors, then the min-doc_id
+        // representative per near-dup cluster among them (the shared
+        // curation front half)
+        val (reps, clusters) = curationReps(spark, dir)
         // stage 3: BPE tokenizer — train on the RAW corpus vocabulary
         // (tokenizers are trained once on raw data, then applied to every
         // curated batch), land the merge-list artifact, reload it, and
-        // rebuild word→symbol-count through the load path
-        val v0 = Tables.documents(spark, dir)
-          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("wn"))
-          .select(col("word"), col("wn"),
-                  concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
-          .persist()
+        // rebuild word→symbol-count through the load path (the shared
+        // text_bpe_artifact builders)
+        val v0 = TextQueries.bpeWordTable(spark, dir).persist()
         v0.count()
-        var v = v0
-        val merges = scala.collection.mutable.ArrayBuffer.empty[String]
-        for (_ <- 1 to TextQueries.BpeEncMerges) {
-          val mp = v
-            .select(col("wn"), split(trim(col("s")), " ").as("sy"))
-            .where(expr("size(sy) >= 2"))
-            .select(col("wn"), explode(expr(
-              "transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
-              .as("pair"))
-            .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
-            .orderBy(col("n").desc, col("pair").asc).limit(1)
-            .select(col("pair")).as[String](org.apache.spark.sql.Encoders.STRING)
-            .head()
-          merges += mp
-          v = v.select(col("word"), col("wn"),
-                       expr(s"replace(s, concat(' ', '$mp', ' '), " +
-                            s"concat(' ', replace('$mp', ' ', ''), ' '))").as("s"))
-        }
+        val merges = TextQueries.bpeTrainMerges(v0)._2
         val artifactDir = StorageQueries.target("export_bpe_artifact")
-        merges.toSeq.zipWithIndex.map { case (p, r) => (r.toLong, p) }
+        merges.zipWithIndex.map { case (p, r) => (r.toLong, p) }
           .toDF("rank", "pair")
           .coalesce(1).write.mode("overwrite").parquet(artifactDir)
         val loaded = spark.read.parquet(artifactDir).orderBy(col("rank"))
           .collect().map(r => (r.getLong(0), r.getString(1)))
         require(loaded.map(_._1).toSeq == (0L until TextQueries.BpeEncMerges.toLong),
           s"tokenizer artifact lost/reordered ranks: ${loaded.map(_._1).mkString(",")}")
-        val sExpr = loaded.map(_._2).foldLeft("s") { (acc, mp) =>
-          s"replace($acc, concat(' ', '$mp', ' '), concat(' ', replace('$mp', ' ', ''), ' '))"
-        }
-        val wlen = v0.select(col("word"),
-                             expr(s"size(split(trim($sExpr), ' '))").cast("long").as("n_sym"))
+        val wlen = TextQueries.bpeApplyMerges(v0, loaded.map(_._2).toSeq)
         // per-doc BPE token counts over the curated set
         val kept = Tables.documents(spark, dir).join(reps, "doc_id")
           .select(col("doc_id"), col("source"), col("text"))
           .persist()
         val nKept = kept.count()
-        val nTotal = Tables.documents(spark, dir).count()
+        // total doc count from the cluster landing (one row per doc) —
+        // a parquet-footer count, not another corpus scan
+        val nTotal = clusters.count()
         require(nKept > 0 && nKept < nTotal,
           s"curation kept $nKept of $nTotal docs — the filter+dedup stages did nothing")
         val toks = kept
@@ -565,51 +554,19 @@ object PipelineQueries {
           .select(col("doc_id"), col("source"), col("chunk"), col("n_tokens"),
                   md5(col("text_bytes")).as("text_md5"))
           .localCheckpoint(eager = true)
+        // the decoded output is checkpointed — release the stage caches
+        // so a 200-query process doesn't carry the curated text forward
+        toksB.unpersist()
+        kept.unpersist()
+        v0.unpersist()
         // the packing stage really split the curated set into chunks
         require(decoded.agg(max(col("chunk"))).head().getLong(0) >= 1L,
           "no source packed past one chunk — PackBudget never bound")
         decoded
       },
       Some {
-        val rounds = (1 to TextQueries.BpeEncMerges).map { i =>
-          s"""p$i AS (
-             |  SELECT pair, SUM(wn) AS n FROM (
-             |    SELECT wn, unnest(list_transform(generate_series(1, len(sy) - 1),
-             |                                     j -> sy[j] || ' ' || sy[j + 1])) AS pair
-             |    FROM (SELECT wn, string_split(trim(s), ' ') AS sy FROM v${i - 1})
-             |    WHERE len(sy) >= 2)
-             |  GROUP BY pair
-             |),
-             |t$i AS (SELECT pair AS mp FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
-             |v$i AS (
-             |  SELECT word, wn,
-             |         replace(s, ' ' || mp || ' ', ' ' || replace(mp, ' ', '') || ' ') AS s
-             |  FROM v${i - 1} CROSS JOIN t$i
-             |)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH qf AS (
-           |${TextQueries.qualityFilterSql}
-           |),
-           |cl AS (
-           |${DedupQueries.clusterAssignmentsSql}
-           |),
-           |reps AS (
-           |  SELECT MIN(cl.doc_id) AS doc_id
-           |  FROM qf JOIN cl ON cl.doc_id = qf.doc_id
-           |  WHERE qf.keep
-           |  GROUP BY cl.cluster_id
-           |),
-           |v0 AS (
-           |  SELECT word, COUNT(*) AS wn,
-           |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
-           |  FROM (SELECT unnest(${TextAnalysis.tokensSql("text")}) AS word FROM documents)
-           |  GROUP BY word
-           |),
-           |$rounds,
-           |wlen AS (
-           |  SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
-           |  FROM v${TextQueries.BpeEncMerges}
-           |),
+        s"""WITH $curationRepsCtes,
+           |${TextQueries.bpeOracleCtes},
            |dw AS (
            |  SELECT d.doc_id, d.source, unnest(${TextAnalysis.tokensSql("d.text")}) AS word
            |  FROM documents d JOIN reps USING (doc_id)

@@ -563,6 +563,14 @@ object StorageQueries {
         val nShards = 8
         val vecs = Tables.embeddings(spark, dir)
           .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
+        // contract pinned up front: a null/empty vector would diverge
+        // between the engines (posexplode drops the row, the oracle's
+        // len/list_sum path keeps it) — reject loudly instead
+        val badVecs = vecs.where(col("embedding").isNull ||
+          size(col("embedding")) === 0).count()
+        require(badVecs == 0,
+          s"$badVecs null/empty embedding vectors — the checksum grading " +
+          "assumes every vector is non-empty")
         val shardStats = vecs.repartition(nShards, col("vec_id"))
           .mapPartitions { it =>
             val pid = org.apache.spark.TaskContext.getPartitionId()

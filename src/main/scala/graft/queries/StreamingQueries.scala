@@ -1546,9 +1546,11 @@ object StreamingQueries {
     // reads, hash-checked against the same rollups straight from the
     // events table. A buffer that dropped, duplicated, or mangled a row
     // on either side mismatches. Non-vacuity: ≥ 2 data batches (the
-    // buffers accreted across batches, not one bulk load) and ≥ 1
-    // matched=true row on each side (the matched flag is live, the join
-    // really joined).
+    // buffers accreted across batches, not one bulk load), > 0 emitted
+    // pairs (the join really joined), and every buffered row's store key
+    // equals its user column (the buffer is keyed by the equi-key; this
+    // Spark build's joinSide schema carries no matched flag to grade —
+    // value is exactly the buffered input row).
     QueryDef(
       "q_state_join_reader",
       (spark, dir) => withStreamParts(spark) {

@@ -134,6 +134,98 @@ object TextQueries {
        |FROM documents""".stripMargin
   }
 
+  /** The BPE trainer's input: the word-frequency table with
+    * boundary-spaced symbol strings (v0). Shared by `text_bpe_artifact`
+    * and `q_export_pipeline`; `text_bpe_encode` inlines the same shape in
+    * its unrolled no-collect variant.
+    */
+  private[queries] def bpeWordTable(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+      .select(col("word"), col("wn"),
+              concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+
+  /** The collect-style BPE trainer (pair-count → argmax with the
+    * count DESC, pair ASC tie-break → boundary-spaced replace,
+    * [[BpeEncMerges]] rounds; the 1-row collect per round is
+    * driver-grain in production too — the merge list IS the artifact
+    * being built). Returns the incrementally trained word table and the
+    * ordered merge list; reload-path application is [[bpeApplyMerges]].
+    */
+  private[queries] def bpeTrainMerges(v0: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    var v = v0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (_ <- 1 to BpeEncMerges) {
+      val mp = v
+        .select(col("wn"), split(trim(col("s")), " ").as("sy"))
+        .where(expr("size(sy) >= 2"))
+        .select(col("wn"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .select(col("pair")).as[String](org.apache.spark.sql.Encoders.STRING)
+        .head()
+      merges += mp
+      v = v.select(col("word"), col("wn"),
+                   expr(s"replace(s, concat(' ', '$mp', ' '), " +
+                        s"concat(' ', replace('$mp', ' ', ''), ' '))").as("s"))
+    }
+    (v, merges.toSeq)
+  }
+
+  /** The production tokenizer-LOAD path: apply an artifact's merges in
+    * rank order as ONE chained map over the vocabulary (no pair
+    * statistics at load time) → (word, n_sym).
+    */
+  private[queries] def bpeApplyMerges(v0: org.apache.spark.sql.DataFrame,
+                                      merges: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val sExpr = merges.foldLeft("s") { (acc, mp) =>
+      s"replace($acc, concat(' ', '$mp', ' '), concat(' ', replace('$mp', ' ', ''), ' '))"
+    }
+    v0.select(col("word"),
+              expr(s"size(split(trim($sExpr), ' '))").cast("long").as("n_sym"))
+  }
+
+  /** The independent DuckDB BPE-retrain CTE chain (`v0`, the unrolled
+    * `p{i}/t{i}/v{i}` rounds, `wlen(word, n_sym)`), nestable in a WITH —
+    * ONE definition consumed by the `text_bpe_encode`,
+    * `text_bpe_artifact`, and `q_export_pipeline` oracles, so the
+    * retrain the three gates grade against cannot drift.
+    */
+  private[queries] val bpeOracleCtes: String = {
+    val rounds = (1 to BpeEncMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, SUM(wn) AS n FROM (
+         |    SELECT wn, unnest(list_transform(generate_series(1, len(sy) - 1),
+         |                                     j -> sy[j] || ' ' || sy[j + 1])) AS pair
+         |    FROM (SELECT wn, string_split(trim(s), ' ') AS sy FROM v${i - 1})
+         |    WHERE len(sy) >= 2)
+         |  GROUP BY pair
+         |),
+         |t$i AS (SELECT pair AS mp FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
+         |v$i AS (
+         |  SELECT word, wn,
+         |         replace(s, ' ' || mp || ' ', ' ' || replace(mp, ' ', '') || ' ') AS s
+         |  FROM v${i - 1} CROSS JOIN t$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS (
+       |  SELECT word, COUNT(*) AS wn,
+       |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+       |  FROM (SELECT unnest(${tokensSql("text")}) AS word FROM documents)
+       |  GROUP BY word
+       |),
+       |$rounds,
+       |wlen AS (
+       |  SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
+       |  FROM v$BpeEncMerges
+       |)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // token counting: whitespace, BPE-ish subword, and distinct-token counts
@@ -1144,33 +1236,7 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some {
-        val rounds = (1 to BpeEncMerges).map { i =>
-          s"""p$i AS (
-             |  SELECT pair, SUM(wn) AS n FROM (
-             |    SELECT wn, unnest(list_transform(generate_series(1, len(sy) - 1),
-             |                                     j -> sy[j] || ' ' || sy[j + 1])) AS pair
-             |    FROM (SELECT wn, string_split(trim(s), ' ') AS sy FROM v${i - 1})
-             |    WHERE len(sy) >= 2)
-             |  GROUP BY pair
-             |),
-             |t$i AS (SELECT pair AS mp FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
-             |v$i AS (
-             |  SELECT word, wn,
-             |         replace(s, ' ' || mp || ' ', ' ' || replace(mp, ' ', '') || ' ') AS s
-             |  FROM v${i - 1} CROSS JOIN t$i
-             |)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH v0 AS (
-           |  SELECT word, COUNT(*) AS wn,
-           |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
-           |  FROM (SELECT unnest(${tokensSql("text")}) AS word FROM documents)
-           |  GROUP BY word
-           |),
-           |$rounds,
-           |wlen AS (
-           |  SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
-           |  FROM v$BpeEncMerges
-           |),
+        s"""WITH $bpeOracleCtes,
            |dw AS (SELECT doc_id, unnest(${tokensSql("text")}) AS word FROM documents)
            |SELECT doc_id,
            |       CAST(SUM(length(word)) AS BIGINT) AS n_tokens_chars,
@@ -1206,39 +1272,17 @@ object TextQueries {
       "text_bpe_artifact",
       (spark, dir) => {
         GraftSession.tune(spark)
-        val v0 = Tables.documents(spark, dir)
-          .select(explode(tokens(col("text"))).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("wn"))
-          .select(col("word"), col("wn"),
-                  concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
-          .persist()
+        val v0 = bpeWordTable(spark, dir).persist()
         v0.count() // shared by the train loop and the reload rebuild
-        var v = v0
-        val merges = scala.collection.mutable.ArrayBuffer.empty[String]
-        for (_ <- 1 to BpeEncMerges) {
-          // 1-row collect per round: the trainer's argmax IS driver-grain
-          // in production too (the merge list is the artifact being built)
-          val mp = v
-            .select(col("wn"), split(trim(col("s")), " ").as("sy"))
-            .where(expr("size(sy) >= 2"))
-            .select(col("wn"), explode(expr(
-              "transform(sequence(1, size(sy) - 1), i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
-              .as("pair"))
-            .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
-            .orderBy(col("n").desc, col("pair").asc).limit(1)
-            .select(col("pair")).as[String](org.apache.spark.sql.Encoders.STRING)
-            .head()
-          merges += mp
-          v = v.select(col("word"), col("wn"),
-                       expr(s"replace(s, concat(' ', '$mp', ' '), " +
-                            s"concat(' ', replace('$mp', ' ', ''), ' '))").as("s"))
-        }
+        // 1-row collect per round: the trainer's argmax IS driver-grain
+        // in production too (the merge list is the artifact being built)
+        val (v, merges) = bpeTrainMerges(v0)
         val trained = v.select(col("word"),
                                expr("size(split(trim(s), ' '))").cast("long").as("n_sym"))
         // artifact OUT: the ordered merge list is the whole tokenizer
         val tgt = StorageQueries.target("bpe_tokenizer_artifact")
         import spark.implicits._
-        merges.toSeq.zipWithIndex.map { case (p, r) => (r.toLong, p) }
+        merges.zipWithIndex.map { case (p, r) => (r.toLong, p) }
           .toDF("rank", "pair")
           .coalesce(1).write.mode("overwrite").parquet(tgt)
         // artifact IN: a fresh read; ranks must come back complete
@@ -1248,12 +1292,7 @@ object TextQueries {
           s"artifact lost/reordered merge ranks: ${loaded.map(_._1).mkString(",")}")
         // reload path: apply loaded merges in rank order as ONE chained map
         // over the vocabulary — no pair counting, the tokenizer-load shape
-        val sExpr = loaded.map(_._2).foldLeft("s") { (acc, mp) =>
-          s"replace($acc, concat(' ', '$mp', ' '), concat(' ', replace('$mp', ' ', ''), ' '))"
-        }
-        val reloaded = v0.select(col("word"),
-                                 expr(s"size(split(trim($sExpr), ' '))").cast("long").as("n_sym"))
-          .persist()
+        val reloaded = bpeApplyMerges(v0, loaded.map(_._2).toSeq).persist()
         // bit-identical tokenization or the artifact is lossy: both
         // except directions, vocabulary-grain
         require(reloaded.except(trained).head(1).isEmpty &&
@@ -1271,35 +1310,9 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some {
-        // text_bpe_encode's independent retrain oracle verbatim: the
-        // reloaded artifact must land on the same encodings
-        val rounds = (1 to BpeEncMerges).map { i =>
-          s"""p$i AS (
-             |  SELECT pair, SUM(wn) AS n FROM (
-             |    SELECT wn, unnest(list_transform(generate_series(1, len(sy) - 1),
-             |                                     j -> sy[j] || ' ' || sy[j + 1])) AS pair
-             |    FROM (SELECT wn, string_split(trim(s), ' ') AS sy FROM v${i - 1})
-             |    WHERE len(sy) >= 2)
-             |  GROUP BY pair
-             |),
-             |t$i AS (SELECT pair AS mp FROM p$i ORDER BY n DESC, pair ASC LIMIT 1),
-             |v$i AS (
-             |  SELECT word, wn,
-             |         replace(s, ' ' || mp || ' ', ' ' || replace(mp, ' ', '') || ' ') AS s
-             |  FROM v${i - 1} CROSS JOIN t$i
-             |)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH v0 AS (
-           |  SELECT word, COUNT(*) AS wn,
-           |         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
-           |  FROM (SELECT unnest(${tokensSql("text")}) AS word FROM documents)
-           |  GROUP BY word
-           |),
-           |$rounds,
-           |wlen AS (
-           |  SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
-           |  FROM v$BpeEncMerges
-           |),
+        // text_bpe_encode's independent retrain oracle (the shared CTE
+        // chain): the reloaded artifact must land on the same encodings
+        s"""WITH $bpeOracleCtes,
            |dw AS (SELECT doc_id, unnest(${tokensSql("text")}) AS word FROM documents)
            |SELECT doc_id,
            |       CAST(SUM(length(word)) AS BIGINT) AS n_tokens_chars,

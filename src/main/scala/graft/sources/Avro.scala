@@ -438,9 +438,10 @@ object Avro {
   // ---- file write ----------------------------------------------------------
 
   /** Stream `records` (one Seq[Any] per record, values in schema field
-    * order) into one OCF. `codec` is "null" or "deflate". The sync marker
-    * is caller-supplied so shard writes stay deterministic (task retries
-    * re-produce identical bytes); it must be exactly 16 bytes.
+    * order) into one OCF. `codec` is "null", "deflate", "snappy", or
+    * "zstandard". The sync marker is caller-supplied so shard writes stay
+    * deterministic (task retries re-produce identical bytes); it must be
+    * exactly 16 bytes.
     */
   def writeFile(out: java.io.OutputStream, schema: RecordSchema, codec: String,
                 sync: Array[Byte], records: Iterator[Seq[Any]],
