@@ -102,6 +102,19 @@ object DedupQueries {
     }
   }
 
+  /** Per-landing-name JVM locks: two same-process landers racing the same
+    * name serialize on compute+land, so the second observes the first's
+    * marker and reuses instead of clobbering a write in progress. The
+    * cross-PROCESS race is out of scope by contract: two JVMs overwriting
+    * the same landing dir interleave Spark's overwrite-delete with the
+    * other's part writes (failure mode: a mixed-generation landing whose
+    * count no longer matches either marker — the count check then forces
+    * a recompute, so the table served is never wrong, but the work is
+    * wasted). Production topology is one driver per landing namespace.
+    */
+  private val landingLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** The land-once protocol shared by [[landedSignatures]] and
     * [[clusterLabels]]: the marker (at `<name>_MARKER`) records the cache
     * key AND the landed row count, so a stale key, a deleted landing, or
@@ -109,35 +122,49 @@ object DedupQueries {
     * recompute instead of serving a wrong table — the count check is
     * parquet-footer-only. `forceRecompute = true` callers always compute
     * fresh (their gate IS the computation) but still re-land when the
-    * landing is stale, so reuse callers stay warm.
+    * landing is stale, so reuse callers stay warm. The marker lands via
+    * temp-file + ATOMIC_MOVE, so a reader never parses a half-written
+    * marker; keys must be newline-free (the marker format is
+    * `key \n rowCount` — an embedded newline would shift the parse and
+    * permanently defeat freshness).
     */
-  private def landedOrCompute(spark: org.apache.spark.sql.SparkSession,
-                              name: String, key: String, forceRecompute: Boolean)
-                             (compute: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val tgt = StorageQueries.target(name)
-    val marker = new java.io.File(StorageQueries.target(name + "_MARKER"))
-    def markerLines: Option[(String, Long)] =
-      if (!marker.isFile) None
-      else new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-        .split("\n", 2) match {
-          case Array(k, n) => scala.util.Try((k, n.trim.toLong)).toOption
-          case _           => None
-        }
-    def landingIntact(expectedRows: Long): Boolean = {
-      val files = Option(new java.io.File(tgt).listFiles()).getOrElse(Array.empty)
-      files.exists(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) &&
-        scala.util.Try(spark.read.parquet(tgt).count()).toOption.contains(expectedRows)
+  private[graft] def landedOrCompute(spark: org.apache.spark.sql.SparkSession,
+                                     name: String, key: String, forceRecompute: Boolean)
+                                    (compute: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    require(!key.exists(c => c == '\n' || c == '\r'),
+      s"landing key for '$name' embeds a newline — it would corrupt the marker parse: ${key.replace("\n", "\\n").replace("\r", "\\r")}")
+    val lock = landingLocks.computeIfAbsent(name, _ => new Object)
+    lock.synchronized {
+      val tgt = StorageQueries.target(name)
+      val marker = new java.io.File(StorageQueries.target(name + "_MARKER"))
+      def markerLines: Option[(String, Long)] =
+        if (!marker.isFile) None
+        else new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .split("\n", 2) match {
+            case Array(k, n) => scala.util.Try((k, n.trim.toLong)).toOption
+            case _           => None
+          }
+      def landingIntact(expectedRows: Long): Boolean = {
+        val files = Option(new java.io.File(tgt).listFiles()).getOrElse(Array.empty)
+        files.exists(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) &&
+          scala.util.Try(spark.read.parquet(tgt).count()).toOption.contains(expectedRows)
+      }
+      val fresh = markerLines.exists { case (k, n) => k == key && landingIntact(n) }
+      if (!forceRecompute && fresh) return spark.read.parquet(tgt)
+      val df = compute
+      if (!fresh) {
+        marker.delete(): Unit
+        df.write.mode("overwrite").parquet(tgt)
+        val landedRows = spark.read.parquet(tgt).count()
+        val tmp = new java.io.File(marker.getParentFile,
+          marker.getName + s".tmp-${java.lang.Thread.currentThread().getId}")
+        java.nio.file.Files.write(tmp.toPath, s"$key\n$landedRows".getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp.toPath, marker.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        spark.read.parquet(tgt)
+      } else df
     }
-    val fresh = markerLines.exists { case (k, n) => k == key && landingIntact(n) }
-    if (!forceRecompute && fresh) return spark.read.parquet(tgt)
-    val df = compute
-    if (!fresh) {
-      marker.delete(): Unit
-      df.write.mode("overwrite").parquet(tgt)
-      val landedRows = spark.read.parquet(tgt).count()
-      java.nio.file.Files.write(marker.toPath, s"$key\n$landedRows".getBytes("UTF-8")): Unit
-      spark.read.parquet(tgt)
-    } else df
   }
 
   /** (signatures, candidate pairs) behind `dedup_minhash_lsh` (shared by

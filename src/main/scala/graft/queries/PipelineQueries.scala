@@ -466,6 +466,15 @@ object PipelineQueries {
         val nTotal = clusters.count()
         require(nKept > 0 && nKept < nTotal,
           s"curation kept $nKept of $nTotal docs — the filter+dedup stages did nothing")
+        // a curated doc with zero regex tokens would silently vanish at the
+        // inner wlen join and turn the shard-count gate below into a
+        // data-dependent abort — pin the assumption up front instead (the
+        // quality filter's n_tokens >= 20 rule makes this structural, same
+        // pattern as q_tfexample_embeddings' badVecs guard)
+        val zeroTok = kept
+          .where(size(TextAnalysis.tokens(col("text"))) === 0).count()
+        require(zeroTok == 0L,
+          s"$zeroTok curated docs tokenize to nothing — they cannot be packed or exported")
         val toks = kept
           .select(col("doc_id"), col("source"), explode(TextAnalysis.tokens(col("text"))).as("word"))
           .join(broadcast(wlen), Seq("word"))

@@ -162,6 +162,11 @@ object TfExample {
     }
     val out = new java.io.ByteArrayOutputStream(featuresMsg.size + 8)
     writeLenDelim(out, 1, featuresMsg.toByteArray) // Example.features = 1
+    // write/read symmetry: decode() rejects Examples over MaxExampleBytes,
+    // so an oversized payload must fail HERE at the producer, not land in
+    // a shard this codec's own reader then refuses to open
+    require(out.size <= MaxExampleBytes,
+      s"Example encodes to ${out.size} bytes, over the $MaxExampleBytes cap decode() enforces")
     out.toByteArray
   }
 

@@ -39,6 +39,57 @@ class LandingProtocolSpec extends SparkTestBase {
     assert(DedupQueries.landedSignatures(spark, sf, recompute = false).count() == fullCount)
   }
 
+  test("two concurrent landers of the same name: one computes, one reuses") {
+    // the per-name JVM lock serializes compute+land; the second lander in
+    // must observe the first's marker and serve the landing without
+    // recomputing — and never interleave its overwrite with the first's
+    // part-file writes
+    import java.util.concurrent.{CountDownLatch, CyclicBarrier, TimeUnit}
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val name = "landing_race_spec"
+    val key = s"race-key-${System.nanoTime()}"
+    def land(): Long = DedupQueries.landedOrCompute(spark, name, key, forceRecompute = false) {
+      computes.incrementAndGet()
+      import spark.implicits._
+      (1L to 100L).toDF("v")
+    }.count()
+    // both threads are in flight before either can finish arranging the
+    // landing: the barrier trips only once both have started
+    val started = new CyclicBarrier(2)
+    val done = new CountDownLatch(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 2).foreach { _ =>
+      new Thread(() => {
+        try { started.await(30, TimeUnit.SECONDS); results.add(land()): Unit }
+        catch { case t: Throwable => errors.add(t): Unit }
+        finally done.countDown()
+      }).start()
+    }
+    assert(done.await(120, TimeUnit.SECONDS), "landers did not finish")
+    assert(errors.isEmpty, s"a lander failed: ${Option(errors.peek()).map(_.toString)}")
+    assert(results.size == 2 && results.iterator().next() == 100L &&
+           { val it = results.iterator(); it.next(); it.next() == 100L })
+    assert(computes.get() == 1,
+      s"${computes.get()} computes for one key — the second lander did not reuse")
+    // the marker landed atomically: parseable, and no temp remnant beside it
+    val markerDir = new java.io.File(
+      graft.queries.StorageQueries.target(name + "_MARKER")).getParentFile
+    assert(!Option(markerDir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.startsWith(name + "_MARKER.tmp-")),
+      "marker temp file left behind — the rename did not happen")
+    // a cold third call is a pure reuse
+    assert(land() == 100L && computes.get() == 1)
+  }
+
+  test("a landing key embedding a newline is rejected, not mis-parsed") {
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.landedOrCompute(spark, "landing_badkey_spec", "a\nb",
+        forceRecompute = false) { spark.range(1).toDF("v") }
+    }
+    assert(ex.getMessage.contains("newline"))
+  }
+
   test("a stale marker key recomputes") {
     DedupQueries.landedSignatures(spark, sf, recompute = false).count()
     val marker = new java.io.File(
