@@ -177,18 +177,30 @@ object TextQueries {
     (v, merges.toSeq)
   }
 
-  /** The production tokenizer-LOAD path: apply an artifact's merges in
-    * rank order as ONE chained map over the vocabulary (no pair
-    * statistics at load time) → (word, n_sym).
+  /** The merge-application expression shared by [[bpeApplyMerges]] and
+    * [[bpeApplySymbols]]: an artifact's merges in rank order as ONE
+    * chained map over the boundary-spaced symbol string.
     */
-  private[queries] def bpeApplyMerges(v0: org.apache.spark.sql.DataFrame,
-                                      merges: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val sExpr = merges.foldLeft("s") { (acc, mp) =>
+  private def bpeMergedExpr(merges: Seq[String]): String =
+    merges.foldLeft("s") { (acc, mp) =>
       s"replace($acc, concat(' ', '$mp', ' '), concat(' ', replace('$mp', ' ', ''), ' '))"
     }
+
+  /** The production tokenizer-LOAD path: apply an artifact's merges in
+    * rank order (no pair statistics at load time) → (word, n_sym).
+    */
+  private[queries] def bpeApplyMerges(v0: org.apache.spark.sql.DataFrame,
+                                      merges: Seq[String]): org.apache.spark.sql.DataFrame =
     v0.select(col("word"),
-              expr(s"size(split(trim($sExpr), ' '))").cast("long").as("n_sym"))
-  }
+              expr(s"size(split(trim(${bpeMergedExpr(merges)}), ' '))").cast("long").as("n_sym"))
+
+  /** [[bpeApplyMerges]] keeping the ORDERED symbol sequence per word —
+    * the id-assignment grain for `q_tokenized_shards`' input_ids export.
+    */
+  private[queries] def bpeApplySymbols(v0: org.apache.spark.sql.DataFrame,
+                                       merges: Seq[String]): org.apache.spark.sql.DataFrame =
+    v0.select(col("word"),
+              expr(s"split(trim(${bpeMergedExpr(merges)}), ' ')").as("syms"))
 
   /** The independent DuckDB BPE-retrain CTE chain (`v0`, the unrolled
     * `p{i}/t{i}/v{i}` rounds, `wlen(word, n_sym)`), nestable in a WITH —
@@ -220,11 +232,35 @@ object TextQueries {
        |  GROUP BY word
        |),
        |$rounds,
+       |wsy AS (
+       |  SELECT word, string_split(trim(s), ' ') AS sy FROM v$BpeEncMerges
+       |),
        |wlen AS (
-       |  SELECT word, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_sym
-       |  FROM v$BpeEncMerges
+       |  SELECT word, CAST(len(sy) AS BIGINT) AS n_sym FROM wsy
        |)""".stripMargin
   }
+
+  /** The id-assignment tail of the retrain oracle, nestable after
+    * [[bpeOracleCtes]]: the deterministic vocabulary (distinct final
+    * symbols in lexicographic order, 0-based ids — the portable stand-in
+    * for a production tokenizer's shipped vocab file) and each word's
+    * ORDERED id list. Mirrors [[bpeApplySymbols]] + the vocab/wids stages
+    * of `q_tokenized_shards`.
+    */
+  private[queries] val bpeIdCtes: String =
+    s"""vocab AS (
+       |  SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+       |  FROM (SELECT DISTINCT unnest(sy) AS sym FROM wsy)
+       |),
+       |wsp AS (
+       |  SELECT word, unnest(sy) AS sym,
+       |         unnest(generate_series(1, len(sy))) AS sp
+       |  FROM wsy
+       |),
+       |wids AS (
+       |  SELECT word, list(id ORDER BY sp) AS ids
+       |  FROM wsp JOIN vocab USING (sym) GROUP BY word
+       |)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -58,7 +58,8 @@ object TfExample {
 
   // ---- wire primitives -----------------------------------------------------
 
-  private final class Reader(val bytes: Array[Byte], var pos: Int, val end: Int) {
+  private final class Reader(val bytes: Array[Byte], var pos: Int, val end: Int,
+                             val lenient: Boolean = false) {
     def remaining: Int = end - pos
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"$msg at offset $pos")
@@ -69,16 +70,17 @@ object TfExample {
     /** Plain (non-zigzag) base-128 varint, bounds-checked at 10 bytes.
       * The 10th byte can only carry one significant bit (bit 63); its
       * other payload bits would be silently dropped by the shift, so the
-      * strict validator rejects them — a general proto parser accepts
-      * non-canonical forms, but here an accepted-and-dropped bit means a
-      * corrupted shard decodes to the same value undetected.
+      * strict validator rejects them — a corrupted shard must not decode
+      * to the same value undetected. The LENIENT reader takes the spec's
+      * side instead: any general proto parser accepts non-canonical
+      * forms and drops the overflow bits.
       */
     def readVarint(): Long = {
       var shift = 0; var acc = 0L; var b = 0
       do {
         if (shift > 63) fail("varint longer than 10 bytes")
         b = readByte()
-        if (shift == 63 && (b & 0x7e) != 0)
+        if (!lenient && shift == 63 && (b & 0x7e) != 0)
           fail("non-canonical varint: 10th byte carries dropped bits")
         acc |= (b & 0x7fL) << shift
         shift += 7
@@ -178,6 +180,36 @@ object TfExample {
     ((t >>> 3).toInt, (t & 7).toInt)
   }
 
+  /** Skip one field's value by wire type — the spec-mandated
+    * unknown-field handling the lenient reader applies where the strict
+    * validator rejects. Truncation inside a skip still fails: skipping
+    * is a parse, not a blind seek. Deprecated groups (wire 3/4) nest.
+    */
+  private def skipField(in: Reader, wire: Int): Unit = wire match {
+    case 0 => in.readVarint(): Unit
+    case 1 =>
+      if (in.remaining < 8) in.fail("truncated 64-bit field")
+      in.pos += 8
+    case 2 =>
+      val n = in.readLen("skipped field")
+      in.pos += n
+    case 3 =>
+      var depth = 1
+      while (depth > 0) {
+        val (_, w) = readTag(in)
+        w match {
+          case 3 => depth += 1
+          case 4 => depth -= 1
+          case other => skipField(in, other)
+        }
+      }
+    case 4 => in.fail("end-group tag with no matching start-group")
+    case 5 =>
+      if (in.remaining < 4) in.fail("truncated 32-bit field")
+      in.pos += 4
+    case w => in.fail(s"invalid wire type $w")
+  }
+
   private def decodeBytesList(in: Reader): BytesList = {
     val out = IndexedSeq.newBuilder[Array[Byte]]
     while (in.remaining > 0) {
@@ -186,7 +218,9 @@ object TfExample {
           val n = in.readLen("bytes element")
           out += java.util.Arrays.copyOfRange(in.bytes, in.pos, in.pos + n)
           in.pos += n
-        case (f, w) => in.fail(s"unexpected BytesList field $f wire $w")
+        case (f, w) =>
+          if (in.lenient) skipField(in, w)
+          else in.fail(s"unexpected BytesList field $f wire $w")
       }
     }
     BytesList(out.result())
@@ -203,7 +237,9 @@ object TfExample {
           while (in.pos < end) out += java.lang.Float.intBitsToFloat(in.readLe32())
         case (1, 5) => // unpacked
           out += java.lang.Float.intBitsToFloat(in.readLe32())
-        case (f, w) => in.fail(s"unexpected FloatList field $f wire $w")
+        case (f, w) =>
+          if (in.lenient) skipField(in, w)
+          else in.fail(s"unexpected FloatList field $f wire $w")
       }
     }
     FloatList(out.result())
@@ -216,18 +252,40 @@ object TfExample {
         case (1, 2) => // packed
           val n = in.readLen("packed int64 blob")
           val end = in.pos + n
-          val sub = new Reader(in.bytes, in.pos, end)
+          val sub = new Reader(in.bytes, in.pos, end, in.lenient)
           while (sub.remaining > 0) out += sub.readVarint()
           in.pos = end
         case (1, 0) => // unpacked
           out += in.readVarint()
-        case (f, w) => in.fail(s"unexpected Int64List field $f wire $w")
+        case (f, w) =>
+          if (in.lenient) skipField(in, w)
+          else in.fail(s"unexpected Int64List field $f wire $w")
       }
     }
     Int64List(out.result())
   }
 
   private def decodeFeature(in: Reader): FeatureValue = {
+    if (in.lenient) {
+      // spec semantics: unknown fields skipped, a re-occurring oneof kind
+      // is last-wins; a Feature whose kind is never set stays
+      // unrepresentable in this model and rejects in both modes
+      var kind: Option[FeatureValue] = None
+      while (in.remaining > 0) {
+        val (field, wire) = readTag(in)
+        if (wire == 2 && field >= 1 && field <= 3) {
+          val n = in.readLen("Feature kind")
+          val sub = new Reader(in.bytes, in.pos, in.pos + n, lenient = true)
+          in.pos += n
+          kind = Some(field match {
+            case 1 => decodeBytesList(sub)
+            case 2 => decodeFloatList(sub)
+            case _ => decodeInt64List(sub)
+          })
+        } else skipField(in, wire)
+      }
+      return kind.getOrElse(in.fail("Feature with no kind set"))
+    }
     if (in.remaining == 0) in.fail("Feature with no kind set")
     val (field, wire) = readTag(in)
     if (wire != 2) in.fail(s"Feature kind field $field has wire type $wire, expected 2")
@@ -250,20 +308,25 @@ object TfExample {
     while (in.remaining > 0) {
       readTag(in) match {
         case (1, 2) =>
-          if (key.isDefined) in.fail("duplicate key field in map entry")
+          if (key.isDefined && !in.lenient) in.fail("duplicate key field in map entry")
           val n = in.readLen("feature name")
           key = Some(new String(in.bytes, in.pos, n, java.nio.charset.StandardCharsets.UTF_8))
           in.pos += n
         case (2, 2) =>
-          if (value.isDefined) in.fail("duplicate value field in map entry")
+          if (value.isDefined && !in.lenient) in.fail("duplicate value field in map entry")
           val n = in.readLen("Feature message")
-          val sub = new Reader(in.bytes, in.pos, in.pos + n)
+          val sub = new Reader(in.bytes, in.pos, in.pos + n, in.lenient)
           in.pos += n
           value = Some(decodeFeature(sub))
-        case (f, w) => in.fail(s"unexpected map-entry field $f wire $w")
+        case (f, w) =>
+          if (in.lenient) skipField(in, w)
+          else in.fail(s"unexpected map-entry field $f wire $w")
       }
     }
-    (key.getOrElse(in.fail("map entry missing key")),
+    // lenient takes the proto3 default for an absent key (empty string);
+    // an absent Feature VALUE decodes to kind-not-set, unrepresentable
+    // here, so it rejects in both modes
+    (key.getOrElse(if (in.lenient) "" else in.fail("map entry missing key")),
      value.getOrElse(in.fail("map entry missing Feature value")))
   }
 
@@ -298,5 +361,48 @@ object TfExample {
       }
     }
     out.result()
+  }
+
+  /** The spec-mandated LENIENT read beside the strict validator: unknown
+    * fields at every level are skipped (including nested deprecated
+    * groups), non-canonical varints accepted with overflow bits dropped,
+    * a repeated `Example.features` occurrence merges (proto embedded-
+    * message merge), and duplicate feature names / oneof kinds are
+    * last-wins (proto3 map + oneof semantics). Use this to read Examples
+    * written by RICHER producers — e.g. a shard that also carries fields
+    * this decoder does not model. Truncations, lengths past the enclosing
+    * message, and a Feature with no representable kind still reject:
+    * lenient is about unknown CONTENT, not damaged framing. Every
+    * strict-accepted payload decodes identically in both modes
+    * (property-tested in TfExampleSpec).
+    */
+  def decodeLenient(bytes: Array[Byte]): Seq[(String, FeatureValue)] = {
+    require(bytes.length <= MaxExampleBytes, s"Example exceeds $MaxExampleBytes bytes")
+    val in = new Reader(bytes, 0, bytes.length, lenient = true)
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    val byName = scala.collection.mutable.HashMap.empty[String, FeatureValue]
+    while (in.remaining > 0) {
+      readTag(in) match {
+        case (1, 2) => // Example.features — repeated occurrences merge
+          val n = in.readLen("Features message")
+          val features = new Reader(in.bytes, in.pos, in.pos + n, lenient = true)
+          in.pos += n
+          while (features.remaining > 0) {
+            readTag(features) match {
+              case (1, 2) =>
+                val en = features.readLen("map entry")
+                val sub = new Reader(features.bytes, features.pos, features.pos + en,
+                                     lenient = true)
+                features.pos += en
+                val (k, v) = decodeMapEntry(sub)
+                if (!byName.contains(k)) order += k
+                byName(k) = v // last wins, first-seen position kept
+              case (_, w) => skipField(features, w)
+            }
+          }
+        case (_, w) => skipField(in, w)
+      }
+    }
+    order.map(k => k -> byName(k)).toSeq
   }
 }

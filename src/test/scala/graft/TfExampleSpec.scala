@@ -146,6 +146,108 @@ class TfExampleSpec extends AnyFunSuite {
       Seq("a" -> Int64List(Vector(1L)), "a" -> Int64List(Vector(2L)))))
   }
 
+  test("lenient ⊇ strict: every strict-accepted payload decodes identically") {
+    val rnd = new scala.util.Random(0x5eed17)
+    (1 to 300).foreach { _ =>
+      val n = 1 + rnd.nextInt(5)
+      val feats = (0 until n).map { i =>
+        val name = s"g${i}_${rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString}"
+        val fv: FeatureValue = rnd.nextInt(3) match {
+          case 0 => Int64List(Vector.fill(rnd.nextInt(16))(rnd.nextLong()))
+          case 1 => FloatList(Vector.fill(rnd.nextInt(16))(
+            java.lang.Float.intBitsToFloat(rnd.nextInt())).map(f => if (f.isNaN) 0f else f))
+          case _ => BytesList(Vector.fill(rnd.nextInt(4))(
+            Array.fill(rnd.nextInt(24))(rnd.nextInt().toByte)))
+        }
+        name -> fv
+      }
+      val bytes = TfExample.encode(feats)
+      assert(TfExample.decodeLenient(bytes) == TfExample.decode(bytes))
+    }
+  }
+
+  test("lenient skips injected unknown fields at every level; strict rejects each") {
+    def ld(field: Int, b: Array[Byte]): Array[Byte] =
+      Array(((field << 3) | 2).toByte, b.length.toByte) ++ b
+    def vint(field: Int, v: Int): Array[Byte] =
+      Array((field << 3).toByte, v.toByte) // single-byte varint values only
+    def i64(field: Int, v: Byte): Array[Byte] = // 64-bit wire type 1
+      Array(((field << 3) | 1).toByte) ++ Array.fill(8)(v)
+    def group(field: Int): Array[Byte] = // deprecated nested group, wire 3/4
+      Array(((field << 3) | 3).toByte) ++ vint(1, 7) ++
+        Array(((field << 3) | 4).toByte)
+    val listMsg = ld(1, Array[Byte](0x2a)) // Int64List packed [42]
+    val feature = ld(3, listMsg)
+    val entry = ld(1, Array('a'.toByte)) ++ ld(2, feature)
+    val base = ld(1, ld(1, entry))
+    val want = Seq("a" -> Int64List(Vector(42L)))
+    assert(TfExample.decode(base) == want)
+    val injected = Seq(
+      "example-append-varint"  -> (base ++ vint(15, 1)),
+      "example-prepend-64bit"  -> (i64(12, 0x11) ++ base),
+      "example-group"          -> (base ++ group(7)),
+      "features-lendelim"      -> ld(1, ld(1, entry) ++ ld(9, Array[Byte](1, 2))),
+      "entry-varint"           -> ld(1, ld(1,
+        ld(1, Array('a'.toByte)) ++ vint(5, 9) ++ ld(2, feature))),
+      "feature-unknown-field"  -> ld(1, ld(1,
+        ld(1, Array('a'.toByte)) ++ ld(2, vint(4, 2) ++ ld(3, listMsg)))),
+      "list-unknown-field"     -> ld(1, ld(1,
+        ld(1, Array('a'.toByte)) ++ ld(2, ld(3, listMsg ++ vint(3, 1))))))
+    injected.foreach { case (label, bytes) =>
+      intercept[IllegalArgumentException] { TfExample.decode(bytes); () }
+      assert(TfExample.decodeLenient(bytes) == want, label)
+    }
+  }
+
+  test("lenient spec semantics: last-wins duplicates, merged features, masked varint") {
+    def ld(field: Int, b: Array[Byte]): Array[Byte] =
+      Array(((field << 3) | 2).toByte, b.length.toByte) ++ b
+    val l1 = ld(3, ld(1, Array[Byte](0x01)))
+    val l2 = ld(3, ld(1, Array[Byte](0x02)))
+    // duplicate oneof kind inside one Feature: last wins
+    val dupKind = ld(1, ld(1, ld(1, Array('a'.toByte)) ++ ld(2, l1 ++ l2)))
+    intercept[IllegalArgumentException] { TfExample.decode(dupKind); () }
+    assert(TfExample.decodeLenient(dupKind) == Seq("a" -> Int64List(Vector(2L))))
+    // duplicate feature NAME across entries: last wins, first position kept
+    val eA1 = ld(1, Array('a'.toByte)) ++ ld(2, l1)
+    val eA2 = ld(1, Array('a'.toByte)) ++ ld(2, l2)
+    val eB = ld(1, Array('b'.toByte)) ++ ld(2, l1)
+    val dupName = ld(1, ld(1, eA1) ++ ld(1, eB) ++ ld(1, eA2))
+    intercept[IllegalArgumentException] { TfExample.decode(dupName); () }
+    assert(TfExample.decodeLenient(dupName) ==
+      Seq("a" -> Int64List(Vector(2L)), "b" -> Int64List(Vector(1L))))
+    // repeated Example.features occurrences MERGE (proto embedded-message merge)
+    val twoFeatures = ld(1, ld(1, eA1)) ++ ld(1, ld(1, eB))
+    intercept[IllegalArgumentException] { TfExample.decode(twoFeatures); () }
+    assert(TfExample.decodeLenient(twoFeatures) ==
+      Seq("a" -> Int64List(Vector(1L)), "b" -> Int64List(Vector(1L))))
+    // non-canonical 10-byte varint: strict rejects the dropped bits,
+    // lenient masks them (0x80 x9 then 0x03 -> only bit 63 survives)
+    val packed = Array.fill(9)(0x80.toByte) :+ 0x03.toByte
+    val ncv = ld(1, ld(1, ld(1, Array('a'.toByte)) ++
+      ld(2, ld(3, ld(1, packed)))))
+    intercept[IllegalArgumentException] { TfExample.decode(ncv); () }
+    assert(TfExample.decodeLenient(ncv) == Seq("a" -> Int64List(Vector(Long.MinValue))))
+    // lenient is about unknown CONTENT, not damaged framing: truncation
+    // still rejects
+    val good = TfExample.encode(Seq("a" -> Int64List(Vector(1L, 2L))))
+    intercept[IllegalArgumentException] {
+      TfExample.decodeLenient(good.dropRight(1)); ()
+    }
+    // unmatched end-group tag rejects even when skipped leniently
+    intercept[IllegalArgumentException] {
+      TfExample.decodeLenient(good ++ Array[Byte](0x3c)); () // field 7 wire 4
+    }
+  }
+
+  test("encode enforces the decode-side size cap — oversized Examples fail at the producer") {
+    val huge = BytesList(Vector(new Array[Byte](TfExample.MaxExampleBytes)))
+    val ex = intercept[IllegalArgumentException] {
+      TfExample.encode(Seq("blob" -> huge)); ()
+    }
+    assert(ex.getMessage.contains("cap"))
+  }
+
   test("hostile lengths fail fast: nested length past the message, huge varint") {
     // claims a 2GB Features message in a 4-byte Example
     intercept[IllegalArgumentException](TfExample.decode(
