@@ -398,7 +398,16 @@ object ScaleStress {
     // embedding shards: the same streamed-shard legs over the rotated
     // embeddings replicas; the checksum is one posexplode + hash-agg,
     // linear in vector elements
-    "q_tfexample_embeddings")
+    "q_tfexample_embeddings",
+    // round-17 additions. Token-id shards: the export composite's stages
+    // (clustering frontier, vocabulary-grain tokenizer + vocab window)
+    // plus one token-grain explode/broadcast-join/doc-grain groupBy for
+    // the flatten and the linear shard legs — linear in tokens
+    "q_tokenized_shards",
+    // Arrow IPC: one doc↔vector shuffle join + streamed per-task batch
+    // writes + per-shard reference re-read; the vector checksum is
+    // map-only higher-order functions — linear in corpus bytes
+    "q_arrow_roundtrip")
     // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
     // rows by construction (processing-time TTL admits no deterministic
     // natural feed), so its cost is scale-invariant lifecycle setup —
