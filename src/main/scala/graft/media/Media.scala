@@ -77,6 +77,34 @@ final case class Y4mFeatures(
     sampled_md5: String
 )
 
+/** Dequantized-coefficient features decoded from a real baseline JPEG (see
+  * [[Jpeg.decodeCoeffs]]): the entropy layer's output graded directly —
+  * marker walk, DHT rebuild, Huffman decode, byte unstuffing, zigzag runs,
+  * DC prediction, dequantization — before any pixel math.
+  */
+final case class JpegCoeffFeatures(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    n_blocks: Int,
+    n_nonzero: Long,
+    coeff_checksum: Long,
+    coeffs_md5: String
+)
+
+/** Pixel features decoded from a real baseline JPEG through the exact
+  * fixed-point IDCT (see [[Jpeg]] object doc): all-integer, so the DuckDB
+  * oracle restates every pixel in closed form from the generating
+  * coefficient formulas and the shared [[Jpeg.FTable]] constants.
+  */
+final case class JpegPixelFeatures(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    pixel_sum: Long,
+    pixels_md5: String
+)
+
 /** A real, pure-JVM image codec: 24-bit uncompressed BMP (BITMAPFILEHEADER
   * + BITMAPINFOHEADER, BI_RGB). This is the one genuinely decodable format
   * in a container with no image libraries — the decoder must get the
@@ -706,5 +734,108 @@ object Media {
         first_byte = rgb(0) & 0xff,
         frame_count = r.n_frames)
     })
+  }
+
+  // ----------------------------------------------------- real JPEG
+
+  /** Shared quantization step for both JPEG fixtures, ZIGZAG index z:
+    * q(z) = 1 + (3z mod 17) ∈ [1, 17]. SQL-restatable, and ≥1 everywhere so
+    * a coefficient is nonzero iff its dequantized value is — which keeps
+    * the two engines' nonzero counts trivially aligned.
+    */
+  def jpegQuant(z: Int): Int = 1 + ((z * 3) % 17)
+
+  /** Coeff-gate image size in BLOCKS: 1..3 across, 1..2 down (≤6 blocks,
+    * so multi-block DC prediction and 2-D block rastering are both live).
+    */
+  def jpegCoeffDims(docId: Long): (Int, Int) =
+    ((1 + (docId % 3)).toInt, (1 + ((docId * 3) % 2)).toInt)
+
+  /** Coeff-gate quantized coefficient at block b (raster), zigzag z:
+    * DC ∈ [−256, 255] per block (diffs stay inside Annex K category 9);
+    * AC nonzero on a mod-11 lattice with values ∈ [−32, 31] (size ≤ 6),
+    * zero elsewhere — sparse like real quantized spectra, so the encoder
+    * emits genuine run/EOB/ZRL structure.
+    */
+  def jpegCoeff(docId: Long, b: Int, z: Int): Int =
+    if (z == 0) ((docId * 7 + b * 13) % 512 - 256).toInt
+    else if ((docId + b * 3 + z * 7) % 11 == 0) ((docId * 5 + b + z * 3) % 64 - 32).toInt
+    else 0
+
+  /** Pixel-gate quantized coefficient (fixed 16×8 image = 2 blocks, so DC
+    * prediction crosses a block boundary while the oracle's per-pixel
+    * 64-term closed form stays 128 pixels per document).
+    */
+  def jpegPixCoeff(docId: Long, b: Int, z: Int): Int =
+    if (z == 0) ((docId * 11 + b * 29) % 512 - 256).toInt
+    else if ((docId + b * 5 + z * 3) % 13 == 0) ((docId * 7 + b * 11 + z) % 32 - 16).toInt
+    else 0
+
+  private def jpegQuantTable: Array[Int] = Array.tabulate(64)(jpegQuant)
+
+  /** Per-id: synthesize quantized coefficients → encode as a real baseline
+    * JPEG → [[Jpeg.decodeCoeffs]] with the real parser → features from the
+    * DECODED dequantized values only (count, position-weighted checksum,
+    * digest of the comma-joined sequence in block-raster × zigzag order).
+    * The oracle recomputes all three from the generating formulas × the
+    * quant formula — any marker, DHT, Huffman, run-length, DC-prediction,
+    * or dequantization defect mismatches. Map-only; payloads never shuffle.
+    */
+  def jpegCoeffRoundTrip(ids: Dataset[java.lang.Long]): Dataset[JpegCoeffFeatures] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val (wb, hb) = jpegCoeffDims(id)
+        val nb = wb * hb
+        val blocks = Array.tabulate(nb)(b => Array.tabulate(64)(z => jpegCoeff(id, b, z)))
+        val bytes = Jpeg.encode(wb * 8, hb * 8, jpegQuantTable, blocks)
+        val (w, h, _, dq) = Jpeg.decodeCoeffs(bytes)
+        var nonzero = 0L
+        var checksum = 0L
+        val joined = new java.lang.StringBuilder(nb * 64 * 3)
+        var i = 0
+        while (i < dq.length * 64) {
+          val v = dq(i / 64)(i % 64)
+          if (v != 0) nonzero += 1
+          checksum += (i + 1).toLong * v
+          if (i > 0) joined.append(',')
+          joined.append(v)
+          i += 1
+        }
+        md.reset()
+        val digest = md.digest(joined.toString.getBytes("UTF-8"))
+        JpegCoeffFeatures(id, w, h, dq.length, nonzero, checksum, hexLower(digest))
+      }
+    }
+  }
+
+  /** Per-id: synthesize quantized coefficients → real JPEG →
+    * [[Jpeg.decodePixels]] (full parse + exact fixed-point IDCT + level
+    * shift + clamp) → features from the DECODED pixels only. Because the
+    * IDCT rounds exactly once per sample (see [[Jpeg]]), the oracle states
+    * every output pixel as one integer expression over the coefficient
+    * formulas and the shared FTable/zigzag literals — general AC content,
+    * not just DC-flat blocks, graded bit-for-bit.
+    */
+  def jpegRoundTrip(ids: Dataset[java.lang.Long]): Dataset[JpegPixelFeatures] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { boxed =>
+        val id = boxed.longValue()
+        val blocks = Array.tabulate(2)(b => Array.tabulate(64)(z => jpegPixCoeff(id, b, z)))
+        val bytes = Jpeg.encode(16, 8, jpegQuantTable, blocks)
+        val (w, h, px) = Jpeg.decodePixels(bytes)
+        var sum = 0L
+        val out = new Array[Byte](px.length)
+        var i = 0
+        while (i < px.length) { sum += px(i); out(i) = px(i).toByte; i += 1 }
+        md.reset()
+        val digest = md.digest(hexLower(out).getBytes("UTF-8"))
+        JpegPixelFeatures(id, w, h, sum, hexLower(digest))
+      }
+    }
   }
 }
