@@ -564,7 +564,7 @@ object PipelineQueries {
           .join(docIds, "doc_id")
           .select(col("doc_id"), col("source"), col("chunk"), col("n_tokens"),
                   col("text"), col("ids"))
-        val shardStats = rows.repartition(nShards, col("doc_id"))
+        val shardStats = StorageQueries.shardBy(rows, nShards, col("doc_id"))
           .mapPartitions { it =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
@@ -710,7 +710,7 @@ object PipelineQueries {
         val tgt = StorageQueries.target("tokenized_shards")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
         val nShards = 8
-        val shardStats = docIds.repartition(nShards, col("doc_id"))
+        val shardStats = StorageQueries.shardBy(docIds, nShards, col("doc_id"))
           .mapPartitions { it =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val attempt = org.apache.spark.TaskContext.get().taskAttemptId()

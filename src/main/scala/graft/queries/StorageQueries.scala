@@ -34,6 +34,106 @@ object StorageQueries {
   private[graft] def target(name: String): String =
     sinkRoot.resolve(name).toAbsolutePath.toString
 
+  /** Shard-count-STABLE repartition for the fixed-shard export writers.
+    *
+    * A plain `repartition(n, col)` is silently absorbed when the child is
+    * already hash-partitioned on `col` with numPartitions == n (e.g. a
+    * groupBy/join on the same key under `spark.sql.shuffle.partitions ==
+    * n`): the planner elides the exchange, and AQE is then free to
+    * coalesce the surviving upstream ENSURE_REQUIREMENTS shuffle — the
+    * writer runs as ONE task and the fixed shard layout collapses
+    * (measured: 8-shard gates failing `countDistinct(shard) == 8` exactly
+    * when SPARK_GRAFT_CPUS=8; fine at 4 and 24). Deriving the partition
+    * key as `pmod(hash(col), n)` means no upstream partitioning can
+    * satisfy it, so the exchange always materializes with the
+    * REPARTITION_BY_NUM origin AQE must not coalesce — the shard count
+    * holds for ANY session partition setting, which is what a training
+    * export demands (downstream loaders address shards by fixed index).
+    */
+  private[graft] def shardBy(df: org.apache.spark.sql.DataFrame, n: Int,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    df.repartition(n, pmod(hash(c), lit(n)))
+
+  /** Shared write→read leg for the two Arrow IPC formats (file = the
+    * memory-map shape, stream = the pipe/network shape), with the
+    * format-specific writer/reader injected. Both gates grade the same
+    * digest columns against the same oracle, so the two formats are
+    * proven to carry identical content — not just to self-round-trip.
+    */
+  private def arrowExport(spark: org.apache.spark.sql.SparkSession, dir: String,
+      tgtName: String, ext: String,
+      write: (java.nio.file.Path, Iterator[graft.sources.ArrowIpc.DocRow]) => Long,
+      read: Array[Byte] => Vector[graft.sources.ArrowIpc.DocRow]): org.apache.spark.sql.DataFrame = {
+    GraftSession.tune(spark)
+    import spark.implicits._
+    import graft.sources.ArrowIpc
+    val tgt = target(tgtName)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
+    val nShards = 8
+    val rows = Tables.documents(spark, dir)
+      .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("source"), col("text"), col("embedding"))
+    // same contract as q_tfexample_embeddings: the checksum grading
+    // assumes every vector is present and non-empty
+    val badVecs = rows.where(col("embedding").isNull ||
+      size(col("embedding")) === 0).count()
+    require(badVecs == 0,
+      s"$badVecs null/empty embedding vectors — the checksum grading " +
+      "assumes every vector is non-empty")
+    val shardStats = shardBy(rows, nShards, col("doc_id"))
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+        val dst = java.nio.file.Paths.get(tgt, f"shard-$pid%05d$ext")
+        val tmp = java.nio.file.Paths.get(tgt, f"_tmp-arw-$pid%05d-$attempt")
+        val n = write(tmp, it.map { row =>
+          ArrowIpc.DocRow(
+            row.getLong(0),
+            if (row.isNullAt(1)) null else row.getString(1),
+            if (row.isNullAt(2)) null else row.getString(2),
+            row.getSeq[Float](3).toArray)
+        })
+        java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Iterator.single((pid, n))
+      }
+    val layout = shardStats.toDF("shard", "n_records")
+      .agg(countDistinct(col("shard")).cast("long"),
+           sum(col("n_records")).cast("long")).first()
+    require(layout.getLong(0) == nShards,
+      s"expected $nShards Arrow shards, saw ${layout.getLong(0)} writer tasks")
+    require(layout.getLong(1) > 0, "no rows exported")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"shard-*$ext").load(tgt)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap(read(_).iterator
+        .map(r => (r.docId, Option(r.source), Option(r.text), r.emb)))
+      .toDF("doc_id", "source", "text", "emb")
+      .select(col("doc_id"),
+              coalesce(col("source"), lit("<null>")).as("source"),
+              md5(col("text")).as("text_md5"),
+              size(col("emb")).cast("long").as("n_dims"),
+              expr("""aggregate(
+                zip_with(emb, sequence(1, size(emb)),
+                         (x, i) -> i * CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT)),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("vec_fx"))
+  }
+
+  /** One oracle for both Arrow gates (see [[arrowExport]]). The
+    * float→decimal path goes through DOUBLE on the DuckDB side — the same
+    * shortest-representation trap q_tfexample_embeddings documents.
+    */
+  private val arrowOracleSql: String =
+    """SELECT d.doc_id,
+      |       COALESCE(d.source, '<null>') AS source,
+      |       md5(d.text) AS text_md5,
+      |       CAST(len(e.embedding) AS BIGINT) AS n_dims,
+      |       CAST(list_sum(list_transform(e.embedding,
+      |            (x, i) -> i * CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)))
+      |            AS BIGINT) AS vec_fx
+      |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin
+
   /** q_compaction_bins: modeled file-inventory width and the compaction
     * target size in bytes (64 KiB — sized to the test corpus so bins ≫ 1;
     * a production run only changes this constant to 512 MB).
@@ -375,7 +475,7 @@ object StorageQueries {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
         val nShards = 8
         val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-        val shardStats = docs.repartition(nShards, col("doc_id"))
+        val shardStats = shardBy(docs, nShards, col("doc_id"))
           .mapPartitions { it =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
@@ -458,7 +558,7 @@ object StorageQueries {
         val nShards = 8
         val docs = Tables.documents(spark, dir)
           .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-        val shardStats = docs.repartition(nShards, col("doc_id"))
+        val shardStats = shardBy(docs, nShards, col("doc_id"))
           .mapPartitions { it =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
@@ -571,7 +671,7 @@ object StorageQueries {
         require(badVecs == 0,
           s"$badVecs null/empty embedding vectors — the checksum grading " +
           "assumes every vector is non-empty")
-        val shardStats = vecs.repartition(nShards, col("vec_id"))
+        val shardStats = shardBy(vecs, nShards, col("vec_id"))
           .mapPartitions { it =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
@@ -660,73 +760,134 @@ object StorageQueries {
     // already needs for sharding.
     QueryDef(
       "q_arrow_roundtrip",
+      (spark, dir) => arrowExport(spark, dir, "arrow_shards", ".arrow",
+        graft.sources.ArrowIpc.writeFile, graft.sources.ArrowIpc.readFile),
+      Some(arrowOracleSql)
+    ),
+
+    // the SECOND Arrow IPC format (round-17): the *stream* format — schema
+    // message, record batches, EOS marker; no footer, no seekability. This
+    // is the pipe/network shape (`RecordBatchStreamReader` on the Python
+    // side, Arrow Flight's wire unit) next to the file format's memory-map
+    // shape. Same shard discipline, same digest columns, same oracle as
+    // q_arrow_roundtrip through [[arrowExport]] — so the two formats are
+    // proven to carry IDENTICAL content; the strict readers additionally
+    // refuse each other's payloads (format blur is a real ingest bug:
+    // a stream fed to a memory-mapping loader fails only at mmap time)
+    QueryDef(
+      "q_arrow_stream",
+      (spark, dir) => arrowExport(spark, dir, "arrow_stream_shards", ".arrows",
+        graft.sources.ArrowIpc.writeStream, graft.sources.ArrowIpc.readStream),
+      Some(arrowOracleSql)
+    ),
+
+    // WEBDATASET TAR SHARDS (round-17): the dominant shard format for
+    // MULTIMODAL training corpora — samples are consecutive member files
+    // in a plain tar sharing a key prefix ({key}.jpg + {key}.json), so a
+    // sequential reader streams whole samples without an index. Write
+    // leg: the house shard discipline (explicit repartition to the shard
+    // count, streamed per-task writes, temp + atomic rename,
+    // deterministic bytes on retry — mtime pinned to 0 in the headers)
+    // with REAL payloads: each sample's .jpg is an actual baseline JPEG
+    // from the [[graft.media.Jpeg]] encoder and its .json carries the
+    // doc's metadata. Read leg: the strict USTAR parser (magic + header
+    // checksum per member, strict octal fields, zero padding enforced,
+    // two-zero-block terminator, nothing after) re-reads every shard,
+    // REQUIRE's the WebDataset contract on member order (pairs adjacent,
+    // prefixes equal), then decodes every JPEG with the real decoder —
+    // the graded pixel digest rides the same exact-IDCT closed form as
+    // media_jpeg_decode, so this grades container AND payload end-to-end.
+    // Scale: shard grain is the parallelism unit on both legs; per-doc
+    // payloads are constant-size; nothing shuffles after the one
+    // repartition.
+    QueryDef(
+      "q_webdataset_shards",
       (spark, dir) => {
         GraftSession.tune(spark)
         import spark.implicits._
-        import graft.sources.ArrowIpc
-        val tgt = target("arrow_shards")
+        import graft.media.{Jpeg, Media}
+        import graft.sources.Tar
+        val tgt = target("webdataset_shards")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
         val nShards = 8
-        val rows = Tables.documents(spark, dir)
-          .join(Tables.embeddings(spark, dir), col("doc_id") === col("vec_id"))
-          .select(col("doc_id"), col("source"), col("text"), col("embedding"))
-        // same contract as q_tfexample_embeddings: the checksum grading
-        // assumes every vector is present and non-empty
-        val badVecs = rows.where(col("embedding").isNull ||
-          size(col("embedding")) === 0).count()
-        require(badVecs == 0,
-          s"$badVecs null/empty embedding vectors — the checksum grading " +
-          "assumes every vector is non-empty")
-        val shardStats = rows.repartition(nShards, col("doc_id"))
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("lang"))
+        val shardStats = shardBy(docs, nShards, col("doc_id"))
           .mapPartitions { it =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
-            val dst = java.nio.file.Paths.get(tgt, f"shard-$pid%05d.arrow")
-            val tmp = java.nio.file.Paths.get(tgt, f"_tmp-arw-$pid%05d-$attempt")
-            val n = ArrowIpc.writeFile(tmp, it.map { row =>
-              ArrowIpc.DocRow(
-                row.getLong(0),
-                if (row.isNullAt(1)) null else row.getString(1),
-                if (row.isNullAt(2)) null else row.getString(2),
-                row.getSeq[Float](3).toArray)
-            })
+            val dst = java.nio.file.Paths.get(tgt, f"shard-$pid%05d.tar")
+            val tmp = java.nio.file.Paths.get(tgt, f"_tmp-wds-$pid%05d-$attempt")
+            val quant = Array.tabulate(64)(Media.jpegQuant)
+            val os = new java.io.BufferedOutputStream(
+              java.nio.file.Files.newOutputStream(tmp))
+            var n = 0L
+            try {
+              it.foreach { row =>
+                val id = row.getLong(0)
+                val key = f"$id%012d"
+                val blocks = Array.tabulate(2)(b =>
+                  Array.tabulate(64)(z => Media.jpegPixCoeff(id, b, z)))
+                val jpg = Jpeg.encode(16, 8, quant, blocks)
+                val meta =
+                  s"""{"doc_id":$id,"source":"${row.getString(1)}","lang":"${row.getString(2)}"}"""
+                Tar.writeEntry(os, s"$key.jpg", jpg)
+                Tar.writeEntry(os, s"$key.json",
+                  meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                n += 1
+              }
+              Tar.finish(os)
+            } finally os.close()
             java.nio.file.Files.move(tmp, dst,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
             Iterator.single((pid, n))
           }
-        val layout = shardStats.toDF("shard", "n_records")
+        val layout = shardStats.toDF("shard", "n_samples")
           .agg(countDistinct(col("shard")).cast("long"),
-               sum(col("n_records")).cast("long")).first()
+               sum(col("n_samples")).cast("long")).first()
         require(layout.getLong(0) == nShards,
-          s"expected $nShards Arrow shards, saw ${layout.getLong(0)} writer tasks")
-        require(layout.getLong(1) > 0, "no rows exported")
+          s"expected $nShards tar shards, saw ${layout.getLong(0)} writer tasks")
+        require(layout.getLong(1) > 0, "no samples exported")
         spark.read.format("binaryFile")
-          .option("pathGlobFilter", "shard-*.arrow").load(tgt)
+          .option("pathGlobFilter", "shard-*.tar").load(tgt)
           .select(col("content")).as[Array[Byte]]
-          .flatMap(ArrowIpc.readFile(_).iterator
-            .map(r => (r.docId, Option(r.source), Option(r.text), r.emb)))
-          .toDF("doc_id", "source", "text", "emb")
-          .select(col("doc_id"),
-                  coalesce(col("source"), lit("<null>")).as("source"),
-                  md5(col("text")).as("text_md5"),
-                  size(col("emb")).cast("long").as("n_dims"),
-                  expr("""aggregate(
-                    zip_with(emb, sequence(1, size(emb)),
-                             (x, i) -> i * CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT)),
-                    CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("vec_fx"))
+          .mapPartitions { shards =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            def hexMd5(s: String): String = {
+              md.reset()
+              md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                .map(b => f"${b & 0xff}%02x").mkString
+            }
+            shards.flatMap { shard =>
+              val entries = Tar.readAll(shard)
+              require(entries.length % 2 == 0,
+                s"webdataset shard holds ${entries.length} members — not whole samples")
+              entries.grouped(2).map { pair =>
+                val Seq((jpgName, jpgBytes), (jsonName, jsonBytes)) = pair
+                require(jpgName.endsWith(".jpg") && jsonName.endsWith(".json"),
+                  s"unexpected member order: $jpgName, $jsonName")
+                val key = jpgName.stripSuffix(".jpg")
+                require(jsonName.stripSuffix(".json") == key,
+                  s"sample files not contiguous: $jpgName vs $jsonName")
+                val (w, h, px) = Jpeg.decodePixels(jpgBytes)
+                val pixelsHex = px.map(p => f"$p%02x").mkString
+                (key.toLong, w, h, hexMd5(pixelsHex),
+                  hexMd5(new String(jsonBytes, java.nio.charset.StandardCharsets.UTF_8)))
+              }
+            }
+          }
+          .toDF("doc_id", "width", "height", "pixels_md5", "meta_md5")
       },
-      // float→decimal goes through the double path on the DuckDB side —
-      // the same shortest-representation trap q_tfexample_embeddings
-      // documents and pins
-      Some("""SELECT d.doc_id,
-             |       COALESCE(d.source, '<null>') AS source,
-             |       md5(d.text) AS text_md5,
-             |       CAST(len(e.embedding) AS BIGINT) AS n_dims,
-             |       CAST(list_sum(list_transform(e.embedding,
-             |            (x, i) -> i * CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)))
-             |            AS BIGINT) AS vec_fx
-             |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin)
+      Some {
+        s"""SELECT doc_id,
+           |       CAST(16 AS INT) AS width,
+           |       CAST(8 AS INT) AS height,
+           |       md5(list_aggregate(list_transform(px, p -> printf('%02x', p)), 'string_agg', '')) AS pixels_md5,
+           |       md5('{"doc_id":' || CAST(doc_id AS VARCHAR) ||
+           |           ',"source":"' || source || '","lang":"' || lang || '"}') AS meta_md5
+           |FROM (${MediaQueries.jpegPixelBaseSql})""".stripMargin
+      }
     ),
 
     // TASK-RETRY IDEMPOTENCE, EXERCISED NOT ARGUED (round-13, closing the
@@ -765,7 +926,7 @@ object StorageQueries {
         spark.sparkContext.addSparkListener(listener)
         try {
           val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-          val shardStats = docs.repartition(nShards, col("doc_id"))
+          val shardStats = shardBy(docs, nShards, col("doc_id"))
             .mapPartitions { it =>
               val tc = org.apache.spark.TaskContext.get()
               val pid = tc.partitionId()
@@ -869,7 +1030,7 @@ object StorageQueries {
           Avro.Field("n_chars", Avro.ALong)))
         val docs = Tables.documents(spark, dir)
           .select(col("doc_id"), col("source"), col("lang"), col("text"), col("n_chars"))
-        val shardStats = docs.repartition(nShards, col("doc_id"))
+        val shardStats = shardBy(docs, nShards, col("doc_id"))
           .mapPartitions { it =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
@@ -964,7 +1125,7 @@ object StorageQueries {
         val readerDefaults = Map[String, Any]("lang" -> "und", "quality" -> -1L)
         val docs = Tables.documents(spark, dir)
           .select(col("doc_id"), col("source"), col("text"))
-        docs.repartition(nShards, col("doc_id"))
+        shardBy(docs, nShards, col("doc_id"))
           .mapPartitions { it =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
@@ -1052,7 +1213,7 @@ object StorageQueries {
           Avro.Field("price", Avro.ADecimal(18, 2))))
         val docs = Tables.documents(spark, dir)
           .select(col("doc_id"), col("text"), col("n_chars"))
-        docs.repartition(nShards, col("doc_id"))
+        shardBy(docs, nShards, col("doc_id"))
           .mapPartitions { it =>
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val attempt = org.apache.spark.TaskContext.get().taskAttemptId()

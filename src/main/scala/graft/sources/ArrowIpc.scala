@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector.{BigIntVector, Float4Vector, VarCharVector, VectorSchemaRoot}
 import org.apache.arrow.vector.complex.ListVector
-import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowReader, ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
 import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
@@ -71,7 +71,22 @@ object ArrowIpc {
     * placement (same temp + ATOMIC_MOVE discipline as the TFRecord
     * shard writers).
     */
-  def writeFile(path: java.nio.file.Path, rows: Iterator[DocRow]): Long = {
+  def writeFile(path: java.nio.file.Path, rows: Iterator[DocRow]): Long =
+    writeWith(path, rows, new ArrowFileWriter(_, null, _))
+
+  /** Same export through the Arrow IPC *stream* format
+    * ([[ArrowStreamWriter]]): schema message, record batches, EOS marker —
+    * no footer, no seekability. This is the pipe/network shape
+    * (`RecordBatchStreamReader` on the Python side) next to
+    * [[writeFile]]'s memory-map shape; both share the batch-population
+    * loop, so the two formats carry identical content by construction.
+    */
+  def writeStream(path: java.nio.file.Path, rows: Iterator[DocRow]): Long =
+    writeWith(path, rows, new ArrowStreamWriter(_, null, _))
+
+  private def writeWith(path: java.nio.file.Path, rows: Iterator[DocRow],
+      mk: (VectorSchemaRoot, java.nio.channels.WritableByteChannel) =>
+        org.apache.arrow.vector.ipc.ArrowWriter): Long = {
     val alloc = new RootAllocator(Long.MaxValue)
     try {
       val root = VectorSchemaRoot.create(schema, alloc)
@@ -81,7 +96,7 @@ object ArrowIpc {
           java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
           java.nio.file.StandardOpenOption.WRITE)
         try {
-          val writer = new ArrowFileWriter(root, null, ch)
+          val writer = mk(root, ch)
           try {
             writer.start()
             var total = 0L
@@ -135,14 +150,32 @@ object ArrowIpc {
     require(bytes.length >= headMagic.length &&
       java.util.Arrays.equals(java.util.Arrays.copyOf(bytes, headMagic.length), headMagic),
       "not an Arrow IPC file: missing leading ARROW1 magic")
+    readWith(new ArrowFileReader(
+      new ByteArrayReadableSeekableByteChannel(bytes), _))
+  }
+
+  /** Strictly read one Arrow IPC *stream* from bytes via the reference
+    * [[ArrowStreamReader]]. A FILE-format payload rejects here (streams
+    * lead with an encapsulated schema message, not the ARROW1 magic), and
+    * vice versa in [[readFile]] — the two formats are not interchangeable
+    * and the readers must not blur them.
+    */
+  def readStream(bytes: Array[Byte]): Vector[DocRow] = {
+    val magic = "ARROW1".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    require(bytes.length < magic.length ||
+      !java.util.Arrays.equals(java.util.Arrays.copyOf(bytes, magic.length), magic),
+      "file-format payload handed to the stream reader")
+    readWith(new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), _))
+  }
+
+  private def readWith(mk: RootAllocator => ArrowReader): Vector[DocRow] = {
     val alloc = new RootAllocator(Long.MaxValue)
     try {
-      val reader = new ArrowFileReader(
-        new ByteArrayReadableSeekableByteChannel(bytes), alloc)
+      val reader = mk(alloc)
       try {
         val root = reader.getVectorSchemaRoot
         require(root.getSchema == schema,
-          s"Arrow file schema ${root.getSchema} != expected $schema")
+          s"Arrow schema ${root.getSchema} != expected $schema")
         val out = Vector.newBuilder[DocRow]
         while (reader.loadNextBatch()) {
           val n = root.getRowCount

@@ -407,7 +407,18 @@ object ScaleStress {
     // Arrow IPC: one doc↔vector shuffle join + streamed per-task batch
     // writes + per-shard reference re-read; the vector checksum is
     // map-only higher-order functions — linear in corpus bytes
-    "q_arrow_roundtrip")
+    "q_arrow_roundtrip",
+    // JPEG: both gates are map-only per-doc encode→decode with constant
+    // per-doc payloads (≤6 blocks / 2 blocks) — linear in document count
+    "media_jpeg_coeffs",
+    "media_jpeg_decode",
+    // WebDataset: the tar shard legs are streamed per-task writes +
+    // per-shard sequential re-reads with constant per-sample payloads —
+    // linear in document count
+    "q_webdataset_shards",
+    // Arrow stream format: identical dataflow to q_arrow_roundtrip
+    // (one doc↔vector shuffle join + streamed shards), format-only change
+    "q_arrow_stream")
     // q_streaming_cdc_ttl is deliberately absent: its feed is five planted
     // rows by construction (processing-time TTL admits no deterministic
     // natural feed), so its cost is scale-invariant lifecycle setup —

@@ -86,6 +86,40 @@ class ArrowIpcSpec extends AnyFunSuite {
     intercept[Exception] { ArrowIpc.readFile("not an arrow file".getBytes("UTF-8")); () }
   }
 
+  private def writeStreamBytes(rows: Seq[DocRow]): Array[Byte] = {
+    val p = tmpFile()
+    try {
+      val n = ArrowIpc.writeStream(p, rows.iterator)
+      assert(n == rows.length)
+      java.nio.file.Files.readAllBytes(p)
+    } finally java.nio.file.Files.delete(p)
+  }
+
+  test("stream format: round-trip incl. nulls/empty/multi-batch; identical content to file format") {
+    for (n <- Seq(1, ArrowIpc.BatchRows + 1, 2 * ArrowIpc.BatchRows + 5)) {
+      val rows = randRows(n)
+      val got = ArrowIpc.readStream(writeStreamBytes(rows))
+      assert(got.length == n, s"n=$n")
+      assert(got == rows.toVector, s"n=$n content drift")
+      // both formats must carry identical content (shared population loop)
+      assert(ArrowIpc.readFile(writeBytes(rows)) == got, s"n=$n cross-format drift")
+    }
+  }
+
+  test("stream format: truncations reject; the two formats do not blur") {
+    val rows = randRows(30)
+    val stream = writeStreamBytes(rows)
+    val file = writeBytes(rows)
+    // cuts into the schema message or a batch body must throw; cuts into
+    // the trailing EOS marker are NOT asserted — the reference reader may
+    // treat a clean EOF there as end-of-stream, which is its contract
+    for (k <- Seq(1, 4, 8, stream.length / 3, stream.length / 2))
+      intercept[Exception] { ArrowIpc.readStream(stream.take(k)); () }
+    // a file-format payload must reject in the stream reader and vice versa
+    intercept[Exception] { ArrowIpc.readStream(file); () }
+    intercept[Exception] { ArrowIpc.readFile(stream); () }
+  }
+
   test("a structurally valid file with the WRONG schema rejects before data") {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector.{BigIntVector, VectorSchemaRoot}

@@ -410,4 +410,29 @@ class PlanSpec extends SparkTestBase {
     assert(out == direct, "nested-scan aggregate must equal the flat-source aggregate")
     assert(out.nonEmpty && out.values.map(_._1).sum > 0, "filter must keep rows at spec scale")
   }
+
+  test("shardBy survives the repartition-elision trap that collapses fixed shard layouts") {
+    // regression for the round-17 find: with shuffle.partitions == n (this
+    // suite's session: 8), a groupBy on the same key leaves the child
+    // already hash-partitioned (key, 8), the planner absorbs a plain
+    // repartition(8, key), and AQE then coalesces the surviving
+    // ENSURE_REQUIREMENTS shuffle of this tiny dataset to ONE task —
+    // silently collapsing an 8-shard export. shardBy's derived key makes
+    // the exchange unabsorbable and non-coalescible.
+    import spark.implicits._
+    val grouped = (1L to 400L).toDF("doc_id")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    def writerParts(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.mapPartitions(it =>
+        Iterator.single(org.apache.spark.TaskContext.getPartitionId())
+      ).collect().toSeq.distinct.sorted
+    val naive = writerParts(grouped.repartition(8, col("doc_id")))
+    val stable = writerParts(graft.queries.StorageQueries.shardBy(grouped, 8, col("doc_id")))
+    assert(stable == (0 until 8), s"shardBy must hold 8 writer partitions, saw $stable")
+    // pin that the TRAP is real in this session shape — if a Spark upgrade
+    // stops eliding the naive form, this assert flags the helper for review
+    assert(naive.size < 8,
+      s"plain repartition(8, key) no longer collapses (saw ${naive.size} parts) — " +
+      "re-evaluate whether shardBy is still needed")
+  }
 }
