@@ -61,13 +61,26 @@ object GraphQueries {
           .select(col("o_custkey").as("cust"),
                   (col("l_suppkey") + lit(SuppOffset)).as("supp"))
           .distinct()
-        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-          .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        // both edge directions in ONE pass (map-side explode): the former
+        // union of two selects re-ran the orders⋈lineitem join + distinct
+        // once per branch, and the groupBy-deg + join-back below doubled it
+        // again — the pairs subtree executed 4× before `ed` materialized
+        val edges = pairs
+          .select(explode(array(
+            struct(col("cust").as("src"), col("supp").as("dst")),
+            struct(col("supp").as("src"), col("cust").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        // out-degree via ONE window over the single edge pass — same value
+        // as the former groupBy(src).count + equi-join-back, minus that
+        // join's second traversal of the edge subtree and its extra
+        // exchange (guide §2.4: two operations keyed the same way share
+        // one exchange)
+        val ed = edges.withColumn("outdeg",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src")))).persist()
         // persist + eager count: the edge list with out-degree attached is
         // read once per iteration (at cluster scale this is the
         // materialized adjacency table, partitioned by src)
-        val ed = edges.join(deg, "src").persist()
         ed.count()
         val nodes = ed.select(col("src").as("node")).distinct()
         val nn = nodes.agg(count(lit(1)).as("n"))
@@ -145,6 +158,10 @@ object GraphQueries {
           .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
                 col("o_orderkey") === col("l_orderkey"))
           .select(col("o_orderkey").as("ok"), col("l_partkey").as("p"))
+        // persist + eager count: the distinct edge set feeds the degree
+        // pass, the orientation join AND the final n_nodes count — without
+        // the cache the per-order pair generation (groupBy + collect_set +
+        // combination explode + distinct) re-ran once per consumer
         val pairs = po.groupBy(col("ok"))
           .agg(array_sort(collect_set(col("p"))).as("ps"))
           .select(explode(expr(
@@ -152,7 +169,11 @@ object GraphQueries {
             .as("e"))
           .select(col("e.u").as("u"), col("e.v").as("v"))
           .distinct()
-        val deg = pairs.select(col("u").as("x")).unionAll(pairs.select(col("v").as("x")))
+          .persist()
+        pairs.count()
+        // both endpoints in ONE pass over the cached edges (map-side
+        // explode) instead of a two-branch unionAll
+        val deg = pairs.select(explode(array(col("u"), col("v"))).as("x"))
           .groupBy(col("x")).agg(count(lit(1)).as("d"))
         val ranked = pairs
           .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
@@ -162,6 +183,10 @@ object GraphQueries {
           .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
                   when(fwd, col("v")).otherwise(col("u")).as("dst"))
           .persist()
+        // eager count: the final four-aggregate plan references oriented
+        // from four subtrees evaluated in one job — materialize the cache
+        // once up front instead of racing the first touch
+        oriented.count()
         val wedges = oriented.select(col("src").as("a"), col("dst").as("b"))
           .join(oriented.select(col("src").as("b"), col("dst").as("c")), "b")
         val tri = wedges
@@ -232,11 +257,20 @@ object GraphQueries {
           .select(col("o_custkey").as("cust"),
                   (col("l_suppkey") + lit(SuppOffset)).as("supp"))
           .distinct()
-        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-          .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        // both directions in ONE pass (map-side explode) — the former
+        // two-select union re-ran the orders⋈lineitem join + distinct per
+        // branch (see q_pagerank)
+        val edges = pairs
+          .select(explode(array(
+            struct(col("cust").as("src"), col("supp").as("dst")),
+            struct(col("supp").as("src"), col("cust").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
           .persist()
         edges.count()
-        val seeds = pairs.select(col("cust").as("node")).distinct()
+        // seeds from the CACHED edges, not a third traversal of the pairs
+        // subtree: customers are exactly the src nodes below SuppOffset
+        val seeds = edges.select(col("src").as("node"))
+          .where(col("node") < SuppOffset).distinct()
           .where(pmod(col("node"), lit(97)) === 0)
         // visited is the UNION of the per-level frontiers, each cached once
         // and live until the end — so there are no superseded generations to
