@@ -292,9 +292,15 @@ object DedupQueries {
     */
   private[graft] def propagateMinLabels(pairs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // both directions in ONE pass (map-side explode): the former two-branch
+    // union evaluated the candidate-pair subtree (band self-join + distinct
+    // + est-jaccard verification joins) once per branch before the persist
+    // materialized — guide §2.4, same fix as q_pagerank's edge build
     val edges = pairs.toDF("doc_a", "doc_b")
-      .union(pairs.toDF("doc_a", "doc_b").select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist() // re-read every propagation sweep
     edges.count()
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -1010,6 +1016,11 @@ object DedupQueries {
         // the estimate arm reads the landed signature table when fresh
         // (landedSignatures) instead of re-signing the corpus per rep
         val (sigs, band) = minhashStages(spark, dir, reuseSigLanding = true)
+        // NOTE (r17, measured): persisting `band` here looks like it should
+        // save the self-join running once per counting arm, but Spark's
+        // ReuseExchange already shares the identical band subtree within
+        // the one three-aggregate plan — the explicit persist ADDED a
+        // separate materialization job and bench'd ~15% slower. Left alone.
         val emitted = band
           .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
           .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")

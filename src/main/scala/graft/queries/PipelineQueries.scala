@@ -503,11 +503,8 @@ object PipelineQueries {
         // representative per near-dup cluster among them (the shared
         // curation front half)
         val (reps, clusters) = curationReps(spark, dir)
-        // stage 3: BPE tokenizer — the shared train + land + reload leg,
-        // then word→symbol-count through the load path
+        // stage 3: BPE tokenizer — the shared train + land + reload leg
         val (v0, loadedMerges) = landedBpeMerges(spark, dir, "export_bpe_artifact")
-        val wlen = TextQueries.bpeApplyMerges(v0, loadedMerges)
-        // per-doc BPE token counts over the curated set
         val kept = Tables.documents(spark, dir).join(reps, "doc_id")
           .select(col("doc_id"), col("source"), col("text"))
           .persist()
@@ -517,20 +514,26 @@ object PipelineQueries {
         val nTotal = clusters.count()
         require(nKept > 0 && nKept < nTotal,
           s"curation kept $nKept of $nTotal docs — the filter+dedup stages did nothing")
-        // a curated doc with zero regex tokens would silently vanish at the
-        // inner wlen join and turn the shard-count gate below into a
-        // data-dependent abort — pin the assumption up front instead (the
-        // quality filter's n_tokens >= 20 rule makes this structural, same
-        // pattern as q_tfexample_embeddings' badVecs guard)
-        val zeroTok = kept
-          .where(size(TextAnalysis.tokens(col("text"))) === 0).count()
-        require(zeroTok == 0L,
-          s"$zeroTok curated docs tokenize to nothing — they cannot be packed or exported")
-        val toks = kept
-          .select(col("doc_id"), col("source"), explode(TextAnalysis.tokens(col("text"))).as("word"))
-          .join(broadcast(wlen), Seq("word"))
-          .groupBy(col("doc_id"), col("source"))
-          .agg(sum(col("n_sym")).cast("long").as("n_tokens"))
+        // ONE token-grain pass (r17): the ordered id sequences are computed
+        // first, persisted (they feed the per-doc counts AND the shard
+        // rows), and n_tokens is size(ids) — |input_ids| == Σ n_sym by
+        // construction (one id per final symbol), which the decode leg
+        // already requires. The former shape ran THREE corpus tokenize
+        // passes (zero-token guard, wlen count join, docInputIds); this
+        // runs one (guide §1.2: don't compute things twice)
+        val wids = tokenizerIds(v0, loadedMerges)
+        val docIds = docInputIds(kept, wids).persist()
+        val nDocIds = docIds.count()
+        // a curated doc with zero regex tokens has no id rows and would
+        // silently vanish at the shard join, turning the shard-count gate
+        // below into a data-dependent abort — pin the assumption up front
+        // (the quality filter's n_tokens >= 20 rule makes this structural,
+        // same pattern as q_tfexample_embeddings' badVecs guard)
+        require(nDocIds == nKept,
+          s"${nKept - nDocIds} curated docs tokenize to nothing — they cannot be packed or exported")
+        val toks = kept.select(col("doc_id"), col("source")).join(docIds, "doc_id")
+          .select(col("doc_id"), col("source"),
+                  size(col("ids")).cast("long").as("n_tokens"))
         // stage 4: per-source packing by running BPE totals (two-level
         // prefix sum — see q_pack_sequences for why not one serial window)
         val B = 4096
@@ -555,8 +558,6 @@ object PipelineQueries {
         // sequence to the independently-derived count
         import graft.sources.{TfExample, TfRecord}
         import TfExample.{BytesList, Int64List}
-        val wids = tokenizerIds(v0, loadedMerges)
-        val docIds = docInputIds(kept, wids)
         val tgt = StorageQueries.target("export_shards")
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tgt))
         val nShards = 8
@@ -633,6 +634,7 @@ object PipelineQueries {
         // the decoded output is checkpointed — release the stage caches
         // so a 200-query process doesn't carry the curated text forward
         toksB.unpersist()
+        docIds.unpersist()
         kept.unpersist()
         v0.unpersist()
         // the packing stage really split the curated set into chunks
@@ -700,11 +702,14 @@ object PipelineQueries {
         val nTotal = clusters.count()
         require(nKept > 0 && nKept < nTotal,
           s"curation kept $nKept of $nTotal docs — the filter+dedup stages did nothing")
-        val zeroTok = kept
-          .where(size(TextAnalysis.tokens(col("text"))) === 0).count()
-        require(zeroTok == 0L,
-          s"$zeroTok curated docs tokenize to nothing — they cannot be exported")
-        val docIds = docInputIds(kept, wids)
+        // ONE token-grain pass (r17): the id table is persisted and its
+        // count doubles as the zero-token guard — a curated doc with zero
+        // regex tokens has no id rows, so nDocIds < nKept detects exactly
+        // what the former dedicated tokenize pass did, without that pass
+        val docIds = docInputIds(kept, wids).persist()
+        val nDocIds = docIds.count()
+        require(nDocIds == nKept,
+          s"${nKept - nDocIds} curated docs tokenize to nothing — they cannot be exported")
         import graft.sources.{TfExample, TfRecord}
         import TfExample.Int64List
         val tgt = StorageQueries.target("tokenized_shards")
@@ -767,6 +772,7 @@ object PipelineQueries {
                   md5(concat_ws(",", expr("transform(ids, i -> CAST(i AS STRING))")))
                     .as("ids_md5"))
           .localCheckpoint(eager = true)
+        docIds.unpersist()
         kept.unpersist()
         v0.unpersist()
         // the merges really compressed: some doc's sequence is shorter
@@ -934,12 +940,17 @@ object PipelineQueries {
           .where(size(col("toks")) >= L)
           .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
                   col("toks"))
+        // persist + eager count (r17): the window-hash table feeds the
+        // dup-set aggregation AND the join-back mark — unpersisted, the
+        // tokenize + shingle + hash pipeline ran once per consumer
         val wins = toks
           .select(col("doc_id"), col("n_tokens"),
                   TextAnalysis.shinglesOf(col("toks"), L).as("shn"))
           .select(col("doc_id"), col("n_tokens"),
                   posexplode(graft.expressions.SignatureExpressions.h32Array(col("shn")))
                     .as(Seq("p0", "wh")))
+          .persist()
+        wins.count()
         val dup = wins.groupBy(col("wh"))
           .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
           .where(col("mn") =!= col("mx"))

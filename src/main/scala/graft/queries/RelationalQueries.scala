@@ -755,6 +755,10 @@ object RelationalQueries {
         // uniform (max deviation ~2 MAD - nothing to flag), while event
         // values are heavy-tailed (max ~13-19 MAD), so the rule actually
         // splits the data it grades on
+        // NOTE (r17, measured): persisting this projection (5 consumers
+        // across the two median rounds + final aggregate) bench'd slightly
+        // SLOWER at sf0.1 — each consumer is a cheap fused columnar scan,
+        // and the materialization job outweighs the re-scans. Left lazy.
         val base = Tables.events(spark, dir)
           .select(col("event_type").as("grp"),
                   Money.cents(col("value")).as("v"), col("event_id").as("k"))

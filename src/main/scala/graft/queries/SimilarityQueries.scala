@@ -999,6 +999,10 @@ object SimilarityQueries {
         // keeping the signature cache live for the final evaluation
         val lsh = lshTopkSpark(spark, dir)
         val ivf = ivfTopkSpark(spark, dir)
+        // NOTE (r17, measured): persisting bf (consumed by both recall
+        // legs) bench'd identical — the planner's exchange reuse already
+        // shares the brute-force subtree within the one union plan. Left
+        // lazy.
         val bf = topkSpark(spark, dir).select(col("query_id"), col("vec_id"))
         def recallOf(approx: DataFrame, method: String): DataFrame =
           bf.join(approx.select(col("query_id"), col("vec_id"), lit(1L).as("hit")),

@@ -1237,11 +1237,15 @@ object TextQueries {
       "text_bpe_encode",
       (spark, dir) => {
         GraftSession.tune(spark)
-        var v = Tables.documents(spark, dir)
-          .select(explode(tokens(col("text"))).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("wn"))
-          .select(col("word"), col("wn"),
-                  concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+        // NOTE (r17, measured): persisting this word table (as
+        // text_bpe_artifact does) re-derives the corpus explode + groupBy
+        // once instead of once per round — but bench'd ~15% SLOWER at
+        // sf0.1: each round's job is one fused codegen pipeline over a
+        // small corpus, and the added count job + InMemoryTableScan cost
+        // more than the four re-derivations they save. Left lazy here; the
+        // artifact/export gates keep their persist because their v0 has
+        // 6+ consumers.
+        var v = bpeWordTable(spark, dir)
         for (_ <- 1 to BpeEncMerges) {
           val top = v
             .select(col("wn"), split(trim(col("s")), " ").as("sy"))
