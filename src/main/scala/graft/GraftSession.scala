@@ -30,6 +30,16 @@ object GraftSession {
     // Map-side partial aggregation + skew handling at scale:
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Join strategy (guide §3.1): let the planner pick shuffled-hash over
+    // sort-merge when its size conditions hold (skips both sort passes),
+    // and let AQE rewrite a planned SMJ to SHJ at runtime when every
+    // post-shuffle partition's build side is under 64 MB — a bound that
+    // holds on any cluster whose executors give tasks the usual few
+    // hundred MB of execution memory, so this is a scale setting, not a
+    // local[32] tune. Sort-merge remains the fallback wherever the bound
+    // is not provable; spill safety is unchanged for those.
+    c.set("spark.sql.join.preferSortMergeJoin", "false")
+    c.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64MB")
     spark
   }
 
